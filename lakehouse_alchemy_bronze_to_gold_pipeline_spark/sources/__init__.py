@@ -1,0 +1,11 @@
+"""Sources & sinks: batch/streaming JSON ingestion and table I/O."""
+
+from .json_source import infer_json_schema, read_json_batch, read_json_stream
+from .tables import TableIO
+
+__all__ = [
+    "infer_json_schema",
+    "read_json_batch",
+    "read_json_stream",
+    "TableIO",
+]

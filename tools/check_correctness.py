@@ -1,0 +1,135 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet tables, then compares row count,
+schema (column names), and an order-insensitive value hash (columns
+sorted by name, rows sorted, values stringified with float rounding).
+
+Usage:  python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.data import (  # noqa: E402
+    TABLES,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if str(s.dtype).startswith("datetime64"):
+            df[c] = s.dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        elif s.dtype == object:
+            df[c] = s.map(
+                lambda v: v.hex()
+                if isinstance(v, bytes)
+                else v.isoformat()
+                if isinstance(v, (datetime.date, datetime.datetime))
+                else v
+            )
+    return df
+
+
+def cell(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    return str(v)
+
+
+def table_hash(df: pd.DataFrame) -> str:
+    rows = sorted(
+        "|".join(cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+    import hashlib
+
+    h = hashlib.md5()
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    qs, oracles = queries(), oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    spark = get_spark("check_correctness")
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only ({len(sdf)} rows, "
+                  f"{time.time()-t0:.1f}s) [no oracle]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        s, o = canon(sdf), canon(odf)
+        problems = []
+        if len(s) != len(o):
+            problems.append(f"rows {len(s)} vs {len(o)}")
+        if list(s.columns) != list(o.columns):
+            problems.append(f"cols {list(s.columns)} vs {list(o.columns)}")
+        elif table_hash(s) != table_hash(o):
+            problems.append("value-hash mismatch")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            if list(s.columns) == list(o.columns) and len(s) == len(o):
+                try:
+                    ss, oo = s.astype(str), o.astype(str)
+                    merged = ss.merge(oo, how="outer", indicator=True)
+                    diff = merged[merged["_merge"] != "both"]
+                    print(diff.head(6).to_string())
+                except Exception as e:  # diff display is best-effort
+                    print(f"  (diff unavailable: {e})")
+            failures.append(name)
+        else:
+            print(f"PASS  {name} ({len(s)} rows, {time.time()-t0:.1f}s)")
+    spark.stop()
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
