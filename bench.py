@@ -1,0 +1,65 @@
+"""Per-round benchmark: run every registered query at the bench scale
+factor and print ONE JSON line the driver records as BENCH_r{N}.json.
+
+Queries are materialized through the ``noop`` sink so the full plan
+executes (a bare ``count()`` would let Catalyst prune projections and
+under-report work).
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local parallelism (default 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import (  # noqa: E402
+    SPARK_QUERIES,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except (IndexError, ValueError):
+        sf = -1.0
+
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    # warm the executors/codegen so query 1 isn't charged JVM boot
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name, fn in SPARK_QUERIES.items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

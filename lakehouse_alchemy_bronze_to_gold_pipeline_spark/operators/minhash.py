@@ -104,7 +104,12 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Verified near-dup pairs: (id_a, id_b, jaccard >= threshold)."""
     band_rows = n_hashes // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    # The signature relation feeds three consumers (banding + both
+    # sides of the verify join); without materialization Catalyst
+    # inlines the large signature expression into every branch and
+    # recomputes it per consumer.  Persist once — at cluster scale
+    # this would be a checkpoint/table write instead.
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, n_bands, band_rows)
     shl = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     shr = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
