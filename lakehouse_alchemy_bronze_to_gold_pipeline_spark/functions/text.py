@@ -31,6 +31,12 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+def nonempty_tokens(text: Column | str, lowercase: bool = True) -> Column:
+    """Tokens with empty strings removed (split('') yields [''] —
+    hash-based operators must not fingerprint the empty token)."""
+    return F.filter(tokens(text, lowercase), lambda t: t != "")
+
+
 def token_length_sum(toks: Column) -> Column:
     """Total characters across tokens (sequential fold, exact)."""
     return F.aggregate(
@@ -84,11 +90,15 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     grain is preserved (one row per document)."""
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    # NB: F.sequence(0, -1) yields a DESCENDING sequence, not empty —
+    # short documents must short-circuit to an empty shingle set
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import jaccard, tokens, word_shingles
+from ..functions.text import jaccard, nonempty_tokens, word_shingles
 
 
 def minhash_signatures(
@@ -38,7 +38,7 @@ def minhash_signatures(
     shingle_n: int = 2,
 ) -> DataFrame:
     """(id, shingles, sig) — sig is array<bigint> of length n_hashes."""
-    toks = tokens(text_col, lowercase=True)
+    toks = nonempty_tokens(text_col)
     shingles = word_shingles(toks, shingle_n)
     out = df.select(F.col(id_col), shingles.alias("shingles"))
     sig = F.transform(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens
+from ..functions.text import nonempty_tokens
 
 #: fold tokens' hash bits -> signed sums -> 64-bit fingerprint
 _FP_EXPR = """
@@ -44,7 +44,7 @@ aggregate(
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: bigint) — deterministic 64-bit fingerprint."""
-    toks = tokens(text_col, lowercase=True)
+    toks = nonempty_tokens(text_col)
     out = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") > 0)
     out = out.withColumn(
         "thash", F.transform(F.col("toks"), lambda t: F.xxhash64(t))

@@ -1,0 +1,149 @@
+"""Near-dup dedup, similarity search, text functions, multimodal.
+
+The probabilistic operators (minhash-LSH, simhash banding, vector LSH)
+are verified against exact ground truth computed with the engine's own
+exact operators — the check the DuckDB oracle can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.functions import text as TX
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.functions.vectors import (
+    as_double_array,
+    cosine,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.minhash import (
+    minhash_near_duplicates,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_stub,
+    extract_features,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.simhash import (
+    simhash,
+    simhash_near_duplicates,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.similarity import (
+    knn_join,
+    lsh_topk,
+    topk_bruteforce,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),  # exact dup
+        Row(doc_id=3, text=base.replace("lazy", "sleepy")),  # near dup
+        Row(doc_id=4, text="completely different words about spark and sql"),
+        Row(doc_id=5, text=""),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_minhash_finds_exact_and_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_duplicates(docs, "doc_id", "text", 0.5).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+    assert all((4 not in p) and (5 not in p) for p in pairs)
+
+
+def test_minhash_deterministic(spark, docs):
+    a = sorted(map(tuple, minhash_near_duplicates(docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, minhash_near_duplicates(docs, "doc_id", "text").collect()))
+    assert a == b
+
+
+def test_simhash_properties(spark, docs):
+    fps = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]  # identical text -> identical fingerprint
+    assert 5 not in fps  # empty text filtered
+    pairs = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=16)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+    # near-dup 1~3 must be closer than the unrelated doc 4
+    if (1, 3) in got:
+        assert got[(1, 3)] <= 16
+
+
+def test_knn_join_matches_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((50, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(50)]
+    )
+    brute = topk_bruteforce(df, [float(x) for x in vecs[0]], k=5)
+    brute_ids = [r.vec_id for r in brute.collect()]
+    knn = knn_join(df.filter(F.col("vec_id") == 0), df, k=5)
+    knn_ids = [r.neighbor_id for r in knn.orderBy("rank").collect()]
+    assert brute_ids == knn_ids
+    assert brute_ids[0] == 0  # self is its own nearest neighbor
+
+
+def test_lsh_topk_self_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((80, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(80)]
+    )
+    out = lsh_topk(df, df.filter(F.col("vec_id") < 3), k=3, n_bits=4, dim=16)
+    rows = out.collect()
+    # every query must at least find itself (same bucket by identity)
+    by_q = {r.query_id for r in rows if r.query_id == r.neighbor_id}
+    assert by_q == {0, 1, 2}
+
+
+def test_text_functions_edges(spark):
+    df = spark.createDataFrame([Row(t="  The  QUICK fox  "), Row(t="")])
+    out = df.select(
+        TX.token_count("t").alias("n"),
+        TX.fingerprint("t").alias("fp"),
+        TX.lang_id("t").alias("lang"),
+    ).collect()
+    assert out[0].n == 3
+    assert out[0].lang == "en"
+    assert out[0].fp != out[1].fp
+
+
+def test_word_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([Row(t="a b c d")])
+    out = df.select(
+        TX.word_shingles(TX.tokens("t"), 2).alias("sh2"),
+        TX.jaccard(
+            F.array(F.lit("x"), F.lit("y")), F.array(F.lit("y"), F.lit("z"))
+        ).alias("j"),
+    ).collect()[0]
+    assert sorted(out.sh2) == ["a b", "b c", "c d"]
+    assert abs(out.j - 1 / 3) < 1e-12
+
+
+def test_multimodal_roundtrip_and_stub_gate(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world")])
+    feats = extract_features(
+        attach_binary_payload(df, "doc_id", "text")
+    ).collect()[0]
+    assert feats.n_bytes == 11 and feats.modality == "text"
+    assert feats.f1 == ord("h") / 255.0
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x89PNG", "image")
+
+
+def test_cosine_function_exact(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 0.0], b=[1.0, 0.0])])
+    v = df.select(
+        cosine(as_double_array("a"), as_double_array("b")).alias("c")
+    ).collect()[0]
+    assert abs(v.c - 1.0) < 1e-12

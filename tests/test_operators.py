@@ -1,0 +1,141 @@
+"""Dedup, quality-rule engine, star builders, sessionize."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    dedup_keep_latest,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.quality import (
+    QualityEngine,
+    email_rule,
+    integer_rule,
+    null_pk_rule,
+    orphan_rule,
+    positive_rule,
+    whitespace_rule,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.sessionize import (
+    sessionize,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.star import (
+    DimSpec,
+    build_dim,
+    build_fact,
+)
+
+
+# ------------------------------------------------------------- dedup
+def test_dedup_exact_and_missing_key_grace(spark):
+    df = spark.createDataFrame([Row(k=1, v="a"), Row(k=1, v="b"), Row(k=2, v="c")])
+    assert dedup_exact(df, ["k"]).count() == 2
+    # graceful degradation (reference D3): absent keys -> no-op
+    assert dedup_exact(df, ["nope"]).count() == 3
+
+
+def test_dedup_keep_latest_deterministic(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, ts=10, id=1, v="old"), Row(k=1, ts=20, id=2, v="new"),
+         Row(k=1, ts=20, id=3, v="tie")]
+    )
+    out = dedup_keep_latest(df, ["k"], order_by="ts", tiebreak=["id"]).collect()
+    assert len(out) == 1 and out[0].v == "tie"  # max ts, max id wins
+
+
+# ----------------------------------------------------------- quality
+def test_quality_single_pass_counts_and_rows(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=None, email="x@y.com", qty=2.0, name=" pad"),
+            Row(id=2, email="bad", qty=-1.0, name="ok"),
+            Row(id=3, email="a@b.io", qty=1.5, name="ok"),
+        ]
+    )
+    rules = [
+        null_pk_rule(["id"]),
+        email_rule("email"),
+        positive_rule(["qty"]),
+        integer_rule("qty"),
+        whitespace_rule(["name"]),
+    ]
+    eng = QualityEngine(rules)
+    counts = {r.rule: r.n_violations for r in eng.violation_counts(df).collect()}
+    assert counts == {
+        "null_pk[id]": 1,
+        "email[email]": 1,
+        "positive[qty]": 1,
+        "integer[qty]": 1,
+        "whitespace[name]": 1,
+    }
+    rows = eng.failing_rows(df, "t").collect()
+    assert len(rows) == 5 and all(r.entity == "t" for r in rows)
+
+
+def test_orphan_rule_anti_join(spark):
+    fact = spark.createDataFrame([Row(fk=1), Row(fk=2), Row(fk=9)])
+    dim = spark.createDataFrame([Row(k=1), Row(k=2)])
+    out = orphan_rule(fact, dim, "fk", "k").collect()
+    assert [r.fk for r in out] == [9]
+
+
+# -------------------------------------------------------------- star
+def test_build_dim_normalization_and_filters(spark):
+    df = spark.createDataFrame(
+        [Row(pid="P1", cat="TOOLS", price=3.0), Row(pid=None, cat="X", price=1.0),
+         Row(pid="P2", cat="Y", price=-1.0)]
+    )
+    dim = build_dim(
+        df,
+        {"product_id": "pid", "category": F.lower(F.col("cat")), "price": "price"},
+        not_null=["product_id"],
+        filters=[F.col("price") > 0],
+    )
+    rows = dim.collect()
+    assert [r.product_id for r in rows] == ["P1"]
+    assert rows[0].category == "tools"
+    assert "dim_created_ts" in dim.columns
+
+
+def test_build_fact_joins_derived_and_date_partition(spark):
+    fact = spark.createDataFrame(
+        [Row(ok=1, ck=10, qty=2.0, price=5.0, ts="2024-03-01 10:00:00"),
+         Row(ok=2, ck=99, qty=1.0, price=2.0, ts="2024-03-02 11:00:00")]
+    )
+    cust = spark.createDataFrame([Row(ck_dim=10, seg="A")])
+    out = build_fact(
+        fact.withColumn("ts", F.to_timestamp("ts")),
+        dims=[DimSpec(cust, "ck", "ck_dim", {"seg": "segment"})],
+        derived={"total": F.col("qty") * F.col("price")},
+        validity=[F.col("qty") > 0],
+        partition_date_source="ts",
+    )
+    rows = out.collect()
+    assert len(rows) == 1  # inner join drops ck=99
+    assert rows[0].total == 10.0 and rows[0].segment == "A"
+    assert str(rows[0].order_date) == "2024-03-01"
+
+
+def test_build_fact_broadcasts_dim(spark):
+    fact = spark.createDataFrame([Row(k=1, v=1.0)])
+    dim = spark.createDataFrame([Row(kd=1, d="x")])
+    out = build_fact(fact, dims=[DimSpec(dim, "k", "kd", {"d": "dd"})])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------- sessionize
+def test_sessionize_gap_boundaries(spark):
+    df = spark.createDataFrame(
+        [Row(user_id=1, ts=0, event_id=1),
+         Row(user_id=1, ts=100, event_id=2),
+         Row(user_id=1, ts=5000, event_id=3),   # > 1800s gap -> new session
+         Row(user_id=2, ts=50, event_id=4)]
+    )
+    out = sessionize(df, gap_seconds=1800, order_tiebreak="event_id").collect()
+    sess = {(r.user_id, r.event_id): r.session_id for r in out}
+    assert sess[(1, 1)] == 1 and sess[(1, 2)] == 1
+    assert sess[(1, 3)] == 2
+    assert sess[(2, 4)] == 1
