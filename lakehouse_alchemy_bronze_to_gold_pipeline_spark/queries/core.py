@@ -270,7 +270,9 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: hash aggregate with map-side
     partial aggregation; exact decimal sums (see module docstring)."""
     li = load(spark, sf, "lineitem")
-    cutoff = F.to_timestamp(F.lit("1998-09-02"))
+    # NTZ literal: a to_timestamp() LTZ literal would be interpreted in
+    # the (driver-controlled) session timezone and shift the cutoff
+    cutoff = F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     agg = (
@@ -550,3 +552,170 @@ ORACLE_SQL = {
     "dedup_events_keep_latest": SQL_DEDUP_EVENTS_KEEP_LATEST,
     "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
 }
+
+
+# ----------------------------------------------------- batch 2: windows,
+# multi-dim aggs, as-of join
+
+
+def q_customer_running_spend(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic windows: rank, running sum, lag — one shuffle on the
+    partition key serves all three (same window frame family)."""
+    from ..queries.data import load as _load
+
+    o = _load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_key"),
+        F.row_number().over(w).cast("bigint").alias("order_rank"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(run)
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+SQL_CUSTOMER_RUNNING_SPEND = """
+SELECT o_custkey AS customer_id,
+       o_orderkey AS order_key,
+       CAST(row_number() OVER w AS BIGINT) AS order_rank,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       lag(o_totalprice) OVER w AS prev_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_order_priority_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over two dimensions (SURVEY 2.4 'free via cube')."""
+    o = load(spark, sf, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), 2, "revenue"),
+    )
+
+
+SQL_ORDER_PRIORITY_CUBE = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_returnflag_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (explicit value list -> single pass, no extra job to
+    discover pivot values — the form that scales)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+SQL_RETURNFLAG_PIVOT = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F"
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_segment_distinct_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct aggregation (exact) alongside plain counts."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o["o_custkey"] == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+SQL_SEGMENT_DISTINCT_CUSTOMERS = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_asof_latest_order(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (operators.asof): each event picks up the user's
+    most recent order at event time; ties on order timestamp resolve
+    to the max order key in both engines."""
+    from ..operators.asof import asof_join
+
+    from .data import ntz_epoch_us
+
+    ev = load(spark, sf, "events").select("event_id", "user_id", "ts_us")
+    o = load(spark, sf, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_key"),
+        ntz_epoch_us("o_orderdate").alias("order_ts_us"),
+    )
+    out = asof_join(
+        ev,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts_us",
+        right_ts="order_ts_us",
+        right_values=["order_key"],
+        tiebreak="order_key",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "order_key",
+        F.col("asof_ts").alias("order_ts_us"),
+    )
+
+
+SQL_ASOF_LATEST_ORDER = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+), o AS (
+  SELECT o_custkey, o_orderkey AS order_key,
+         epoch_us(o_orderdate) AS order_ts_us
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, e.user_id, e.ts_us, o.order_key, o.order_ts_us
+FROM e ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts_us >= o.order_ts_us
+"""
+
+
+SPARK_QUERIES.update(
+    {
+        "customer_running_spend": q_customer_running_spend,
+        "order_priority_cube": q_order_priority_cube,
+        "returnflag_pivot": q_returnflag_pivot,
+        "segment_distinct_customers": q_segment_distinct_customers,
+        "asof_latest_order": q_asof_latest_order,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "customer_running_spend": SQL_CUSTOMER_RUNNING_SPEND,
+        "order_priority_cube": SQL_ORDER_PRIORITY_CUBE,
+        "returnflag_pivot": SQL_RETURNFLAG_PIVOT,
+        "segment_distinct_customers": SQL_SEGMENT_DISTINCT_CUSTOMERS,
+        "asof_latest_order": SQL_ASOF_LATEST_ORDER,
+    }
+)

@@ -21,6 +21,19 @@ TABLES = (
 )
 
 
+def ntz_epoch_us(col: str) -> F.Column:
+    """Microseconds since epoch of a TIMESTAMP_NTZ column, computed
+    timezone-independently (``unix_micros`` requires LTZ and a cast
+    would shift by the session timezone — which the driver controls,
+    not us).  Field extraction on NTZ is tz-free."""
+    return F.expr(
+        f"unix_date(cast({col} as date)) * 86400000000"
+        f" + hour({col}) * 3600000000"
+        f" + minute({col}) * 60000000"
+        f" + second({col}) * 1000000"
+    ).cast("bigint")
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one synthetic table; column pruning + predicate pushdown
     happen at the parquet scan because callers select/filter on the

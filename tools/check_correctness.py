@@ -83,7 +83,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    spark = get_spark("check_correctness")
+    # deliberately NON-UTC session: the driver controls its own session
+    # timezone, so any query whose result depends on it is a latent
+    # correctness bug — this flushes those out locally
+    spark = get_spark(
+        "check_correctness",
+        extra_conf={"spark.sql.session.timeZone": "America/New_York"},
+    )
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
