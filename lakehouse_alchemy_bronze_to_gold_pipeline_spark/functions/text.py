@@ -86,19 +86,28 @@ def lang_id(text: Column | str) -> Column:
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """n-gram word shingles as an array<string> (space-joined),
-    distinct.  Built with sequence+transform+slice — no explode, so
-    grain is preserved (one row per document)."""
+    distinct.  No explode, so grain is preserved (one row per doc).
+
+    Built as a ``zip_with`` chain over shifted copies of the token
+    array: ``zip_with(toks, slice(toks, 2, ...), concat)`` pairs each
+    token with its successor, etc.  Crucially the token array is only
+    referenced at ROW scope (as zip_with/slice inputs) — never inside
+    a per-element lambda.  An index-based ``transform(sequence(...),
+    i -> slice(toks, i+1, n))`` formulation re-evaluates the token
+    expression (a regex split, once CollapseProject inlines it) per
+    ELEMENT: O(tokens^2) regex work per row, measured ~20x slower on
+    real documents.  zip_with pads the shorter side with null and
+    ``concat`` null-propagates, so trailing partial grams filter out.
+    """
     if n == 1:
         return F.array_distinct(toks)
-    # NB: F.sequence(0, -1) yields a DESCENDING sequence, not empty —
-    # short documents must short-circuit to an empty shingle set
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(grams)
-    )
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, F.lit(k + 1), F.size(toks))
+        grams = F.zip_with(
+            grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t)
+        )
+    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
 
 
 def jaccard(a: Column, b: Column) -> Column:

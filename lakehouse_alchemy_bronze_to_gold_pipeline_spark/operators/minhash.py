@@ -4,15 +4,29 @@ SURVEY section 7 step 8 — the scale path for fuzzy dedup at 100 TB).
 Pipeline (all JVM-side; deterministic given the data):
 
 1. shingle: distinct word n-grams per document
-   (``functions.text.word_shingles`` — no explode, grain preserved);
+   (``functions.text.word_shingles`` — no explode, grain preserved),
+   materialized BEHIND an exchange (see below);
 2. signature: ``sig[i] = min over shingles of xxhash64(shingle, i)``
-   — one sequence+transform+array_min expression, 0 shuffles;
+   — one sequence+transform+array_min expression over the
+   materialized shingle column;
 3. banding: split the signature into ``n_bands`` bands of ``band_rows``
    hashes; hash each band -> (band_idx, band_hash) bucket key;
-4. candidate pairs: self-join documents sharing a bucket (the ONLY
-   shuffle, on the bucket key);
+4. candidate pairs: self-join documents sharing a bucket (a shuffle on
+   the bucket key);
 5. verify: exact Jaccard on the shingle sets of candidates, filter by
    threshold.
+
+Why the exchange in step 1 matters: Catalyst's CollapseProject merges
+adjacent projections, inlining the (expensive) shingle expression into
+the signature's outer lambda — which then re-evaluates
+tokenize+distinct+shingle ``n_hashes`` times per row (measured ~13x
+slowdown).  ``aggregate``-based single-pass folds avoid that but
+janino-compile a far bigger method and interpret slower per element.
+Repartitioning the *(id, shingles)* relation inserts a pipeline
+breaker that materializes the array exactly once — and doubles as the
+compute-balancing step: the signature stage is CPU-bound, so it must
+be spread across all cores even when the upstream scan produced few
+splits (one small file locally; a coalesced upstream on a cluster).
 
 Scale notes: bucket-key skew is the failure mode (a boilerplate shingle
 set shared by millions of docs -> quadratic bucket). ``max_bucket``
@@ -29,25 +43,39 @@ from pyspark.sql import functions as F
 
 from ..functions.text import jaccard, nonempty_tokens, word_shingles
 
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 64,
     shingle_n: int = 2,
+    balance: bool = True,
 ) -> DataFrame:
-    """(id, shingles, sig) — sig is array<bigint> of length n_hashes."""
+    """(id, shingles, sig) — sig is array<bigint> of length n_hashes.
+
+    ``balance`` repartitions the shingled relation on ``id_col`` to
+    the default parallelism: a pipeline breaker that (a) materializes
+    the shingle array so the signature lambda reads a column instead
+    of re-deriving it per hash index, and (b) spreads the CPU-bound
+    hashing across all cores.  Disable only when the input is already
+    well-split AND shingles are materialized (e.g. a cached relation).
+    """
     toks = nonempty_tokens(text_col)
     shingles = word_shingles(toks, shingle_n)
-    out = df.select(F.col(id_col), shingles.alias("shingles"))
+    out = df.select(F.col(id_col), shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    if balance:
+        out = out.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, id_col
+        )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda i: F.array_min(
             F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))
         ),
     )
-    return out.filter(F.size("shingles") > 0).withColumn("sig", sig)
+    return out.withColumn("sig", sig)
 
 
 def lsh_candidate_pairs(
@@ -101,15 +129,21 @@ def minhash_near_duplicates(
     n_hashes: int = 64,
     shingle_n: int = 2,
     n_bands: int = 16,
+    balance: bool = True,
 ) -> DataFrame:
-    """Verified near-dup pairs: (id_a, id_b, jaccard >= threshold)."""
+    """Verified near-dup pairs: (id_a, id_b, jaccard >= threshold).
+
+    ``balance`` is forwarded to ``minhash_signatures`` (see there).
+    """
     band_rows = n_hashes // n_bands
     # The signature relation feeds three consumers (banding + both
     # sides of the verify join); without materialization Catalyst
     # inlines the large signature expression into every branch and
     # recomputes it per consumer.  Persist once — at cluster scale
     # this would be a checkpoint/table write instead.
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n).persist()
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle_n, balance=balance
+    ).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, n_bands, band_rows)
     shl = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     shr = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))

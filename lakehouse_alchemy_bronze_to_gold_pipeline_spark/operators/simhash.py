@@ -4,12 +4,15 @@ SimHash maps a token multiset to a 64-bit fingerprint whose Hamming
 distance approximates cosine distance of the token vectors — the
 complementary scheme to MinHash (which approximates Jaccard).
 
-Implementation is one codegen'd SQL expression per document: per-token
-64-bit hashes are computed once into an array, then for each bit
-position the +1/-1 contributions are folded and the sign becomes the
-bit.  No shuffle until pair generation.  (Built with ``F.expr`` —
-bit-shift SQL functions accept column bit counts that the Python
-wrappers do not.)
+Implementation is one SQL expression per document, structured as a
+SINGLE pass over the per-token hash array: ``aggregate`` carries a
+64-slot bit-sum accumulator updated per token (``zip_with``), and the
+finish lambda packs the signs into the 64-bit fingerprint.  The
+aggregate *input* (token hashes) is evaluated exactly once per row —
+a per-bit outer loop would re-evaluate the tokenize+hash pipeline 64
+times per row once CollapseProject inlines it.  No shuffle until pair
+generation.  (Built with ``F.expr`` — bit-shift SQL functions accept
+column bit counts that the Python wrappers do not.)
 
 Pair generation uses the pigeonhole banding trick: two fingerprints
 within Hamming distance d must agree exactly on at least one of d+1
@@ -24,26 +27,38 @@ from pyspark.sql import functions as F
 
 from ..functions.text import nonempty_tokens
 
-#: fold tokens' hash bits -> signed sums -> 64-bit fingerprint
+#: one pass over thash: per-token bit contributions -> 64 signed sums
+#: (zip_with), then the finish lambda packs signs into the fingerprint
 _FP_EXPR = """
 aggregate(
-  sequence(0, 63),
-  cast(0 as bigint),
-  (acc, i) -> acc + IF(
-     aggregate(
-       thash,
-       cast(0 as bigint),
-       (a, h) -> a + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L)
-     ) > 0,
-     shiftleft(1L, i),
-     0L
+  thash,
+  array_repeat(cast(0 as bigint), 64),
+  (acc, h) -> zip_with(
+    acc, sequence(0, 63),
+    (s, i) -> s + IF((shiftright(h, i) & 1L) = 1L, 1L, -1L)
+  ),
+  bits -> aggregate(
+    zip_with(bits, sequence(0, 63),
+             (s, i) -> IF(s > 0, shiftleft(1L, i), 0L)),
+    cast(0 as bigint),
+    (a, x) -> a + x
   )
 )
 """
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash: bigint) — deterministic 64-bit fingerprint."""
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, balance: bool = True
+) -> DataFrame:
+    """(id, simhash: bigint) — deterministic 64-bit fingerprint.
+
+    ``balance`` spreads the compute-bound fingerprint stage across all
+    cores when the upstream scan produced few splits (see
+    ``minhash.minhash_near_duplicates``)."""
+    if balance:
+        df = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, id_col
+        )
     toks = nonempty_tokens(text_col)
     out = df.select(F.col(id_col), toks.alias("toks")).filter(F.size("toks") > 0)
     out = out.withColumn(
