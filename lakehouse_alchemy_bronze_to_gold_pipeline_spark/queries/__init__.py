@@ -10,10 +10,11 @@ driver's synthetic tables; aliases match between both sides because
 the driver's comparator sorts columns by name before hashing.
 """
 
+from .analytics import SPARK_QUERIES as _AN_Q, ORACLE_SQL as _AN_SQL
 from .core import SPARK_QUERIES as _CORE_Q, ORACLE_SQL as _CORE_SQL
 from .llm_ops import SPARK_QUERIES as _LLM_Q, ORACLE_SQL as _LLM_SQL
 
-SPARK_QUERIES = {**_CORE_Q, **_LLM_Q}
-ORACLE_SQL = {**_CORE_SQL, **_LLM_SQL}
+SPARK_QUERIES = {**_CORE_Q, **_AN_Q, **_LLM_Q}
+ORACLE_SQL = {**_CORE_SQL, **_AN_SQL, **_LLM_SQL}
 
 __all__ = ["SPARK_QUERIES", "ORACLE_SQL"]

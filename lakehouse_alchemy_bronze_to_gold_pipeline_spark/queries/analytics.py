@@ -1,0 +1,350 @@
+"""Batch-3 analytic queries: percentiles, grouping sets, band join,
+semi-join (EXISTS), scalar-subquery join-back, full outer join,
+deep multi-join, and exact embedding similarity.
+
+Same numeric policy as ``core.py``: exact decimal sums for money,
+rounding for ratios, bigint counts, ISO date strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double_array
+from ..operators.rangejoin import band_join
+from .core import _dec_sum
+from .data import load
+
+
+# ------------------------------------------------------- percentiles
+
+
+def q_price_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based exact
+    percentile — the approx_percentile sketch is the 100 TB variant,
+    but it has no cross-engine-stable result)."""
+    li = load(spark, sf, "lineitem")
+    p = lambda q: F.round(F.percentile(F.col("l_extendedprice"), F.lit(q)), 6)
+    return li.groupBy("l_returnflag").agg(
+        p(0.25).alias("p25"),
+        p(0.5).alias("p50"),
+        p(0.75).alias("p75"),
+        F.round(F.min("l_extendedprice"), 6).alias("lo"),
+        F.round(F.max("l_extendedprice"), 6).alias("hi"),
+    )
+
+
+SQL_PRICE_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       ROUND(MIN(l_extendedprice), 6) AS lo,
+       ROUND(MAX(l_extendedprice), 6) AS hi
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ----------------------------------------------------- grouping sets
+
+
+def q_revenue_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than cube/rollup): region
+    totals, region x nation, and grand total in ONE pass (Spark
+    expands sets map-side; one shuffle)."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    joined = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupingSets(
+        [["r_name"], ["r_name", "n_name"], []], "r_name", "n_name"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), 2, "revenue"),
+    )
+
+
+SQL_REVENUE_GROUPING_SETS = """
+SELECT r_name, n_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+"""
+
+
+# -------------------------------------------------------- band join
+
+
+def q_events_band_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed band self-join: same-type event pairs within 10
+    minutes (operators.rangejoin — scales with matching pairs, not
+    |L| x |R|)."""
+    ev = load(spark, sf, "events").select("event_id", "event_type", "ts_us")
+    l = ev.select(
+        F.col("event_id").alias("id_a"),
+        "event_type",
+        F.col("ts_us").alias("ts_a"),
+    )
+    r = ev.select(
+        F.col("event_id").alias("id_b"),
+        "event_type",
+        F.col("ts_us").alias("ts_b"),
+    )
+    out = band_join(
+        l, r, "ts_a", "ts_b", lower=0, upper=600_000_000,
+        keys=["event_type"],
+    )
+    return out.select(
+        "event_type", "id_a", "id_b",
+        (F.col("ts_b") - F.col("ts_a")).alias("delta_us"),
+    )
+
+
+SQL_EVENTS_BAND_JOIN = """
+SELECT a.event_type,
+       a.event_id AS id_a,
+       b.event_id AS id_b,
+       epoch_us(b.ts) - epoch_us(a.ts) AS delta_us
+FROM events a
+JOIN events b
+  ON a.event_type = b.event_type
+ AND epoch_us(b.ts) >  epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 600000000
+"""
+
+
+# --------------------------------------------- EXISTS / semi (Q4-ish)
+
+
+def q_late_shipment_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders with >=1 lineitem shipped >90 days after order date,
+    counted per priority — LEFT SEMI join (EXISTS shape): the probe
+    side never duplicates, so the count stays per-order."""
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+SQL_LATE_SHIPMENT_ORDERS = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------- scalar-subquery shape (Q17-ish)
+
+
+def q_brand_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-part average join-back: lineitems below half their part's
+    average quantity, revenue per brand.  The per-part aggregate is
+    tiny relative to lineitem -> broadcast the join-back (Catalyst
+    cannot decorrelate this by itself as cheaply)."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").select("p_partkey", "p_brand")
+    avg_q = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    small = li.join(
+        F.broadcast(avg_q), "l_partkey"
+    ).filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    return (
+        small.join(F.broadcast(part), small["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _dec_sum(F.col("l_extendedprice"), 2, "revenue"),
+        )
+    )
+
+
+SQL_BRAND_SMALL_QUANTITY_REVENUE = """
+WITH avg_q AS (
+  SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN avg_q ON l_partkey = pk
+JOIN part  ON l_partkey = p_partkey
+WHERE l_quantity < 0.5 * avg_qty
+GROUP BY p_brand
+"""
+
+
+# ------------------------------------------------- full outer join
+
+
+def q_daily_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily order counts FULL OUTER daily event counts — the date
+    domains barely overlap, so both null sides are exercised.  Days
+    derive from integer epoch math (timezone-free, see data.py)."""
+    o = load(spark, sf, "orders")
+    ev = load(spark, sf, "events")
+    o_daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    e_daily = ev.groupBy(
+        F.date_format(
+            F.date_add(
+                F.to_date(F.lit("1970-01-01")),
+                (F.col("ts_us") / F.lit(86_400_000_000)).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return o_daily.join(e_daily, "day", "full_outer")
+
+
+SQL_DAILY_ACTIVITY = """
+WITH o_daily AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), e_daily AS (
+  SELECT strftime(DATE '1970-01-01'
+                  + INTERVAL (CAST(epoch_us(ts) // 86400000000 AS INT)) DAY,
+                  '%Y-%m-%d') AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(o.day, e.day) AS day, o.n_orders, e.n_events
+FROM o_daily o FULL OUTER JOIN e_daily e ON o.day = e.day
+"""
+
+
+# ------------------------------------------------ deep multi-join (Q5)
+
+
+def q_asia_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join, revenue per nation for one
+    region; every dimension side broadcast so lineitem is scanned
+    once with zero shuffles before the final aggregate."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(_dec_sum(rev.cast("decimal(18,4)"), 4, "revenue"))
+    )
+
+
+SQL_ASIA_NATION_REVENUE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------- exact embedding similarity
+
+
+def q_embedding_top_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-100 most-similar embedding pairs, exact brute-force self
+    join (the correctness baseline for the LSH variant).  Vectors are
+    L2-normalized BEFORE the join so the per-pair work is one dot
+    product; top-k runs as per-partition TakeOrdered + driver merge,
+    not a global sort."""
+    emb = load(spark, sf, "embeddings")
+    v = as_double_array("embedding")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = emb.select(
+        "vec_id",
+        F.transform(v, lambda x: x / norm).alias("uv"),
+    )
+    a = unit.select(F.col("vec_id").alias("id_a"), F.col("uv").alias("va"))
+    b = unit.select(F.col("vec_id").alias("id_b"), F.col("uv").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot, 4).alias("cosine_sim"))
+    )
+    return pairs.orderBy(
+        F.col("cosine_sim").desc(), "id_a", "id_b"
+    ).limit(100)
+
+
+SQL_EMBEDDING_TOP_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+         AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cosine_sim DESC, id_a, id_b
+LIMIT 100
+"""
+
+
+SPARK_QUERIES = {
+    "price_percentiles": q_price_percentiles,
+    "revenue_grouping_sets": q_revenue_grouping_sets,
+    "events_band_join": q_events_band_join,
+    "late_shipment_orders": q_late_shipment_orders,
+    "brand_small_quantity_revenue": q_brand_small_quantity_revenue,
+    "daily_activity": q_daily_activity,
+    "asia_nation_revenue": q_asia_nation_revenue,
+    "embedding_top_pairs": q_embedding_top_pairs,
+}
+
+ORACLE_SQL = {
+    "price_percentiles": SQL_PRICE_PERCENTILES,
+    "revenue_grouping_sets": SQL_REVENUE_GROUPING_SETS,
+    "events_band_join": SQL_EVENTS_BAND_JOIN,
+    "late_shipment_orders": SQL_LATE_SHIPMENT_ORDERS,
+    "brand_small_quantity_revenue": SQL_BRAND_SMALL_QUANTITY_REVENUE,
+    "daily_activity": SQL_DAILY_ACTIVITY,
+    "asia_nation_revenue": SQL_ASIA_NATION_REVENUE,
+    "embedding_top_pairs": SQL_EMBEDDING_TOP_PAIRS,
+}

@@ -139,3 +139,63 @@ def test_sessionize_gap_boundaries(spark):
     assert sess[(1, 1)] == 1 and sess[(1, 2)] == 1
     assert sess[(1, 3)] == 2
     assert sess[(2, 4)] == 1
+
+
+# ---------------------------------------------------------- band join
+def test_band_join_boundaries(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.rangejoin import (
+        band_join,
+    )
+
+    l = spark.createDataFrame([Row(id_a=1, k="x", ta=1000)])
+    r = spark.createDataFrame(
+        [Row(id_b=10, k="x", tb=1000),   # delta=0: excluded (lower open)
+         Row(id_b=11, k="x", tb=1500),   # in band
+         Row(id_b=12, k="x", tb=2000),   # delta=upper: included (closed)
+         Row(id_b=13, k="x", tb=2001),   # past upper
+         Row(id_b=14, k="y", tb=1500)]   # wrong key
+    )
+    out = band_join(l, r, "ta", "tb", lower=0, upper=1000, keys=["k"])
+    assert sorted(row.id_b for row in out.collect()) == [11, 12]
+
+
+def test_band_join_negative_band(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.rangejoin import (
+        band_join,
+    )
+
+    # band entirely in the past: right rows 5..10s BEFORE left
+    l = spark.createDataFrame([Row(id_a=1, ta=10_000)])
+    r = spark.createDataFrame(
+        [Row(id_b=1, tb=4_999), Row(id_b=2, tb=5_000), Row(id_b=3, tb=9_000),
+         Row(id_b=4, tb=10_000)]
+    )
+    out = band_join(l, r, "ta", "tb", lower=-5_000, upper=-1_000)
+    assert sorted(row.id_b for row in out.collect()) == [3]
+
+
+# ----------------------------------------------------------- as-of
+def test_asof_join_backward_and_ties(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [Row(eid=1, k=1, ts=100),
+         Row(eid=2, k=1, ts=50),    # before any right row
+         Row(eid=3, k=2, ts=100)]   # key with no right rows
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=60, val="a"),
+         Row(k=1, rts=100, val="b"),   # exactly at left ts -> visible
+         Row(k=1, rts=100, val="c"),   # tie -> max tiebreak wins
+         Row(k=1, rts=101, val="d")]
+    )
+    out = asof_join(
+        left, right, left_on="k", right_on="k", left_ts="ts",
+        right_ts="rts", right_values=["val"], tiebreak="val",
+    )
+    got = {r.eid: (r.val, r.asof_ts) for r in out.collect()}
+    assert got[1] == ("c", 100)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
