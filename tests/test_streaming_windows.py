@@ -1,0 +1,147 @@
+"""Event-time windowed streaming: watermarked tumbling windows with
+cross-run late-data drop (checkpointed watermark), session windows,
+and the applyInPandasWithState running-totals operator."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.windows import (
+    running_totals,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_stream(spark, src, cp, agg_fn, mode="append"):
+    """availableNow run collecting emitted rows via foreachBatch (the
+    only sink that both supports checkpoint recovery and any output
+    mode)."""
+    rows = []
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    q = (
+        agg_fn(stream)
+        .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .outputMode(mode)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def test_tumbling_watermark_drops_late_across_runs(spark, tmp_path):
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+    agg = lambda s: tumbling_agg(s, "ts", "1 hour", "30 minutes")
+
+    # run 1: events at 10:05 and 12:10 -> watermark advances to 11:40,
+    # closing (and emitting) the 10:00-11:00 window
+    _write(src, "a.json", [
+        {"user_id": "u1", "ts": "2024-01-01 10:05:00", "value": 1.0},
+        {"user_id": "u1", "ts": "2024-01-01 12:10:00", "value": 2.0},
+    ])
+    rows1 = _run_stream(spark, src, cp, agg)
+
+    # run 2 (same checkpoint): one event behind the persisted watermark
+    # (dropped) and one after 12:00 (counted)
+    _write(src, "b.json", [
+        {"user_id": "u1", "ts": "2024-01-01 10:30:00", "value": 100.0},
+        {"user_id": "u1", "ts": "2024-01-01 12:20:00", "value": 3.0},
+    ])
+    rows2 = _run_stream(spark, src, cp, agg)
+
+    rows = rows1 + rows2
+    by_window = {r.window_start.strftime("%H:%M"): r for r in rows}
+    # the 10:00 window closed in run 1 with ONLY the 10:05 event —
+    # the late 10:30 arrival (value=100) never appears
+    assert by_window["10:00"].n_events == 1
+    assert by_window["10:00"].sum_value == 1.0
+    assert "12:00" not in by_window or by_window["12:00"].n_events <= 2
+
+
+def test_sliding_windows_multiply_membership(spark):
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01 10:10:00", 1.0)], "user_id string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sliding_agg(df, "ts", "1 hour", "15 minutes").collect()
+    # one event belongs to 60/15 = 4 hopping windows
+    assert len(out) == 4
+    assert all(r.n_events == 1 for r in out)
+
+
+def test_session_window_gap_merge(spark, tmp_path):
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+    _write(src, "a.json", [
+        {"user_id": "u1", "ts": "2024-01-01 10:00:00", "value": 1.0},
+        {"user_id": "u1", "ts": "2024-01-01 10:10:00", "value": 1.0},
+        {"user_id": "u1", "ts": "2024-01-01 12:00:00", "value": 1.0},
+        {"user_id": "u2", "ts": "2024-01-01 10:00:00", "value": 1.0},
+    ])
+    agg = lambda s: session_agg(s, "ts", gap="30 minutes")
+    rows = _run_stream(spark, src, cp, agg)
+    # watermark reaches 11:30: the merged 10:00+10:10 session (ends
+    # 10:40) emits; the 12:00 session is still open in state
+    u1 = [r for r in rows if r.user_id == "u1"]
+    assert [r.n_events for r in u1] == [2]
+    assert len([r for r in rows if r.user_id == "u2"]) == 1
+
+    # a later event pushes the watermark past 12:30 -> run 2 flushes
+    # the pending 12:00 session from the checkpointed state store
+    _write(src, "b.json", [
+        {"user_id": "u3", "ts": "2024-01-01 14:00:00", "value": 1.0},
+    ])
+    rows2 = _run_stream(spark, src, cp, agg)
+    flushed = [r for r in rows2 if r.user_id == "u1"]
+    assert [r.n_events for r in flushed] == [1]
+    assert flushed[0].session_start.strftime("%H:%M") == "12:00"
+
+
+def test_running_totals_state_across_runs(spark, tmp_path):
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+    _write(src, "a.json", [
+        {"user_id": "u1", "ts": "2024-01-01 10:00:00", "value": 1.0},
+        {"user_id": "u1", "ts": "2024-01-01 10:01:00", "value": 1.0},
+        {"user_id": "u2", "ts": "2024-01-01 10:00:00", "value": 1.0},
+    ])
+    rows1 = _run_stream(
+        spark, src, cp, lambda s: running_totals(s, "user_id"), mode="update"
+    )
+    got1 = {r.key: r.n_total for r in rows1}
+    assert got1 == {"u1": 2, "u2": 1}
+
+    # second availableNow run: state persists via checkpoint
+    _write(src, "b.json", [
+        {"user_id": "u1", "ts": "2024-01-01 11:00:00", "value": 1.0},
+    ])
+    rows2 = _run_stream(
+        spark, src, cp, lambda s: running_totals(s, "user_id"), mode="update"
+    )
+    got2 = {r.key: r.n_total for r in rows2}
+    assert got2["u1"] == 3  # 2 from run 1 state + 1 new
