@@ -1,0 +1,112 @@
+"""Physical-plan regression tests: the properties that keep queries
+fast at 100 TB (scan pruning, filter pushdown, broadcast joins, no
+accidental shuffles / nested loops) — asserted on ``explain`` output
+so a refactor that silently degrades the plan fails CI."""
+
+from __future__ import annotations
+
+import re
+
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import SPARK_QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(spark, name: str) -> str:
+    df = SPARK_QUERIES[name](spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _ops(plan: str) -> list[str]:
+    """Operator names from the tree section of a formatted explain."""
+    tree = plan.split("\n\n")[0]
+    return re.findall(r"[+:]- ([A-Za-z]+)", tree) + re.findall(
+        r"^([A-Za-z]+) \(\d+\)", tree, re.M
+    )
+
+
+def _shuffles(plan: str) -> int:
+    """Shuffle exchanges (broadcast exchanges excluded)."""
+    return plan.count("Arguments: hashpartitioning") + plan.count(
+        "Arguments: rangepartitioning"
+    )
+
+
+def test_fact_sales_pushdown_pruning_broadcast(spark):
+    plan = _formatted(spark, "fact_sales")
+    ops = _ops(plan)
+    # validity predicates reach the lineitem parquet scan
+    assert "GreaterThan(l_quantity,0.0)" in plan
+    assert "GreaterThan(l_extendedprice,0.0)" in plan
+    # column pruning: untouched wide columns never leave the scan
+    assert "l_returnflag" not in plan and "l_shipdate" not in plan
+    # all dim joins broadcast; zero shuffles in the whole plan
+    assert ops.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in ops
+    assert _shuffles(plan) == 0
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = _formatted(spark, "pricing_summary")
+    ops = _ops(plan)
+    # map-side combine: partial + final HashAggregate around ONE
+    # exchange on the grouping key
+    assert ops.count("HashAggregate") == 2
+    assert _shuffles(plan) == 1
+    # the date cutoff prunes at the scan
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    plan = _formatted(spark, "asof_latest_order")
+    ops = _ops(plan)
+    # union + one window partitioned by key: exactly one shuffle and
+    # no join operator at all
+    assert _shuffles(plan) == 1
+    assert not any("Join" in o for o in ops)
+    assert "Window" in ops
+
+
+def test_band_join_is_hash_join_not_nested_loop(spark):
+    plan = _formatted(spark, "events_band_join")
+    ops = _ops(plan)
+    assert "BroadcastNestedLoopJoin" not in ops
+    assert "CartesianProduct" not in ops
+    # equi-join on (event_type, bucket) with the band as post-filter
+    assert any(
+        j in ops for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_embedding_topk_take_ordered_not_global_sort(spark):
+    plan = _formatted(spark, "embedding_topk")
+    ops = _ops(plan)
+    assert "TakeOrderedAndProject" in ops
+    assert "Sort" not in ops  # no global sort of the corpus
+
+
+def test_q5_broadcasts_every_dimension(spark):
+    plan = _formatted(spark, "asia_nation_revenue")
+    ops = _ops(plan)
+    # customer/supplier/nation/region all broadcast
+    assert ops.count("BroadcastExchange") >= 4
+    assert "CartesianProduct" not in ops
+
+
+def test_events_scan_prunes_props(spark):
+    # a query that never touches `props` (a wide JSON string column)
+    # must not read it: ReadSchema in the scan excludes it
+    plan = _formatted(spark, "events_hourly")
+    scan = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "props" not in scan
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    df = SPARK_QUERIES["pricing_summary"](spark, SF)
+    df.collect()  # finalize the adaptive plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # `*(n)` marks operators fused into a WholeStageCodegen subtree
+    assert "*(" in final
