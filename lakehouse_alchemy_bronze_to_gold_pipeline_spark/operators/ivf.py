@@ -1,0 +1,128 @@
+"""IVF (inverted-file) approximate nearest neighbor — the second
+scale path for embedding search next to random-hyperplane LSH
+(``operators.similarity.lsh_topk``).
+
+Recipe (classic IVF-Flat):
+
+1. TRAIN: sample the corpus to the driver, run a few seeded k-means
+   iterations in numpy -> ``n_lists`` centroid vectors (plan-time
+   constants, like the LSH hyperplanes).  At 100 TB you sample ~1e5
+   rows — centroid quality degrades gracefully and training stays
+   O(sample).
+2. ASSIGN: each corpus vector gets the id of its nearest centroid —
+   a narrow per-row pass (no shuffle); the assignment expression is
+   an unrolled argmin over ``n_lists`` dot products.
+3. PROBE: each query computes its ``n_probe`` nearest centroid ids,
+   explodes to (query, list_id), equi-joins the corpus on list_id
+   (THE shuffle, proportional to probed lists only), exact-reranks
+   inside, window top-k.
+
+Recall knob: ``n_probe / n_lists``; cost knob: the same ratio times
+corpus size.  Deterministic given the seed."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double_array, cosine, literal_vector
+
+
+def _kmeans(sample: np.ndarray, n_lists: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded lloyd iterations on unit-normalized vectors (cosine
+    k-means ~= spherical k-means)."""
+    rng = np.random.default_rng(seed)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.clip(norms, 1e-12, None)
+    centroids = x[rng.choice(len(x), size=n_lists, replace=False)]
+    for _ in range(iters):
+        sims = x @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids
+
+
+def _nearest_lists(vec: F.Column, centroids: np.ndarray, k: int) -> F.Column:
+    """Array of the k centroid ids nearest (by dot product) to vec."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec, literal_vector(c), lambda a, b: a * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dot"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, k)
+    return F.transform(top, lambda s: s["list_id"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 10_000,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate knn: probe the ``n_probe`` best inverted lists per
+    query, exact cosine rerank inside.  Output matches ``knn_join``
+    (query_id, neighbor_id, cosine_sim, rank)."""
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(as_double_array(vec_col))
+            .limit(train_sample)
+            .collect()
+        ]
+    )
+    n_lists = min(n_lists, len(sample))
+    centroids = _kmeans(sample, n_lists, kmeans_iters, seed)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+    ).withColumn(
+        "list_id",
+        F.element_at(_nearest_lists(F.col("cv"), centroids, 1), 1),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(vec_col).alias("qv"),
+        ).withColumn(
+            "list_id",
+            F.explode(_nearest_lists(F.col("qv"), centroids, n_probe)),
+        )
+    )
+    scored = q.join(c, "list_id").withColumn(
+        "cos_raw", cosine(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

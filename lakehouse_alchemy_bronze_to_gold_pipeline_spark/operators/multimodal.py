@@ -68,6 +68,75 @@ def decode_stub(payload: bytes, modality: str) -> list[float]:
     ]
 
 
+#: output schema of resize_payloads
+RESIZE_SCHEMA = (
+    "doc_id bigint, payload binary, n_bytes_in bigint, n_bytes_out bigint, "
+    "modality string"
+)
+
+
+def resize_payloads(
+    df: DataFrame, target_bytes: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """'Resize' stage: maps each binary payload to a fixed-size
+    representation.  For real images this is where PIL/opencv would
+    decode-resize-reencode; the container has no media libs, so the
+    transform is a deterministic truncate/pad — the Spark-side
+    contract (binary in, binary out, Arrow batches, metadata carried)
+    is the real thing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = [
+                bytes(p[:target_bytes]).ljust(target_bytes, b"\0")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out_payloads,
+                    "n_bytes_in": [len(p) for p in pdf["payload"]],
+                    "n_bytes_out": [len(p) for p in out_payloads],
+                    "modality": [m["modality"] for m in pdf["media_meta"]],
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+#: output schema of sample_frames — one row per sampled frame
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 16,
+    stride: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling stage (video-shaped): explode each payload into
+    every ``stride``-th fixed-size chunk — one output row per frame.
+    A real decoder would seek keyframes; the chunking stub keeps the
+    1->N row expansion, schema, and batch shape real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                n_frames = max(len(p) // frame_bytes, 0)
+                for k in range(0, n_frames, stride):
+                    ids.append(i)
+                    idxs.append(k)
+                    frames.append(
+                        bytes(p[k * frame_bytes : (k + 1) * frame_bytes])
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads."""
 

@@ -84,6 +84,43 @@ def knn_join(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float | None = 0.5,
+) -> DataFrame:
+    """Exact embedding near-dup pairs: (id_a, id_b, cosine >= t);
+    ``threshold=None`` returns every pair scored (for top-k callers).
+
+    Vectors are L2-normalized BEFORE the self-join so per-pair work
+    is a single dot product.  Brute-force O(n^2/2) — the correctness
+    baseline; at 100 TB swap the crossJoin for an LSH-bucketed join
+    (``lsh_topk``'s bucketing) and keep this verify predicate."""
+    v = as_double_array(vec_col)
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    unit = df.select(
+        F.col(id_col), F.transform(v, lambda x: x / norm).alias("uv")
+    )
+    a = unit.select(F.col(id_col).alias("id_a"), F.col("uv").alias("ua"))
+    b = unit.select(F.col(id_col).alias("id_b"), F.col("uv").alias("ub"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(dot, 4))
+    )
+    if threshold is not None:
+        pairs = pairs.filter(F.col("cosine_sim") >= threshold)
+    return pairs.select("id_a", "id_b", "cosine_sim")
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim))

@@ -293,25 +293,10 @@ def q_embedding_top_pairs(spark: SparkSession, sf: str) -> DataFrame:
     L2-normalized BEFORE the join so the per-pair work is one dot
     product; top-k runs as per-partition TakeOrdered + driver merge,
     not a global sort."""
+    from ..operators.similarity import cosine_pairs
+
     emb = load(spark, sf, "embeddings")
-    v = as_double_array("embedding")
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    unit = emb.select(
-        "vec_id",
-        F.transform(v, lambda x: x / norm).alias("uv"),
-    )
-    a = unit.select(F.col("vec_id").alias("id_a"), F.col("uv").alias("va"))
-    b = unit.select(F.col("vec_id").alias("id_b"), F.col("uv").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(dot, 4).alias("cosine_sim"))
-    )
+    pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=None)
     return pairs.orderBy(
         F.col("cosine_sim").desc(), "id_a", "id_b"
     ).limit(100)

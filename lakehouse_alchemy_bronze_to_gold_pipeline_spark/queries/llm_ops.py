@@ -174,6 +174,62 @@ WHERE len(list_intersect(toks, q)) > 0
 """
 
 
+def q_doc_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality score (length, stopword presence, alphabetic
+    ratio) + bucket — the filter stage of a training-data pipeline,
+    zero UDFs, one narrow pass."""
+    d = load(spark, sf, "documents")
+    toks = TX.nonempty_tokens("text")
+    n_tokens = F.size(toks).cast("double")
+    stop_ratio = TX.stopword_count(toks).cast("double") / F.greatest(
+        n_tokens, F.lit(1.0)
+    )
+    alpha_ratio = F.length(
+        F.regexp_replace("text", "[^a-zA-Z]", "")
+    ).cast("double") / F.greatest(F.length("text").cast("double"), F.lit(1.0))
+    score = F.round(
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.3 * alpha_ratio,
+        4,
+    )
+    return d.select(
+        "doc_id",
+        score.alias("quality_score"),
+        F.when(score >= 0.7, "high")
+        .when(score >= 0.4, "medium")
+        .otherwise("low")
+        .alias("quality_bucket"),
+    )
+
+
+SQL_DOC_QUALITY_SCORE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x != '')) AS DOUBLE) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x IN {STOPWORD_SQL})) AS DOUBLE)
+           AS n_stop,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           AS n_alpha,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+               + 0.3 * LEAST(n_stop / GREATEST(n_tokens, 1.0) * 5.0, 1.0)
+               + 0.3 * n_alpha / GREATEST(n_chars, 1.0), 4) AS quality_score
+  FROM t
+)
+SELECT doc_id, quality_score,
+       CASE WHEN quality_score >= 0.7 THEN 'high'
+            WHEN quality_score >= 0.4 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM s
+"""
+
+
 # ------------------------------------------------- similarity search
 
 
@@ -199,6 +255,26 @@ SELECT vec_id, ROUND(cos_raw, 6) AS cosine_sim
 FROM scored
 ORDER BY cos_raw DESC, vec_id
 LIMIT 20
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline of the fuzzy
+    dedup family; see operators.similarity.cosine_pairs)."""
+    from ..operators.similarity import cosine_pairs
+
+    emb = load(spark, sf, "embeddings")
+    return cosine_pairs(emb, "vec_id", "embedding", threshold=0.5)
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 4)
+         AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 4) >= 0.5
 """
 
 
@@ -257,6 +333,26 @@ def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, n_bits=6, dim=dim)
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate knn via IVF inverted lists (operators.ivf) — the
+    second ANN scale path; recall property-tested vs knn_join."""
+    from ..operators.ivf import ivf_topk
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+
+
+def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling plumbing: 1->N binary chunk rows per payload
+    (mapInPandas; decode stubbed)."""
+    from ..operators.multimodal import sample_frames
+
+    d = load(spark, sf, "documents")
+    with_payload = attach_binary_payload(d, "doc_id", "text")
+    return sample_frames(with_payload, frame_bytes=32, stride=4)
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-payload plumbing + Arrow-batched feature extraction
     (decode stubbed — see operators.multimodal)."""
@@ -270,12 +366,16 @@ SPARK_QUERIES = {
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_documents_exact": q_dedup_documents_exact,
+    "doc_quality_score": q_doc_quality_score,
+    "embedding_neardup": q_embedding_neardup,
     "ngram_jaccard_query": q_ngram_jaccard_query,
     "embedding_topk": q_embedding_topk,
     "knn_join": q_knn_join,
     "minhash_neardup": q_minhash_neardup,
     "simhash_fingerprints": q_simhash_fingerprints,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
+    "multimodal_frames": q_multimodal_frames,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -284,6 +384,8 @@ ORACLE_SQL = {
     "lang_id_confusion": SQL_LANG_ID_CONFUSION,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_documents_exact": SQL_DEDUP_DOCUMENTS_EXACT,
+    "doc_quality_score": SQL_DOC_QUALITY_SCORE,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ngram_jaccard_query": SQL_NGRAM_JACCARD_QUERY,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "knn_join": SQL_KNN_JOIN,
