@@ -104,7 +104,12 @@ def cosine_pairs(
     unit = df.select(
         F.col(id_col), F.transform(v, lambda x: x / norm).alias("uv")
     )
-    a = unit.select(F.col(id_col).alias("id_a"), F.col("uv").alias("ua"))
+    # the scoring loop is compute-bound and the probe side inherits
+    # the upstream split count (one small file locally -> one task):
+    # spread it across every core; the build side broadcasts anyway
+    a = unit.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(F.col(id_col).alias("id_a"), F.col("uv").alias("ua"))
     b = unit.select(F.col(id_col).alias("id_b"), F.col("uv").alias("ub"))
     dot = F.aggregate(
         F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),

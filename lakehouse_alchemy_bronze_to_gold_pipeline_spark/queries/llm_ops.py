@@ -348,7 +348,9 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     (mapInPandas; decode stubbed)."""
     from ..operators.multimodal import sample_frames
 
-    d = load(spark, sf, "documents")
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     with_payload = attach_binary_payload(d, "doc_id", "text")
     return sample_frames(with_payload, frame_bytes=32, stride=4)
 
@@ -356,7 +358,9 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-payload plumbing + Arrow-batched feature extraction
     (decode stubbed — see operators.multimodal)."""
-    d = load(spark, sf, "documents")
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     with_payload = attach_binary_payload(d, "doc_id", "text")
     return extract_features(with_payload)
 
