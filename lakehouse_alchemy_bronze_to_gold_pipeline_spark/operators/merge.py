@@ -1,0 +1,74 @@
+"""SCD-1 upsert (SURVEY 4.3-L6: the reference rebuilds dims by full
+overwrite; a keyed MERGE is the incremental-correct form).
+
+With delta-spark present this issues a real ``MERGE INTO`` (matched ->
+update, not matched -> insert).  The portable fallback is the
+classic rewrite formulation::
+
+    target ∪ updates  →  row_number() over (partition by keys
+                                            order by order_col desc)
+                      →  keep rank 1  →  overwrite
+
+which is exactly what MERGE computes for last-writer-wins, expressed
+as one shuffle on the merge keys.  At 100 TB the fallback rewrites
+the whole table (Delta's MERGE rewrites only touched files) — that
+asymmetry is the reason the engine prefers delta when installed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import TableIO
+
+
+def upsert_keep_latest(
+    spark: SparkSession,
+    io: TableIO,
+    table: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+) -> None:
+    """Last-writer-wins upsert of ``updates`` into ``table`` keyed by
+    ``keys``; ``order_col`` (descending) decides the winner among the
+    existing row and any number of update rows per key."""
+    if not spark.catalog.tableExists(table):
+        io.write_overwrite(updates, table)
+        return
+
+    if io.fmt == "delta":
+        updates.createOrReplaceTempView("__merge_updates")
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        spark.sql(
+            f"""
+            MERGE INTO {table} t USING __merge_updates s ON {on}
+            WHEN MATCHED AND s.{order_col} >= t.{order_col}
+              THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """
+        )
+        return
+
+    target = io.read(table)
+    # updates win ties against existing rows: is_update is the 2nd
+    # sort key so a tie on order_col resolves to the update
+    merged = target.withColumn("__upd", F.lit(0)).unionByName(
+        updates.withColumn("__upd", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("__upd").desc()
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__upd")
+    )
+    # materialize before overwriting the table we read from
+    tmp = f"{table}__merge_tmp"
+    latest.write.format(io.fmt).mode("overwrite").saveAsTable(tmp)
+    io.write_overwrite(spark.read.table(tmp), table)
+    spark.sql(f"DROP TABLE {tmp}")
