@@ -284,6 +284,45 @@ GROUP BY n_name
 """
 
 
+# --------------------------------------- range-frame window
+
+
+def q_customer_recent_spend(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE window frame: per order, the customer's spend over the
+    previous 30 days (value-based frame — rows frames can't express
+    this when order days are irregular)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf, "orders")
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, -1)
+    )
+    prev = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("customer_id"),
+        day.cast("bigint").alias("day"),
+        F.coalesce(prev.cast("double"), F.lit(0.0)).alias("spend_prev_30d"),
+    )
+
+
+SQL_CUSTOMER_RECENT_SPEND = """
+SELECT o_orderkey AS order_key,
+       o_custkey AS customer_id,
+       CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS day,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING
+       ) AS DOUBLE), 0.0) AS spend_prev_30d
+FROM orders
+"""
+
+
 # --------------------------------------- exact embedding similarity
 
 
@@ -319,6 +358,7 @@ SPARK_QUERIES = {
     "late_shipment_orders": q_late_shipment_orders,
     "brand_small_quantity_revenue": q_brand_small_quantity_revenue,
     "daily_activity": q_daily_activity,
+    "customer_recent_spend": q_customer_recent_spend,
     "asia_nation_revenue": q_asia_nation_revenue,
     "embedding_top_pairs": q_embedding_top_pairs,
 }
@@ -330,6 +370,7 @@ ORACLE_SQL = {
     "late_shipment_orders": SQL_LATE_SHIPMENT_ORDERS,
     "brand_small_quantity_revenue": SQL_BRAND_SMALL_QUANTITY_REVENUE,
     "daily_activity": SQL_DAILY_ACTIVITY,
+    "customer_recent_spend": SQL_CUSTOMER_RECENT_SPEND,
     "asia_nation_revenue": SQL_ASIA_NATION_REVENUE,
     "embedding_top_pairs": SQL_EMBEDDING_TOP_PAIRS,
 }

@@ -199,3 +199,63 @@ def test_asof_join_backward_and_ties(spark):
     assert got[1] == ("c", 100)
     assert got[2] == (None, None)
     assert got[3] == (None, None)
+
+
+# ------------------------------------------------------------- skew
+def test_salted_join_matches_plain_join(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    # skewed big side: 90% of rows share key 1
+    big = spark.createDataFrame(
+        [Row(k=1 if i % 10 else 2, v=i) for i in range(200)]
+    )
+    small = spark.createDataFrame([Row(k=1, name="hot"), Row(k=2, name="cold")])
+    got = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(big, small, "k", n_salts=4).collect()
+    )
+    expected = sorted(
+        (r.k, r.v, r.name) for r in big.join(small, "k").collect()
+    )
+    assert got == expected
+
+
+def test_two_phase_distinct_matches_count_distinct(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.skew import (
+        two_phase_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [Row(g="a", u=i % 7) for i in range(50)]
+        + [Row(g="b", u=i % 3) for i in range(20)]
+    )
+    got = {
+        r.g: r.n_distinct_u for r in two_phase_distinct(df, ["g"], "u").collect()
+    }
+    assert got == {"a": 7, "b": 3}
+
+
+# ------------------------------------------------- sketch accuracy
+def test_approx_count_distinct_within_tolerance(spark):
+    # the 100 TB path for distinct counts: HLL sketch, mergeable,
+    # no per-key value state — verify rsd holds on real-ish data
+    df = spark.range(100_000).select(
+        (F.col("id") % 5).alias("g"), (F.col("id") % 9173).alias("u")
+    )
+    rows = df.groupBy("g").agg(
+        F.countDistinct("u").alias("exact"),
+        F.approx_count_distinct("u", rsd=0.02).alias("approx"),
+    ).collect()
+    for r in rows:
+        assert abs(r.approx - r.exact) / r.exact < 0.06
+
+
+def test_approx_percentile_within_tolerance(spark):
+    df = spark.range(100_000).select((F.col("id") % 1000).alias("x"))
+    exact, approx = df.select(
+        F.percentile("x", F.lit(0.5)).alias("e"),
+        F.percentile_approx("x", F.lit(0.5), F.lit(1000)).alias("a"),
+    ).first()
+    assert abs(approx - exact) <= 10
