@@ -46,6 +46,11 @@ def main() -> None:
         SPARK_QUERIES["fact_sales"](spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
+        # pre-fork the Python worker pool + Arrow channels so the
+        # first mapInPandas query isn't charged session boot
+        spark.range(cpus * 4).repartition(cpus).mapInPandas(
+            lambda it: it, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
 

@@ -11,8 +11,8 @@ Pipeline (all JVM-side; deterministic given the data):
    materialized shingle column;
 3. banding: split the signature into ``n_bands`` bands of ``band_rows``
    hashes; hash each band -> (band_idx, band_hash) bucket key;
-4. candidate pairs: self-join documents sharing a bucket (a shuffle on
-   the bucket key);
+4. candidate pairs: ONE groupBy shuffle on the bucket key, pairs
+   generated inside each (width-capped) bucket list;
 5. verify: exact Jaccard on the shingle sets of candidates, filter by
    threshold.
 
@@ -38,7 +38,7 @@ b bands of r rows: 1 - (1 - j^r)^b (tune b, r to the threshold).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import jaccard, nonempty_tokens, word_shingles
@@ -85,7 +85,14 @@ def lsh_candidate_pairs(
     band_rows: int = 4,
     max_bucket: int = 200,
 ) -> DataFrame:
-    """Distinct candidate (id_a < id_b) pairs sharing >=1 LSH bucket."""
+    """Distinct candidate (id_a < id_b) pairs sharing >=1 LSH bucket.
+
+    Buckets are built with ONE groupBy shuffle of (bucket, id) and
+    pairs are generated inside each bucket list — no self-join (which
+    would shuffle the banded relation twice) and no window pass for
+    the skew guard (the bucket-width cap is a size filter on the
+    grouped list).  ``collect_list`` per bucket is safe BECAUSE of the
+    cap: state per bucket is <= max_bucket ids."""
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -101,22 +108,28 @@ def lsh_candidate_pairs(
         ).alias("bucket"),
     ).select(id_col, "bucket.band_idx", "bucket.band_hash")
 
-    # skew guard: drop pathological buckets instead of going quadratic
-    w = Window.partitionBy("band_idx", "band_hash")
-    banded = banded.withColumn("bucket_n", F.count(F.lit(1)).over(w)).filter(
-        F.col("bucket_n") <= max_bucket
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(id_col).alias("ids"))
+        # skew guard: drop pathological buckets instead of quadratic
+        # pair blowup; singleton buckets generate nothing
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-
-    left = banded.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(
+                    F.least(a, b).alias("id_a"),
+                    F.greatest(a, b).alias("id_b"),
+                ),
+            ),
+        )
     )
     return (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
