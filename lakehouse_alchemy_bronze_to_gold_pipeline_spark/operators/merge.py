@@ -72,3 +72,38 @@ def upsert_keep_latest(
     latest.write.format(io.fmt).mode("overwrite").saveAsTable(tmp)
     io.write_overwrite(spark.read.table(tmp), table)
     spark.sql(f"DROP TABLE {tmp}")
+
+
+def streaming_upsert(
+    stream: DataFrame,
+    io: TableIO,
+    table: str,
+    keys: Sequence[str],
+    order_col: str,
+    checkpoint: str,
+):
+    """Streaming SCD-1 sink: each micro-batch merges into ``table``
+    via ``foreachBatch`` + ``upsert_keep_latest`` — the idiomatic way
+    to get MERGE semantics out of Structured Streaming (a plain
+    append sink would accumulate stale versions).  Exactly-once comes
+    from the checkpoint: a replayed batch re-merges idempotently
+    (last-writer-wins on the same rows)."""
+    spark = stream.sparkSession
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        # dedup within the batch first so MERGE sees one row per key
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        one = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upsert_keep_latest(spark, io, table, one, keys, order_col)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

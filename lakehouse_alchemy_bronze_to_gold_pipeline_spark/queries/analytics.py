@@ -284,6 +284,51 @@ GROUP BY n_name
 """
 
 
+# --------------------------------------------- top-k join-agg (Q3)
+
+
+def q_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter -> join -> grouped revenue ->
+    deterministic top-10 (TakeOrdered, not a global sort)."""
+    cutoff = F.lit("1996-06-30 00:00:00").cast("timestamp_ntz")
+    c = load(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(_dec_sum(rev.cast("decimal(18,4)"), 4, "revenue"))
+        .orderBy(F.col("revenue").desc(), "order_key")
+        .limit(10)
+    )
+
+
+SQL_TOP_UNSHIPPED_ORDERS = """
+SELECT l_orderkey AS order_key,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-06-30 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, order_key
+LIMIT 10
+"""
+
+
 # --------------------------------------- range-frame window
 
 
@@ -359,6 +404,7 @@ SPARK_QUERIES = {
     "brand_small_quantity_revenue": q_brand_small_quantity_revenue,
     "daily_activity": q_daily_activity,
     "customer_recent_spend": q_customer_recent_spend,
+    "top_unshipped_orders": q_top_unshipped_orders,
     "asia_nation_revenue": q_asia_nation_revenue,
     "embedding_top_pairs": q_embedding_top_pairs,
 }
@@ -371,6 +417,7 @@ ORACLE_SQL = {
     "brand_small_quantity_revenue": SQL_BRAND_SMALL_QUANTITY_REVENUE,
     "daily_activity": SQL_DAILY_ACTIVITY,
     "customer_recent_spend": SQL_CUSTOMER_RECENT_SPEND,
+    "top_unshipped_orders": SQL_TOP_UNSHIPPED_ORDERS,
     "asia_nation_revenue": SQL_ASIA_NATION_REVENUE,
     "embedding_top_pairs": SQL_EMBEDDING_TOP_PAIRS,
 }

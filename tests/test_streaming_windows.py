@@ -145,3 +145,76 @@ def test_running_totals_state_across_runs(spark, tmp_path):
     )
     got2 = {r.key: r.n_total for r in rows2}
     assert got2["u1"] == 3  # 2 from run 1 state + 1 new
+
+
+def test_stream_stream_join_attribution(spark, tmp_path):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.joins import (
+        stream_stream_join,
+    )
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    _write(imp_dir, "a.json", [
+        {"user_id": "u1", "ts": "2024-01-01 10:00:00", "value": 1.0},
+        {"user_id": "u2", "ts": "2024-01-01 10:00:00", "value": 2.0},
+    ])
+    _write(clk_dir, "a.json", [
+        {"user_id": "u1", "ts": "2024-01-01 10:05:00", "value": 10.0},  # in window
+        {"user_id": "u2", "ts": "2024-01-01 10:20:00", "value": 20.0},  # past delay
+        {"user_id": "u3", "ts": "2024-01-01 10:05:00", "value": 30.0},  # no imp
+    ])
+    imps = (
+        spark.readStream.schema(SCHEMA).json(imp_dir)
+        .select("user_id", F.col("ts").alias("imp_ts"), F.col("value").alias("imp_v"))
+    )
+    clicks = (
+        spark.readStream.schema(SCHEMA).json(clk_dir)
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_v"))
+    )
+    joined = stream_stream_join(
+        imps, clicks, "user_id", "imp_ts", "click_ts", max_delay="10 minutes"
+    )
+    rows = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.imp_v, r.click_v) for r in rows}
+    assert got == {("u1", 1.0, 10.0)}
+
+
+def test_streaming_upsert_scd1(spark, tmp_path):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.merge import (
+        streaming_upsert,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.tables import (
+        TableIO,
+    )
+
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+    io = TableIO(spark, fmt="parquet")
+    table = "scd1_stream_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    _write(src, "a.json", [
+        {"user_id": "u1", "ts": "2024-01-01 10:00:00", "value": 1.0},
+        {"user_id": "u1", "ts": "2024-01-01 11:00:00", "value": 2.0},  # same key, newer
+        {"user_id": "u2", "ts": "2024-01-01 10:00:00", "value": 5.0},
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    streaming_upsert(stream, io, table, ["user_id"], "ts", cp).start().awaitTermination()
+    got = {r.user_id: r.value for r in spark.read.table(table).collect()}
+    assert got == {"u1": 2.0, "u2": 5.0}  # in-batch dedup kept latest
+
+    _write(src, "b.json", [
+        {"user_id": "u2", "ts": "2024-01-01 12:00:00", "value": 7.0},   # update
+        {"user_id": "u3", "ts": "2024-01-01 12:00:00", "value": 9.0},   # insert
+        {"user_id": "u1", "ts": "2024-01-01 09:00:00", "value": 0.5},   # stale -> loses
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    streaming_upsert(stream, io, table, ["user_id"], "ts", cp).start().awaitTermination()
+    got = {r.user_id: r.value for r in spark.read.table(table).collect()}
+    assert got == {"u1": 2.0, "u2": 7.0, "u3": 9.0}
+    spark.sql(f"DROP TABLE {table}")
