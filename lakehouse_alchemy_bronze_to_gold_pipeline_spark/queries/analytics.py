@@ -59,7 +59,7 @@ def q_revenue_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     n = load(spark, sf, "nation")
     r = load(spark, sf, "region")
     joined = (
-        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.join(c.select("c_custkey", "c_nationkey"),
                o["o_custkey"] == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -170,11 +170,14 @@ def q_brand_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     avg_q = li.groupBy("l_partkey").agg(
         F.avg("l_quantity").alias("avg_qty")
     )
-    small = li.join(
-        F.broadcast(avg_q), "l_partkey"
-    ).filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    # avg_q / part scale with the data (unlike nation/region): no
+    # forced broadcast — AQE sizes them at runtime and picks BHJ only
+    # when they actually fit the threshold
+    small = li.join(avg_q, "l_partkey").filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
     return (
-        small.join(F.broadcast(part), small["l_partkey"] == part["p_partkey"])
+        small.join(part, small["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -245,8 +248,9 @@ FROM o_daily o FULL OUTER JOIN e_daily e ON o.day = e.day
 
 def q_asia_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table join, revenue per nation for one
-    region; every dimension side broadcast so lineitem is scanned
-    once with zero shuffles before the final aggregate."""
+    region.  Fixed-cardinality dims (nation, region) are broadcast
+    explicitly; customer/supplier scale with the data, so their join
+    strategy is left to AQE (runtime-sized broadcast or shuffle)."""
     li = load(spark, sf, "lineitem")
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
     c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
@@ -256,9 +260,9 @@ def q_asia_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(c, F.col("o_custkey") == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"])
             & (c["c_nationkey"] == s["s_nationkey"]),
         )
@@ -299,7 +303,7 @@ def q_top_unshipped_orders(spark: SparkSession, sf: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
             F.col("l_orderkey").alias("order_key"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),

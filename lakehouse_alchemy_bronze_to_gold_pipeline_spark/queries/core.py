@@ -316,7 +316,7 @@ def q_top_customers_per_segment(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
     )
     joined = rev.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        customer.select("c_custkey", "c_mktsegment"),
         rev["o_custkey"] == F.col("c_custkey"),
         "inner",
     )
@@ -359,7 +359,7 @@ def q_revenue_rollup(spark: SparkSession, sf: str) -> DataFrame:
     region = load(spark, sf, "region")
     joined = (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders["o_custkey"] == F.col("c_custkey"),
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -636,7 +636,7 @@ def q_segment_distinct_customers(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders")
     c = load(spark, sf, "customer")
     joined = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),
         o["o_custkey"] == F.col("c_custkey"),
     )
     return joined.groupBy("c_mktsegment").agg(
