@@ -102,6 +102,30 @@ class TableIO:
             writer = writer.trigger(availableNow=True)
         return writer.toTable(table)
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        buckets: int,
+        bucket_cols: list[str],
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Bucketed (hash-clustered) table write — the co-location
+        primitive: two tables bucketed on the same keys with the same
+        bucket count join WITHOUT a shuffle (each task reads matching
+        bucket files from both sides).  At 100 TB this converts the
+        recurring fact ⋈ fact shuffle into a one-time write-side
+        cost.  Bucket count is fixed at write time: pick it for the
+        TARGET cluster's parallelism, not the writer's."""
+        writer = (
+            df.write.format(self.fmt)
+            .mode("overwrite")
+            .bucketBy(buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+
     # ---------------------------------------------------- maintenance
     def compact(self, table: str, cluster_by: list[str]) -> None:
         """``OPTIMIZE t ZORDER BY (cols)`` (SURVEY S12) or fallback.

@@ -110,3 +110,45 @@ def test_whole_stage_codegen_on_hot_path(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     # `*(n)` marks operators fused into a WholeStageCodegen subtree
     assert "*(" in final
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    sort-merge-join with ZERO exchanges — the write-side co-location
+    that removes the recurring fact-fact shuffle at scale."""
+    from pyspark.sql import Row
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.tables import (
+        TableIO,
+    )
+
+    import os
+
+    ta, tb = f"bkt_a_{os.getpid()}", f"bkt_b_{os.getpid()}"
+    io = TableIO(spark, fmt="parquet")
+    a = spark.createDataFrame([Row(k=i, va=i * 2) for i in range(1000)])
+    b = spark.createDataFrame([Row(k=i, vb=i * 3) for i in range(1000)])
+    spark.sql(f"DROP TABLE IF EXISTS {ta}")
+    spark.sql(f"DROP TABLE IF EXISTS {tb}")
+    io.write_bucketed(a, ta, 4, ["k"], sort_cols=["k"])
+    io.write_bucketed(b, tb, 4, ["k"], sort_cols=["k"])
+
+    # tiny test tables would auto-broadcast, which hides the property
+    # under test: with broadcast off, the join must still need NO
+    # exchange (bucket co-location feeds SortMergeJoin directly)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(ta).join(spark.table(tb), "k")
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(mode)
+        assert _shuffles(plan) == 0
+        assert "BroadcastExchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    spark.sql(f"DROP TABLE {ta}")
+    spark.sql(f"DROP TABLE {tb}")
