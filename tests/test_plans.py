@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import SPARK_QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -152,3 +154,31 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     spark.sql(f"DROP TABLE {ta}")
     spark.sql(f"DROP TABLE {tb}")
+
+
+def test_partitioned_table_prunes_partitions(spark, tmp_path):
+    """Writing with a derived-date partition column (the L2 fix) must
+    let a date-filtered read prune directories: the scan's
+    PartitionFilters carry the predicate instead of a row filter."""
+    import os
+
+    from pyspark.sql import Row
+
+    t = f"part_prune_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    df = spark.createDataFrame(
+        [Row(order_date=f"2024-01-{d:02d}", v=i) for i in range(300) for d in [(i % 10) + 1]]
+    )
+    df.write.format("parquet").mode("overwrite").partitionBy(
+        "order_date"
+    ).saveAsTable(t)
+
+    q = spark.table(t).filter(F.col("order_date") == "2024-01-03")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = q._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan
+    assert "order_date" in plan.split("PartitionFilters")[1].split("\n")[0]
+    assert q.count() == 30
+    spark.sql(f"DROP TABLE {t}")
