@@ -400,6 +400,89 @@ LIMIT 100
 """
 
 
+# ------------------------------------------- scalar-function breadth
+
+
+def q_order_date_math(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/interval function coverage (year/quarter/iso-dow/
+    last_day/add_months/datediff) — all timezone-free on the NTZ
+    order date; grouped so the output is compact."""
+    o = load(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.select(
+            F.year(d).alias("yr"),
+            F.quarter(d).alias("qtr"),
+            (F.weekday(d) + 1).cast("int").alias("isodow"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2m"),
+            F.datediff(d, F.to_date(F.lit("1995-01-01"))).alias("days_since"),
+        )
+        .groupBy("yr", "qtr", "isodow")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("month_end").alias("max_month_end"),
+            F.max("plus_2m").alias("max_plus_2m"),
+            F.max("days_since").cast("bigint").alias("max_days_since"),
+        )
+    )
+
+
+SQL_ORDER_DATE_MATH = """
+WITH t AS (
+  SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+)
+SELECT year(d) AS yr,
+       quarter(d) AS qtr,
+       CAST(isodow(d) AS INT) AS isodow,
+       COUNT(*) AS n_orders,
+       MAX(strftime(last_day(d), '%Y-%m-%d')) AS max_month_end,
+       MAX(strftime(d + INTERVAL 2 MONTH, '%Y-%m-%d')) AS max_plus_2m,
+       CAST(MAX(datediff('day', DATE '1995-01-01', d)) AS BIGINT)
+         AS max_days_since
+FROM t
+GROUP BY 1, 2, 3
+"""
+
+
+def q_token_array_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-function coverage over document tokens: distinct size,
+    sorted prefix, membership, existence predicate."""
+    d = load(spark, sf, "documents")
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_distinct_tokens"),
+        F.concat_ws("|", F.slice(F.array_sort(toks), 1, 3)).alias("first3"),
+        F.arrays_overlap(
+            toks, F.array(F.lit("the"), F.lit("and"))
+        ).alias("has_stopword"),
+        F.exists(toks, lambda t: t.contains("data")).alias("mentions_data"),
+    )
+
+
+SQL_TOKEN_ARRAY_OPS = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           string_split_regex(trim(lower(text)), '\\s+'), x -> x != ''))
+           AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_distinct_tokens,
+       array_to_string(list_sort(toks)[1:3], '|') AS first3,
+       len(list_intersect(toks, ['the', 'and'])) > 0 AS has_stopword,
+       len(list_filter(toks, x -> contains(x, 'data'))) > 0 AS mentions_data
+FROM t
+"""
+
+
 SPARK_QUERIES = {
     "price_percentiles": q_price_percentiles,
     "revenue_grouping_sets": q_revenue_grouping_sets,
@@ -409,6 +492,8 @@ SPARK_QUERIES = {
     "daily_activity": q_daily_activity,
     "customer_recent_spend": q_customer_recent_spend,
     "top_unshipped_orders": q_top_unshipped_orders,
+    "order_date_math": q_order_date_math,
+    "token_array_ops": q_token_array_ops,
     "asia_nation_revenue": q_asia_nation_revenue,
     "embedding_top_pairs": q_embedding_top_pairs,
 }
@@ -422,6 +507,8 @@ ORACLE_SQL = {
     "daily_activity": SQL_DAILY_ACTIVITY,
     "customer_recent_spend": SQL_CUSTOMER_RECENT_SPEND,
     "top_unshipped_orders": SQL_TOP_UNSHIPPED_ORDERS,
+    "order_date_math": SQL_ORDER_DATE_MATH,
+    "token_array_ops": SQL_TOKEN_ARRAY_OPS,
     "asia_nation_revenue": SQL_ASIA_NATION_REVENUE,
     "embedding_top_pairs": SQL_EMBEDDING_TOP_PAIRS,
 }
