@@ -483,6 +483,55 @@ FROM t
 """
 
 
+def q_orders_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass column profiling of orders (operators.profile) —
+    exact distinct here so DuckDB can verify; production uses the
+    HLL sketch variant."""
+    from ..operators.profile import profile_table
+
+    o = load(spark, sf, "orders")
+    return profile_table(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+        exact_distinct=True,
+    )
+
+
+SQL_ORDERS_PROFILE = """
+WITH s AS (
+  SELECT COUNT(*) AS n_rows FROM orders
+)
+SELECT col.column, s.n_rows, col.n_nulls, col.n_distinct,
+       col.min_value, col.max_value
+FROM s, (
+  SELECT 'o_orderkey' AS column,
+         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         COUNT(DISTINCT o_orderkey) AS n_distinct,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey',
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_custkey),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus',
+         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_orderstatus),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice',
+         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+         COUNT(DISTINCT o_totalprice),
+         CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+  FROM orders
+) col
+"""
+
+
 SPARK_QUERIES = {
     "price_percentiles": q_price_percentiles,
     "revenue_grouping_sets": q_revenue_grouping_sets,
@@ -494,6 +543,7 @@ SPARK_QUERIES = {
     "top_unshipped_orders": q_top_unshipped_orders,
     "order_date_math": q_order_date_math,
     "token_array_ops": q_token_array_ops,
+    "orders_profile": q_orders_profile,
     "asia_nation_revenue": q_asia_nation_revenue,
     "embedding_top_pairs": q_embedding_top_pairs,
 }
@@ -509,6 +559,7 @@ ORACLE_SQL = {
     "top_unshipped_orders": SQL_TOP_UNSHIPPED_ORDERS,
     "order_date_math": SQL_ORDER_DATE_MATH,
     "token_array_ops": SQL_TOKEN_ARRAY_OPS,
+    "orders_profile": SQL_ORDERS_PROFILE,
     "asia_nation_revenue": SQL_ASIA_NATION_REVENUE,
     "embedding_top_pairs": SQL_EMBEDDING_TOP_PAIRS,
 }

@@ -1,0 +1,145 @@
+"""Empty-relation robustness: every custom operator must return an
+empty (not crashing, not null-poisoned) result on empty input —
+SURVEY S10's neutral-element discipline applied across the engine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+DOCS = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+EVENTS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("k", LongType()),
+        StructField("ts", LongType()),
+    ]
+)
+VECS = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def test_minhash_empty(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.minhash import (
+        minhash_near_duplicates,
+    )
+
+    assert minhash_near_duplicates(_empty(spark, DOCS), "doc_id", "text").count() == 0
+
+
+def test_simhash_empty(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.simhash import (
+        simhash_near_duplicates,
+    )
+
+    assert (
+        simhash_near_duplicates(_empty(spark, DOCS), "doc_id", "text").count() == 0
+    )
+
+
+def test_asof_empty_sides(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([Row(event_id=1, k=1, ts=10)], EVENTS)
+    empty = _empty(spark, EVENTS)
+    # empty right: left rows survive with null attachment
+    out = asof_join(left, empty, "k", "k", "ts", "ts", ["event_id"])
+    assert out.count() == 1
+    # empty left: no rows
+    out2 = asof_join(empty, left, "k", "k", "ts", "ts", ["event_id"])
+    assert out2.count() == 0
+
+
+def test_band_join_empty(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.rangejoin import (
+        band_join,
+    )
+
+    left = spark.createDataFrame([Row(event_id=1, k=1, ts=10)], EVENTS)
+    empty = _empty(spark, EVENTS).select(
+        F.col("event_id").alias("id_b"), F.col("ts").alias("tb")
+    )
+    l = left.select(F.col("event_id").alias("id_a"), F.col("ts").alias("ta"))
+    assert band_join(l, empty, "ta", "tb", 0, 100).count() == 0
+
+
+def test_similarity_empty_corpus(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        knn_join,
+    )
+
+    empty = _empty(spark, VECS)
+    assert cosine_pairs(empty).count() == 0
+    one = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])], VECS)
+    assert knn_join(one, empty).count() == 0
+
+
+def test_dedup_and_sessionize_empty(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.dedup import (
+        dedup_keep_latest,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.sessionize import (
+        sessionize,
+    )
+
+    empty = _empty(spark, EVENTS)
+    assert dedup_keep_latest(empty, ["k"], "ts").count() == 0
+    ev = empty.select(
+        F.col("k").alias("user_id"), F.col("ts"), F.col("event_id")
+    )
+    assert (
+        sessionize(ev, user_col="user_id", ts_col="ts", gap_seconds=60,
+                   order_tiebreak="event_id", seconds_col="ts").count() == 0
+    )
+
+
+def test_profile_empty(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.profile import (
+        profile_table,
+    )
+
+    rows = profile_table(_empty(spark, DOCS)).collect()
+    assert {r.column for r in rows} == {"doc_id", "text"}
+    assert all(r.n_rows == 0 and r.n_nulls == 0 for r in rows)
+
+
+def test_flatten_empty(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.flatten import (
+        flatten,
+    )
+
+    nested = StructType(
+        [
+            StructField("id", LongType()),
+            StructField(
+                "payload",
+                StructType([StructField("a", LongType())]),
+            ),
+        ]
+    )
+    out = flatten(_empty(spark, nested))
+    assert out.columns == ["id", "payload_a"]
+    assert out.count() == 0
