@@ -23,7 +23,7 @@ helps, but being explicit keeps the broadcast payload minimal).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double_array
+
 from ..operators.rangejoin import band_join
 from .core import _dec_sum
 from .data import load

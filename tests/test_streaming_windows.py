@@ -218,3 +218,50 @@ def test_streaming_upsert_scd1(spark, tmp_path):
     got = {r.user_id: r.value for r in spark.read.table(table).collect()}
     assert got == {"u1": 2.0, "u2": 7.0, "u3": 9.0}
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_continuous_aggregate_incremental_rollup(spark, tmp_path):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.rollup import (
+        continuous_aggregate,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.tables import (
+        TableIO,
+    )
+
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+    io = TableIO(spark, fmt="parquet")
+    table = "rollup_tbl_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(src)
+        q = continuous_aggregate(
+            stream, io, table, ts_col="ts", window="15 minutes",
+            watermark="30 minutes", checkpoint=cp,
+        ).start()
+        q.awaitTermination()
+
+    _write(src, "a.json", [
+        {"user_id": "u1", "ts": "2024-01-01 10:05:00", "value": 1.0},
+        {"user_id": "u1", "ts": "2024-01-01 10:20:00", "value": 2.0},
+    ])
+    run()
+    got = {
+        r.window_start.strftime("%H:%M"): r.n_events
+        for r in spark.read.table(table).collect()
+    }
+    assert got == {"10:00": 1, "10:15": 1}
+
+    # run 2: one more event for the STILL-LIVE 10:00 window + a new
+    # window; only new files are processed (checkpoint), and the
+    # refreshed 10:00 row replaces the old one
+    _write(src, "b.json", [
+        {"user_id": "u1", "ts": "2024-01-01 10:06:00", "value": 5.0},
+        {"user_id": "u1", "ts": "2024-01-01 11:00:00", "value": 3.0},
+    ])
+    run()
+    rows = spark.read.table(table).collect()
+    got = {r.window_start.strftime("%H:%M"): (r.n_events, r.sum_value) for r in rows}
+    assert got == {"10:00": (2, 6.0), "10:15": (1, 2.0), "11:00": (1, 3.0)}
+    assert len(rows) == 3  # exactly one row per window
+    spark.sql(f"DROP TABLE {table}")
