@@ -134,6 +134,96 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_near_duplicates_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    shingle_n: int = 2,
+    n_bands: int = 16,
+    max_bucket: int = 200,
+    balance: bool = True,
+) -> DataFrame:
+    """Cross-engine-reproducible MinHash near-dup pairs.
+
+    Same pipeline as ``minhash_near_duplicates`` but the hash family
+    is ``md5(i || '|' || shingle)`` compared LEXICOGRAPHICALLY as hex
+    strings, and band bucket keys are plain string concatenations —
+    every step is byte-identical in any engine with md5 (the DuckDB
+    oracle reproduces the whole pipeline), which upgrades fuzzy dedup
+    from a rows-only check to a value-checked query.  ~2-3x slower
+    than the xxhash64 family; use that one when no oracle is needed.
+    """
+    band_rows = n_hashes // n_bands
+    toks = nonempty_tokens(text_col)
+    shingles = word_shingles(toks, shingle_n)
+    sh = df.select(F.col(id_col), shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    if balance:
+        sh = sh.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, id_col
+        )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(
+                    F.concat(i.cast("string"), F.lit("|"), s).cast("binary")
+                ),
+            )
+        ),
+    )
+    sigs = sh.withColumn("sig", sig).persist()
+
+    bucket = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.concat(
+                b.cast("string"),
+                F.lit(":"),
+                F.concat_ws(
+                    "", F.slice(F.col("sig"), b * band_rows + 1, band_rows)
+                ),
+            ),
+        )
+    )
+    banded = sigs.select(F.col(id_col), bucket.alias("bucket"))
+    buckets = (
+        banded.groupBy("bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(
+                    F.least(a, b).alias("id_a"),
+                    F.greatest(a, b).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    shl = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    shr = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(shl, "id_a")
+        .join(shr, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,

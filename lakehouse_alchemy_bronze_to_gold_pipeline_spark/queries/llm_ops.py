@@ -2,10 +2,12 @@
 
 Deduplication, similarity search, text analysis, and multimodal
 plumbing (BASELINE.json north star).  SQL-expressible ops carry a
-DuckDB oracle; the LSH/minhash/simhash/mapInPandas paths are
-deliberately oracle-free (probabilistic candidate generation / pandas
-UDF) — the driver records rows-only checks for those, and tests/
-verify them against exact ground truth instead.
+DuckDB oracle — including the FULL MinHash+LSH pipeline via the
+md5-string hash family (``minhash_neardup_md5``), which DuckDB
+reproduces value-for-value.  The xxhash64/simhash/ANN/mapInPandas
+variants stay oracle-free (engine-specific hashing or pandas UDFs):
+the driver records rows-only checks for those and tests/ verify them
+against exact ground truth instead.
 """
 
 from __future__ import annotations
@@ -319,6 +321,73 @@ def q_minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_minhash_neardup_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-checked MinHash+LSH near-dup pairs: the md5-string hash
+    family is engine-agnostic, so DuckDB reproduces the ENTIRE
+    pipeline (shingle -> 64 minhashes -> 16 band buckets -> candidate
+    pairs -> exact-Jaccard verify) value-for-value."""
+    from ..operators.minhash import minhash_near_duplicates_md5
+
+    d = load(spark, sf, "documents")
+    return minhash_near_duplicates_md5(
+        d, "doc_id", "text", threshold=0.4, shingle_n=2
+    )
+
+
+def _minhash_md5_oracle_sql(
+    n_hashes: int = 64, n_bands: int = 16, max_bucket: int = 200,
+    threshold: float = 0.4,
+) -> str:
+    band_rows = n_hashes // n_bands
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])) AS shingles
+  FROM toks
+), sigt AS (
+  SELECT doc_id, shingles,
+         list_transform(range(0, {n_hashes}),
+           i -> list_min(list_transform(shingles,
+                  s -> md5(i::VARCHAR || '|' || s)))) AS sig
+  FROM sh WHERE len(shingles) > 0
+), band AS (
+  SELECT doc_id,
+         b::VARCHAR || ':' ||
+           array_to_string(list_slice(sig, b*{band_rows}+1,
+                                      b*{band_rows}+{band_rows}), '')
+           AS bucket
+  FROM sigt CROSS JOIN UNNEST(range(0, {n_bands})) AS u(b)
+), ok_buckets AS (
+  SELECT bucket FROM band GROUP BY 1
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_bucket}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a
+  JOIN band b USING (bucket)
+  JOIN ok_buckets USING (bucket)
+  WHERE a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+         ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / len(list_distinct(list_cat(sa.shingles, sb.shingles))), 6)
+           AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+"""
+
+
+SQL_MINHASH_NEARDUP_MD5 = _minhash_md5_oracle_sql()
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash per document (bitwise HOF expression)."""
     d = load(spark, sf, "documents")
@@ -376,6 +445,7 @@ SPARK_QUERIES = {
     "embedding_topk": q_embedding_topk,
     "knn_join": q_knn_join,
     "minhash_neardup": q_minhash_neardup,
+    "minhash_neardup_md5": q_minhash_neardup_md5,
     "simhash_fingerprints": q_simhash_fingerprints,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
@@ -393,6 +463,7 @@ ORACLE_SQL = {
     "ngram_jaccard_query": SQL_NGRAM_JACCARD_QUERY,
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "knn_join": SQL_KNN_JOIN,
+    "minhash_neardup_md5": SQL_MINHASH_NEARDUP_MD5,
     # minhash_neardup / simhash_fingerprints / embedding_lsh_topk /
     # multimodal_features: intentionally no oracle (probabilistic or
     # pandas-UDF paths) -> driver rows-only check; see tests/ for the
