@@ -67,6 +67,52 @@ def simhash(
     return out.withColumn("simhash", F.expr(_FP_EXPR)).select(id_col, "simhash")
 
 
+#: hex digits with bit 3/2/1/0 set — shared by both engines' oracles
+_HEX_MASKS = ("89abcdef", "4567cdef", "2367abef", "13579bdf")
+
+#: bit i = sign of the per-token +-1 fold of bit i of md5(token),
+#: where bit i lives in hex digit i/4 (mask i%4).  thash_hex must be
+#: a materialized array<string> column of md5 hex digests.
+_BITS_EXPR = f"""
+array_join(
+  transform(sequence(0, 63), i ->
+    IF(aggregate(
+         thash_hex,
+         0,
+         (acc, h) -> acc + IF(contains(
+             element_at(array({', '.join(repr(m) for m in _HEX_MASKS)}),
+                        CAST(i % 4 AS INT) + 1),
+             substr(h, CAST(i / 4 AS INT) + 1, 1)), 1, -1)
+       ) > 0, '1', '0')),
+  '')
+"""
+
+
+def simhash_bits_md5(
+    df: DataFrame, id_col: str, text_col: str, balance: bool = True
+) -> DataFrame:
+    """(id, bits) — SimHash as a 64-char '0'/'1' string built from
+    md5 hex digits: every step (tokenize, md5, hex-digit bit test,
+    sign fold) is engine-agnostic, so a SQL oracle can reproduce the
+    fingerprint byte-for-byte (unlike the xxhash64 ``simhash``).
+    The md5 array is materialized behind the balancing exchange so
+    the 64-bit outer loop reads a column instead of re-hashing."""
+    toks = nonempty_tokens(text_col)
+    out = (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .withColumn(
+            "thash_hex", F.transform(F.col("toks"), lambda t: F.md5(t.cast("binary")))
+        )
+        .select(F.col(id_col), "thash_hex")
+    )
+    if balance:
+        out = out.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, id_col
+        )
+    return out.select(F.col(id_col), F.expr(_BITS_EXPR).alias("bits"))
+
+
 def simhash_near_duplicates(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:

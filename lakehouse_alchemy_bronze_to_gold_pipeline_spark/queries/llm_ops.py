@@ -394,6 +394,39 @@ def q_simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(d, "doc_id", "text")
 
 
+def q_simhash_bits_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-checked SimHash: md5-hex bit tests + sign fold emit a
+    64-char bit string DuckDB reproduces exactly."""
+    from ..operators.simhash import simhash_bits_md5
+
+    d = load(spark, sf, "documents")
+    return simhash_bits_md5(d, "doc_id", "text")
+
+
+SQL_SIMHASH_BITS_MD5 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), th AS (
+  SELECT doc_id, list_transform(t, tok -> md5(tok)) AS hs
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(range(0, 64), i ->
+           CASE WHEN list_sum(list_transform(hs, h ->
+                  CASE WHEN contains(
+                         (['89abcdef', '4567cdef', '2367abef', '13579bdf'])[i % 4 + 1],
+                         substr(h, CAST(i // 4 AS INT) + 1, 1))
+                       THEN 1 ELSE -1 END)) > 0
+                THEN '1' ELSE '0' END),
+         '') AS bits
+FROM th
+"""
+
+
 def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate knn via random-hyperplane LSH + exact rerank."""
     emb = load(spark, sf, "embeddings")
@@ -447,6 +480,7 @@ SPARK_QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "minhash_neardup_md5": q_minhash_neardup_md5,
     "simhash_fingerprints": q_simhash_fingerprints,
+    "simhash_bits_md5": q_simhash_bits_md5,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "multimodal_frames": q_multimodal_frames,
@@ -464,6 +498,7 @@ ORACLE_SQL = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "knn_join": SQL_KNN_JOIN,
     "minhash_neardup_md5": SQL_MINHASH_NEARDUP_MD5,
+    "simhash_bits_md5": SQL_SIMHASH_BITS_MD5,
     # minhash_neardup / simhash_fingerprints / embedding_lsh_topk /
     # multimodal_features: intentionally no oracle (probabilistic or
     # pandas-UDF paths) -> driver rows-only check; see tests/ for the
