@@ -483,6 +483,37 @@ FROM t
 """
 
 
+def q_events_window_fn(spark: SparkSession, sf: str) -> DataFrame:
+    """Built-in ``F.window`` tumbling aggregation in BATCH mode — the
+    exact plan the streaming engine runs (streaming/windows.py), minus
+    state.  Window alignment is epoch-based so 15-minute buckets are
+    timezone-independent; boundaries surface as ``unix_micros`` of the
+    LTZ window bounds (also tz-free)."""
+    ev = load(spark, sf, "events")
+    with_ts = ev.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    return (
+        with_ts.groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            F.unix_micros(F.col("window.end")).alias("window_end_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+SQL_EVENTS_WINDOW_FN = """
+SELECT epoch_us(ts) - (epoch_us(ts) % 900000000) AS window_start_us,
+       epoch_us(ts) - (epoch_us(ts) % 900000000) + 900000000
+         AS window_end_us,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def q_orders_profile(spark: SparkSession, sf: str) -> DataFrame:
     """One-pass column profiling of orders (operators.profile) —
     exact distinct here so DuckDB can verify; production uses the
@@ -544,6 +575,7 @@ SPARK_QUERIES = {
     "order_date_math": q_order_date_math,
     "token_array_ops": q_token_array_ops,
     "orders_profile": q_orders_profile,
+    "events_window_fn": q_events_window_fn,
     "asia_nation_revenue": q_asia_nation_revenue,
     "embedding_top_pairs": q_embedding_top_pairs,
 }
@@ -560,6 +592,7 @@ ORACLE_SQL = {
     "order_date_math": SQL_ORDER_DATE_MATH,
     "token_array_ops": SQL_TOKEN_ARRAY_OPS,
     "orders_profile": SQL_ORDERS_PROFILE,
+    "events_window_fn": SQL_EVENTS_WINDOW_FN,
     "asia_nation_revenue": SQL_ASIA_NATION_REVENUE,
     "embedding_top_pairs": SQL_EMBEDDING_TOP_PAIRS,
 }
