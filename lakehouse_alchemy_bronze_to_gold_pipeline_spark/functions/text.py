@@ -31,6 +31,23 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+#: GPT-2-style pretokenizer shape: contraction suffixes, space-prefixed
+#: letter runs, digit runs, punctuation runs.  ASCII classes so the
+#: pattern is engine-portable (Java regex and RE2 agree on it).
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+)
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Subword-ish tokens via the BPE pretokenizer regex — the token
+    accounting LLM pipelines bill by (a real BPE merge table would
+    refine these; the regex pass is the expensive scan and is exact
+    here)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
 def nonempty_tokens(text: Column | str, lowercase: bool = True) -> Column:
     """Tokens with empty strings removed (split('') yields [''] —
     hash-based operators must not fingerprint the empty token)."""

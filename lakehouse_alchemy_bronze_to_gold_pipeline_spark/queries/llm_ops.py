@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+
+#: BPE pattern with SQL-escaped single quotes
+TX_BPE_PATTERN_SQL = TX.BPE_ISH_PATTERN.replace("'", "''")
 from ..operators.minhash import minhash_near_duplicates
 from ..operators.multimodal import attach_binary_payload, extract_features
 from ..operators.simhash import simhash
@@ -173,6 +176,38 @@ SELECT doc_id,
              / len(list_distinct(list_cat(toks, q))), 6) AS jaccard
 FROM t
 WHERE len(list_intersect(toks, q)) > 0
+"""
+
+
+def q_token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish token accounting per document: whitespace count vs
+    pretokenizer count and the chars-per-token ratio (the cost model
+    of an LLM data pipeline)."""
+    d = load(spark, sf, "documents")
+    bpe = TX.bpe_ish_tokens("text")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_ws_tokens"),
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            F.length("text").cast("double")
+            / F.greatest(F.size(bpe).cast("double"), F.lit(1.0)),
+            4,
+        ).alias("chars_per_token"),
+    )
+
+
+SQL_TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+         '{TX_BPE_PATTERN_SQL}')) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(length(text) AS DOUBLE)
+             / GREATEST(CAST(len(regexp_extract_all(text,
+                 '{TX_BPE_PATTERN_SQL}')) AS DOUBLE), 1.0), 4)
+         AS chars_per_token
+FROM documents
 """
 
 
@@ -473,6 +508,7 @@ SPARK_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_documents_exact": q_dedup_documents_exact,
     "doc_quality_score": q_doc_quality_score,
+    "token_count_bpe": q_token_count_bpe,
     "embedding_neardup": q_embedding_neardup,
     "ngram_jaccard_query": q_ngram_jaccard_query,
     "embedding_topk": q_embedding_topk,
@@ -493,6 +529,7 @@ ORACLE_SQL = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_documents_exact": SQL_DEDUP_DOCUMENTS_EXACT,
     "doc_quality_score": SQL_DOC_QUALITY_SCORE,
+    "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ngram_jaccard_query": SQL_NGRAM_JACCARD_QUERY,
     "embedding_topk": SQL_EMBEDDING_TOPK,
