@@ -13,7 +13,7 @@ oracle-verifiable results on small data.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -23,15 +23,27 @@ def profile_table(
     df: DataFrame,
     cols: Sequence[str] | None = None,
     exact_distinct: bool = False,
+    casts: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct, min_value, max_value) —
     min/max stringified so heterogeneous column types stack into one
-    relation."""
+    relation.
+
+    ``casts`` maps column name -> SQL type applied to min/max BEFORE
+    the string cast.  Floating-point columns should be pinned to a
+    decimal type here (e.g. ``{"price": "decimal(18,2)"}``) so the
+    textual min/max is engine-canonical — raw double-to-string
+    formatting differs across engines.
+    """
     cols = list(cols or df.columns)
+    casts = dict(casts or {})
     distinct = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         col = F.col(c)
+        # the cast shapes only the textual min/max; null and distinct
+        # counts always run on the raw column
+        mcol = col.cast(casts[c]) if c in casts else col
         aggs += [
             # SUM over zero rows is NULL, not 0: coalesce keeps the
             # neutral element on empty input
@@ -39,8 +51,8 @@ def profile_table(
                 f"__nulls_{c}"
             ),
             distinct(col).alias(f"__dist_{c}"),
-            F.min(col).cast("string").alias(f"__min_{c}"),
-            F.max(col).cast("string").alias(f"__max_{c}"),
+            F.min(mcol).cast("string").alias(f"__min_{c}"),
+            F.max(mcol).cast("string").alias(f"__max_{c}"),
         ]
     one = df.agg(*aggs)
 

@@ -392,7 +392,8 @@ def q_embedding_top_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_EMBEDDING_TOP_PAIRS = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4)
          AS cosine_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 ORDER BY cosine_sim DESC, id_a, id_b
@@ -432,8 +433,8 @@ SQL_ORDER_DATE_MATH = """
 WITH t AS (
   SELECT CAST(o_orderdate AS DATE) AS d FROM orders
 )
-SELECT year(d) AS yr,
-       quarter(d) AS qtr,
+SELECT CAST(year(d) AS INT) AS yr,
+       CAST(quarter(d) AS INT) AS qtr,
        CAST(isodow(d) AS INT) AS isodow,
        COUNT(*) AS n_orders,
        MAX(strftime(last_day(d), '%Y-%m-%d')) AS max_month_end,
@@ -517,7 +518,9 @@ GROUP BY 1, 2, 3
 def q_orders_profile(spark: SparkSession, sf: str) -> DataFrame:
     """One-pass column profiling of orders (operators.profile) —
     exact distinct here so DuckDB can verify; production uses the
-    HLL sketch variant."""
+    HLL sketch variant.  o_totalprice min/max is pinned to
+    decimal(18,2) so its text form is engine-canonical (raw
+    double-to-string formatting differs between Spark and DuckDB)."""
     from ..operators.profile import profile_table
 
     o = load(spark, sf, "orders")
@@ -525,6 +528,7 @@ def q_orders_profile(spark: SparkSession, sf: str) -> DataFrame:
         o,
         ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
         exact_distinct=True,
+        casts={"o_totalprice": "decimal(18,2)"},
     )
 
 
@@ -536,28 +540,32 @@ SELECT col.column, s.n_rows, col.n_nulls, col.n_distinct,
        col.min_value, col.max_value
 FROM s, (
   SELECT 'o_orderkey' AS column,
-         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_nulls,
          COUNT(DISTINCT o_orderkey) AS n_distinct,
          CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
          CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
   FROM orders
   UNION ALL
   SELECT 'o_custkey',
-         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          COUNT(DISTINCT o_custkey),
          CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
   FROM orders
   UNION ALL
   SELECT 'o_orderstatus',
-         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT),
          COUNT(DISTINCT o_orderstatus),
          MIN(o_orderstatus), MAX(o_orderstatus)
   FROM orders
   UNION ALL
   SELECT 'o_totalprice',
-         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT),
          COUNT(DISTINCT o_totalprice),
-         CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+         CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+         CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
   FROM orders
 ) col
 """

@@ -185,15 +185,17 @@ def q_dq_violation_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_DQ_VIOLATION_COUNTS = """
 SELECT 'null_pk[c_custkey]' AS rule,
-       SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations
+       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations
 FROM customer
 UNION ALL
 SELECT 'whitespace[c_name]',
-       SUM(CASE WHEN length(c_name) <> length(trim(c_name)) THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN length(c_name) <> length(trim(c_name))
+                     THEN 1 ELSE 0 END) AS BIGINT)
 FROM customer
 UNION ALL
 SELECT 'positive[c_acctbal]',
-       SUM(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END) AS BIGINT)
 FROM customer
 """
 

@@ -117,8 +117,21 @@ def main() -> int:
             problems.append(f"rows {len(s)} vs {len(o)}")
         if list(s.columns) != list(o.columns):
             problems.append(f"cols {list(s.columns)} vs {list(o.columns)}")
-        elif table_hash(s) != table_hash(o):
-            problems.append("value-hash mismatch")
+        else:
+            # dtype parity: the driver's canonicalizer is stricter than
+            # cell() (e.g. float64 2.0 vs int64 2) — surface any
+            # engine-type divergence locally rather than at the gate
+            dt_s = [str(t) for t in s.dtypes]
+            dt_o = [str(t) for t in o.dtypes]
+            if dt_s != dt_o:
+                mism = [
+                    f"{c}: {a} vs {b}"
+                    for c, a, b in zip(s.columns, dt_s, dt_o)
+                    if a != b
+                ]
+                problems.append(f"dtypes {mism}")
+            if table_hash(s) != table_hash(o):
+                problems.append("value-hash mismatch")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             if list(s.columns) == list(o.columns) and len(s) == len(o):
