@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import (  # noqa: E402
+    BENCH_EXCLUDE,
     SPARK_QUERIES,
 )
 from lakehouse_alchemy_bronze_to_gold_pipeline_spark.session import (  # noqa: E402
@@ -56,6 +57,8 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name, fn in SPARK_QUERIES.items():
+        if name in BENCH_EXCLUDE:  # O(n^2) oracle baselines; LSH twins run
+            continue
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)

@@ -17,4 +17,11 @@ from .llm_ops import SPARK_QUERIES as _LLM_Q, ORACLE_SQL as _LLM_SQL
 SPARK_QUERIES = {**_CORE_Q, **_AN_Q, **_LLM_Q}
 ORACLE_SQL = {**_CORE_SQL, **_AN_SQL, **_LLM_SQL}
 
-__all__ = ["SPARK_QUERIES", "ORACLE_SQL"]
+#: O(n^2) correctness baselines kept ONLY as small-sf oracle
+#: cross-checks for their LSH-bucketed scale twins
+#: (``embedding_top_pairs_lsh`` / ``embedding_neardup_lsh``).  The
+#: bench skips them: a cartesian self-join is never the plan we'd run
+#: at 100 TB, so timing it misrepresents the engine's headline path.
+BENCH_EXCLUDE = frozenset({"embedding_top_pairs", "embedding_neardup"})
+
+__all__ = ["SPARK_QUERIES", "ORACLE_SQL", "BENCH_EXCLUDE"]

@@ -401,6 +401,100 @@ LIMIT 100
 """
 
 
+#: LSH pair-mining parameters shared by the Spark query and its
+#: generated oracle — change in ONE place only.
+_LSH_PAIRS = dict(n_bands=12, n_bits=8, dim=64, seed=42, max_bucket=1000)
+
+
+def q_embedding_top_pairs_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-100 similar pairs via banded hyperplane LSH — the scale
+    path that replaces the brute-force cartesian of
+    ``embedding_top_pairs``: candidates come from (band, signature)
+    bucket self-joins, exact cosine reranks only candidates.  Fully
+    seeded/deterministic, so the oracle replicates it exactly."""
+    from ..operators.similarity import lsh_pairs
+
+    emb = load(spark, sf, "embeddings")
+    pairs = lsh_pairs(emb, "vec_id", "embedding", **_LSH_PAIRS)
+    return pairs.orderBy(
+        F.col("cosine_sim").desc(), "id_a", "id_b"
+    ).limit(100)
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs (cosine >= 0.5) via the same banded LSH — the
+    scale twin of ``embedding_neardup``.  Recall for borderline pairs
+    is a (n_bands, n_bits) parameter choice; the oracle replicates
+    the seeded procedure exactly, so whatever it recalls is
+    value-checked."""
+    from ..operators.similarity import lsh_pairs
+
+    emb = load(spark, sf, "embeddings")
+    pairs = lsh_pairs(emb, "vec_id", "embedding", threshold=0.5, **_LSH_PAIRS)
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _sql_lsh_pairs(tail: str) -> str:
+    """Generate the DuckDB twin of ``operators.similarity.lsh_pairs``
+    at the ``_LSH_PAIRS`` parameters: the seeded hyperplanes are
+    emitted as array literals (float64 repr round-trips exactly), the
+    sign-bit signatures as CASE sums, banding/cap/candidate/rerank as
+    plain SQL; ``tail`` appends the query-specific filter/order.
+    Same construction as the md5 MinHash oracle: determinism makes
+    approximate operators value-checkable."""
+    from ..operators.similarity import band_hyperplanes
+
+    p = _LSH_PAIRS
+    planes = band_hyperplanes(p["dim"], p["n_bands"], p["n_bits"], p["seed"])
+    bands = []
+    for b in range(p["n_bands"]):
+        bits = []
+        for i in range(p["n_bits"]):
+            lits = ", ".join(repr(float(x)) for x in planes[b][i])
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        sig = "\n     + ".join(bits)
+        bands.append(
+            f"SELECT vec_id, {b} AS band,\n"
+            f"  CAST({sig} AS BIGINT) AS sig\nFROM v"
+        )
+    union = "\nUNION ALL\n".join(bands)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS ({union}),
+capped AS (
+  SELECT vec_id, band, sig FROM sigs
+  QUALIFY COUNT(*) OVER (PARTITION BY band, sig) <= {p["max_bucket"]}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 4)
+           AS cosine_sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine_sim FROM scored
+{tail}
+"""
+
+
+def sql_embedding_top_pairs_lsh() -> str:
+    return _sql_lsh_pairs("ORDER BY cosine_sim DESC, id_a, id_b\nLIMIT 100")
+
+
+def sql_embedding_neardup_lsh() -> str:
+    return _sql_lsh_pairs("WHERE cosine_sim >= 0.5\nORDER BY id_a, id_b")
+
+
 # ------------------------------------------- scalar-function breadth
 
 
@@ -586,6 +680,8 @@ SPARK_QUERIES = {
     "events_window_fn": q_events_window_fn,
     "asia_nation_revenue": q_asia_nation_revenue,
     "embedding_top_pairs": q_embedding_top_pairs,
+    "embedding_top_pairs_lsh": q_embedding_top_pairs_lsh,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
 }
 
 ORACLE_SQL = {
@@ -603,4 +699,6 @@ ORACLE_SQL = {
     "events_window_fn": SQL_EVENTS_WINDOW_FN,
     "asia_nation_revenue": SQL_ASIA_NATION_REVENUE,
     "embedding_top_pairs": SQL_EMBEDDING_TOP_PAIRS,
+    "embedding_top_pairs_lsh": sql_embedding_top_pairs_lsh(),
+    "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
 }

@@ -203,3 +203,39 @@ def test_multimodal_resize_and_frames(spark):
     assert all(len(r.frame) == 16 for r in by_doc[1])
     # doc 2: 5 bytes -> 0 full frames
     assert 2 not in by_doc
+
+
+def test_lsh_pairs_recall_vs_bruteforce(spark):
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        lsh_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 16))
+    # plant 10 near-duplicate pairs: vec 100+i is vec i plus tiny noise
+    dups = base[:10] + rng.standard_normal((10, 16)) * 0.05
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(30)
+    ] + [
+        Row(vec_id=100 + i, embedding=[float(x) for x in dups[i]])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in cosine_pairs(df, "vec_id", "embedding", threshold=0.9).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in lsh_pairs(
+            df, "vec_id", "embedding", n_bands=12, n_bits=4, dim=16,
+            threshold=0.9,
+        ).collect()
+    }
+    assert len(exact) >= 10  # the planted pairs are above threshold
+    found = sum(1 for k in exact if k in approx)
+    assert found / len(exact) >= 0.9  # banded LSH recalls the near-dups
+    for k, v in approx.items():
+        assert k in exact and abs(v - exact[k]) < 1e-9  # exact rerank
