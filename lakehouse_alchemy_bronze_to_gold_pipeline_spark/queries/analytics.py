@@ -47,6 +47,48 @@ GROUP BY l_returnflag
 """
 
 
+def q_price_percentiles_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB percentile: ``approx_percentile`` (Greenwald-Khanna
+    sketch) — mergeable partial state, map-side combine, NO per-group
+    sort buffer (the exact ``percentile`` buffers every value per
+    group; this buffers O(accuracy)).
+
+    Oracle-exact by construction, not by luck: the GK guarantee is
+    rank error <= n/accuracy, so with accuracy chosen such that
+    n/accuracy < 1 the returned element's rank is EXACTLY the target
+    — i.e. the discrete order statistic DuckDB's ``quantile_disc``
+    computes.  At real scale you drop ``accuracy`` to trade memory
+    for bounded error; the plan shape is identical."""
+    li = load(spark, sf, "lineitem")
+    pct = F.approx_percentile(
+        F.col("l_extendedprice"),
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+        F.lit(2_000_000),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("q"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "l_returnflag",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+            "n_items",
+        )
+    )
+
+
+SQL_PRICE_PERCENTILES_APPROX = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.25) AS p25,
+       quantile_disc(l_extendedprice, 0.50) AS p50,
+       quantile_disc(l_extendedprice, 0.75) AS p75,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # ----------------------------------------------------- grouping sets
 
 
@@ -667,6 +709,7 @@ FROM s, (
 
 SPARK_QUERIES = {
     "price_percentiles": q_price_percentiles,
+    "price_percentiles_approx": q_price_percentiles_approx,
     "revenue_grouping_sets": q_revenue_grouping_sets,
     "events_band_join": q_events_band_join,
     "late_shipment_orders": q_late_shipment_orders,
@@ -686,6 +729,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "price_percentiles": SQL_PRICE_PERCENTILES,
+    "price_percentiles_approx": SQL_PRICE_PERCENTILES_APPROX,
     "revenue_grouping_sets": SQL_REVENUE_GROUPING_SETS,
     "events_band_join": SQL_EVENTS_BAND_JOIN,
     "late_shipment_orders": SQL_LATE_SHIPMENT_ORDERS,
