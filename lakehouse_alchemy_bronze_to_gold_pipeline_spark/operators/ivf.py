@@ -83,11 +83,23 @@ def ivf_topk(
     """Approximate knn: probe the ``n_probe`` best inverted lists per
     query, exact cosine rerank inside.  Output matches ``knn_join``
     (query_id, neighbor_id, cosine_sim, rank)."""
+    # pseudo-random, order-independent training sample: take the
+    # train_sample smallest xxhash64(id, seed) rows (TakeOrdered =
+    # per-partition top-n + driver merge, no global sort).  A bare
+    # ``limit(n)`` takes the FIRST n rows — on a sorted/clustered
+    # corpus that trains centroids on one corner of the space and
+    # recall silently degrades; hash order is uniform regardless of
+    # physical layout, and seeded so the plan stays deterministic.
     sample = np.array(
         [
             r[0]
-            for r in corpus.select(as_double_array(vec_col))
+            for r in corpus.select(
+                as_double_array(vec_col).alias("__v"),
+                F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+            )
+            .orderBy("__h")
             .limit(train_sample)
+            .select("__v")
             .collect()
         ]
     )

@@ -25,6 +25,30 @@ from pyspark.sql import functions as F
 from ..sources.tables import TableIO
 
 
+def merge_keep_latest(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Pure last-writer-wins merge: one row per key survives from
+    ``target ∪ updates``, the one with the highest ``order_col``
+    (updates win ties against existing rows).  ONE shuffle on the
+    merge keys — this is the relational core of SCD-1 MERGE, usable
+    standalone and oracle-checkable (`QUALIFY row_number() = 1`)."""
+    merged = target.withColumn("__upd", F.lit(0)).unionByName(
+        updates.withColumn("__upd", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col("__upd").desc()
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__upd")
+    )
+
+
 def upsert_keep_latest(
     spark: SparkSession,
     io: TableIO,
@@ -41,7 +65,17 @@ def upsert_keep_latest(
         return
 
     if io.fmt == "delta":
-        updates.createOrReplaceTempView("__merge_updates")
+        # Delta MERGE errors when several source rows match one target
+        # row — collapse updates to one row per key (keep-latest)
+        # BEFORE the merge so the documented contract ("any number of
+        # update rows per key") holds on this branch too.
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        one = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        one.createOrReplaceTempView("__merge_updates")
         on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
         spark.sql(
             f"""
@@ -53,20 +87,7 @@ def upsert_keep_latest(
         )
         return
 
-    target = io.read(table)
-    # updates win ties against existing rows: is_update is the 2nd
-    # sort key so a tie on order_col resolves to the update
-    merged = target.withColumn("__upd", F.lit(0)).unionByName(
-        updates.withColumn("__upd", F.lit(1))
-    )
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(order_col).desc(), F.col("__upd").desc()
-    )
-    latest = (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__upd")
-    )
+    latest = merge_keep_latest(io.read(table), updates, keys, order_col)
     # materialize before overwriting the table we read from
     tmp = f"{table}__merge_tmp"
     latest.write.format(io.fmt).mode("overwrite").saveAsTable(tmp)

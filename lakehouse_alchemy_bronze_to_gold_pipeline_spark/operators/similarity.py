@@ -55,9 +55,25 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Exact k-nn for each query row: broadcast the (small) query side
-    against the corpus, window top-k per query."""
+    against the corpus, window top-k per query.
+
+    The broadcast makes total work |Q| x |corpus| and driver/executor
+    memory O(|Q| x dim) — correct ONLY while the query side is small.
+    ``max_query_rows`` enforces that contract (an unguarded large
+    query side is a silent broadcast OOM at scale); large query sides
+    belong on ``lsh_topk`` / ``ivf.ivf_topk``, whose shuffle is
+    proportional to probed buckets, not |Q| x |corpus|."""
+    n_q = queries.limit(max_query_rows + 1).count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"knn_join query side exceeds max_query_rows={max_query_rows}: "
+            "it is broadcast against the whole corpus (O(|Q| x |corpus|) "
+            "work, O(|Q|) executor memory). Use lsh_topk or ivf_topk for "
+            "large query sides, or raise max_query_rows deliberately."
+        )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),

@@ -702,6 +702,67 @@ FROM e ASOF LEFT JOIN o
 """
 
 
+def q_scd1_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-1 keep-latest merge (operators.merge.merge_keep_latest —
+    the relational core of the reference's dim maintenance, SURVEY
+    4.3-L6).  Base = orders at version 1; the update batch re-prices
+    every 10th order (+10%) at version 2 AND every 20th again (+25%,
+    status 'X') at version 3 — multiple update rows per key — plus
+    brand-new keys (base max + offset) to exercise the insert path.
+    ONE shuffle on the merge key."""
+    from ..operators.merge import merge_keep_latest
+
+    o = load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    base = o.withColumn("version", F.lit(1).cast("int"))
+    upd2 = (
+        o.filter(F.col("order_key") % 10 == 0)
+        .withColumn("total", F.col("total") * 1.10)
+        .withColumn("version", F.lit(2).cast("int"))
+    )
+    upd3 = (
+        o.filter(F.col("order_key") % 20 == 0)
+        .withColumn("total", F.col("total") * 1.25)
+        .withColumn("status", F.lit("X"))
+        .withColumn("version", F.lit(3).cast("int"))
+    )
+    inserts = (
+        o.filter(F.col("order_key") % 50 == 0)
+        .withColumn("order_key", F.col("order_key") + F.lit(10_000_000))
+        .withColumn("status", F.lit("N"))
+        .withColumn("version", F.lit(2).cast("int"))
+    )
+    updates = upd2.unionByName(upd3).unionByName(inserts)
+    return merge_keep_latest(base, updates, ["order_key"], "version")
+
+
+SQL_SCD1_UPSERT = """
+WITH o AS (
+  SELECT o_orderkey AS order_key, o_orderstatus AS status,
+         o_totalprice AS total
+  FROM orders
+), all_rows AS (
+  SELECT order_key, status, total, CAST(1 AS INT) AS version FROM o
+  UNION ALL
+  SELECT order_key, status, total * 1.10, CAST(2 AS INT)
+  FROM o WHERE order_key % 10 = 0
+  UNION ALL
+  SELECT order_key, 'X', total * 1.25, CAST(3 AS INT)
+  FROM o WHERE order_key % 20 = 0
+  UNION ALL
+  SELECT order_key + 10000000, 'N', total, CAST(2 AS INT)
+  FROM o WHERE order_key % 50 = 0
+)
+SELECT order_key, status, total, version
+FROM all_rows
+QUALIFY row_number() OVER (PARTITION BY order_key
+                           ORDER BY version DESC) = 1
+"""
+
+
 SPARK_QUERIES.update(
     {
         "customer_running_spend": q_customer_running_spend,
@@ -709,6 +770,7 @@ SPARK_QUERIES.update(
         "returnflag_pivot": q_returnflag_pivot,
         "segment_distinct_customers": q_segment_distinct_customers,
         "asof_latest_order": q_asof_latest_order,
+        "scd1_upsert": q_scd1_upsert,
     }
 )
 
@@ -719,5 +781,6 @@ ORACLE_SQL.update(
         "returnflag_pivot": SQL_RETURNFLAG_PIVOT,
         "segment_distinct_customers": SQL_SEGMENT_DISTINCT_CUSTOMERS,
         "asof_latest_order": SQL_ASOF_LATEST_ORDER,
+        "scd1_upsert": SQL_SCD1_UPSERT,
     }
 )

@@ -180,6 +180,53 @@ def test_ivf_topk_recall_vs_exact(spark):
         assert approx[(q, 1)] == q
 
 
+def test_knn_join_guards_large_query_side(spark):
+    df = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="lsh_topk or ivf_topk"):
+        knn_join(df, df, k=2, max_query_rows=10)
+    # at-the-cap query side still runs
+    assert knn_join(df.limit(10), df, k=1, max_query_rows=10).count() == 10
+
+
+def test_ivf_train_sample_unbiased_on_sorted_corpus(spark):
+    """The training sample must be order-independent: this corpus is
+    physically sorted by cluster and train_sample < |corpus|, so a
+    first-N ``limit`` would train centroids on HALF the clusters and
+    miss neighbors in the unseen half; the hash-ordered sample sees
+    every cluster."""
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.ivf import (
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((4, 16)) * 5
+    vecs = np.vstack(
+        [c + rng.standard_normal((40, 16)) * 0.5 for c in centers]
+    ).astype("float64")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in vecs[i]]) for i in range(160)]
+    )
+    qs = df.filter(F.col("vec_id").isin([0, 40, 80, 120]))
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_join(qs, df, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(
+            df, qs, k=3, n_lists=8, n_probe=3, train_sample=60
+        ).collect()
+    }
+    hits = sum(1 for k, v in exact.items() if approx.get(k) == v)
+    assert hits / len(exact) >= 0.9
+    for q in (0, 40, 80, 120):  # queries from EVERY cluster find themselves
+        assert approx[(q, 1)] == q
+
+
 def test_multimodal_resize_and_frames(spark):
     from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
         resize_payloads,
