@@ -2,11 +2,21 @@
 
 Images/audio/video are opaque ``binary`` payloads with a typed
 metadata struct.  The Spark-side plumbing — schema, Arrow batch shape,
-``mapInPandas`` signature, partition sizing — is real and tested; the
-actual media *decode* is STUBBED (this container has no image/audio
-libraries): ``decode_stub`` derives deterministic fake features from
-the bytes so the pipeline is end-to-end testable, and raises
-``NotImplementedError`` when a real decode is requested.
+``mapInPandas`` signature, partition sizing — is real and tested, and
+two modalities now have REAL pure-stdlib decoders:
+
+- **image**: binary PPM (``P6``, the Netpbm format — public spec) is
+  parsed with ``numpy``: header scan, raw RGB plane, per-image
+  luminance stats, nearest-neighbor resize, re-encode.
+- **audio**: RIFF/WAVE PCM is parsed with the stdlib ``wave`` module:
+  sample rate / channels / duration, RMS amplitude and zero-crossing
+  rate over the PCM16 samples.
+
+Formats that genuinely need external libraries (PNG/JPEG, MP3, video
+containers) still raise ``NotImplementedError`` — an honest gate, not
+a fake decode.  ``synthesize_ppm`` / ``synthesize_wav`` render
+deterministic payloads from a text column so driver tables without
+binary columns can exercise the full encode->decode path.
 
 Scale notes: binary payloads dominate row size, so feature extraction
 uses ``mapInPandas`` (Arrow batches, column-pruned input) and callers
@@ -17,8 +27,11 @@ batch; payload bytes per batch are what actually matter).
 
 from __future__ import annotations
 
+import io
+import wave
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,23 +62,241 @@ def attach_binary_payload(
     )
 
 
-def decode_stub(payload: bytes, modality: str) -> list[float]:
-    """Deterministic fake 'decode' -> 4 features from raw bytes.
+# --------------------------------------------------- real codecs
 
-    Replace with a real decoder (PIL / torchaudio / ffmpeg) when the
-    runtime has one."""
-    if modality not in ("text",):
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (``P6``) bytes."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (``P6``) -> (h, w, 3) uint8.  Pure-stdlib header
+    scan per the Netpbm spec: magic, then three whitespace-separated
+    ints (``#`` comments allowed), one whitespace byte, raw RGB."""
+    if payload[:2] != b"P6":
         raise NotImplementedError(
-            f"real {modality!r} decode needs media libraries not present "
-            "in this environment"
+            "image decode supports binary PPM (P6) only; "
+            f"got magic {payload[:2]!r} — PNG/JPEG need external libraries"
         )
-    head = payload[:16].ljust(16, b"\0")
-    return [
-        len(payload) / 1024.0,
-        head[0] / 255.0,
-        head[7] / 255.0,
-        sum(head) / (16 * 255.0),
-    ]
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM (maxval 255) supported")
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return raw.reshape(h, w, 3)
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (h, w, 3) image — the classic
+    index-map formulation (numpy fancy indexing, no loops)."""
+    h, w, _ = pixels.shape
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return pixels[rows[:, None], cols[None, :]]
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """int16 PCM samples (interleaved if multi-channel) -> WAV bytes
+    via the stdlib ``wave`` writer."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """WAV bytes -> (int16 samples, sample_rate, n_channels) via the
+    stdlib ``wave`` reader (RIFF/WAVE PCM — public format)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV supported")
+        frames = wf.readframes(wf.getnframes())
+        return (
+            np.frombuffer(frames, dtype="<i2"),
+            wf.getframerate(),
+            wf.getnchannels(),
+        )
+
+
+def decode_features(payload: bytes, modality: str) -> list[float]:
+    """Real per-payload decode -> 4 features.
+
+    - ``text``: size + head-byte stats (no decode needed);
+    - ``image``: PPM decode -> width, height, mean / std of Rec.601
+      luminance (normalized);
+    - ``audio``: WAV decode -> duration s, channels, RMS amplitude
+      (normalized), zero-crossing rate.
+
+    Anything else (or an image/audio container this environment cannot
+    decode without external libraries) raises ``NotImplementedError``.
+    """
+    if modality == "text":
+        head = payload[:16].ljust(16, b"\0")
+        return [
+            len(payload) / 1024.0,
+            head[0] / 255.0,
+            head[7] / 255.0,
+            sum(head) / (16 * 255.0),
+        ]
+    if modality == "image":
+        px = decode_ppm(payload).astype(np.float64)
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        h, w = luma.shape
+        return [float(w), float(h), luma.mean() / 255.0, luma.std() / 255.0]
+    if modality == "audio":
+        samples, rate, n_ch = decode_wav(payload)
+        x = samples.astype(np.float64) / 32768.0
+        zcr = (
+            float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            if len(x) > 1
+            else 0.0
+        )
+        duration = len(x) / (rate * n_ch) if rate else 0.0
+        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+        return [duration, float(n_ch), rms, zcr]
+    raise NotImplementedError(
+        f"{modality!r} decode needs media libraries not present "
+        "in this environment"
+    )
+
+
+#: Back-compat alias — the former stub is now a real decoder for
+#: text/PPM/WAV and still raises for formats needing external libs.
+decode_stub = decode_features
+
+
+# ------------------------------------------- deterministic synthesis
+
+
+def _cycled_bytes(text: str, n: int) -> np.ndarray:
+    """First ``n`` bytes of ``text`` utf-8 repeated end-to-end (the
+    deterministic 'pixel/sample generator' for tables that carry no
+    real media column)."""
+    src = np.frombuffer(
+        (text or "\0").encode("utf-8", errors="ignore") or b"\0",
+        dtype=np.uint8,
+    )
+    reps = -(-n // len(src))
+    return np.tile(src, reps)[:n]
+
+
+def synthesize_ppm(
+    df: DataFrame, id_col: str = "doc_id", source_col: str = "text"
+) -> DataFrame:
+    """Render a real binary PPM per row: W/H derive from the id
+    (mixed sizes), pixels from the text bytes cycled — so decoding is
+    a genuine parse of a genuine image, reproducible across runs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_col], pdf[source_col]):
+                w, h = 8 + int(i) % 9, 8 + int(i) % 7
+                px = _cycled_bytes(t, w * h * 3).reshape(h, w, 3)
+                payloads.append(encode_ppm(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_meta": [
+                        {"n_bytes": len(p), "modality": "image"}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id bigint, payload binary, "
+        "media_meta struct<n_bytes: bigint, modality: string>",
+    )
+
+
+def synthesize_wav(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "text",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Render a real PCM16 WAV per row: sample count derives from the
+    id, samples from the text bytes (centered, scaled to int16)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, t in zip(pdf[id_col], pdf[source_col]):
+                n = 400 + int(i) % 256
+                raw = _cycled_bytes(t, n).astype(np.int16)
+                samples = (raw - 128) * 256  # byte -> centered int16
+                payloads.append(encode_wav(samples, sample_rate))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_meta": [
+                        {"n_bytes": len(p), "modality": "audio"}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id bigint, payload binary, "
+        "media_meta struct<n_bytes: bigint, modality: string>",
+    )
+
+
+#: output schema of resize_images — decoded, resized, re-encoded PPM
+IMAGE_RESIZE_SCHEMA = (
+    "doc_id bigint, payload binary, w_in int, h_in int, "
+    "w_out int, h_out int"
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize: decode PPM -> nearest-neighbor resample ->
+    re-encode PPM, Arrow-batched.  The binary-in/binary-out shape is
+    what a PIL/opencv stage would have at scale; only the resample
+    kernel is simpler (NN instead of Lanczos)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "payload": [],
+                "w_in": [], "h_in": [], "w_out": [], "h_out": [],
+            }
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_ppm(bytes(p))
+                out = resize_nearest(px, out_w, out_h)
+                rows["doc_id"].append(i)
+                rows["payload"].append(encode_ppm(out))
+                rows["h_in"].append(px.shape[0])
+                rows["w_in"].append(px.shape[1])
+                rows["h_out"].append(out.shape[0])
+                rows["w_out"].append(out.shape[1])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=IMAGE_RESIZE_SCHEMA)
 
 
 #: output schema of resize_payloads
@@ -138,12 +369,13 @@ def sample_frames(
 
 
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads."""
+    """Arrow-batched feature extraction over binary payloads — real
+    decode per modality (``decode_features``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                decode_stub(p, m)
+                decode_features(p, m)
                 for p, m in zip(
                     pdf["payload"], [m["modality"] for m in pdf["media_meta"]]
                 )

@@ -492,9 +492,52 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     return sample_frames(with_payload, frame_bytes=32, stride=4)
 
 
+def q_multimodal_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode end-to-end: render a binary PPM per document
+    (deterministic pixels from the text bytes), then parse it back —
+    header scan + luminance stats in numpy over Arrow batches
+    (operators.multimodal.decode_ppm).  Output: per-image width /
+    height / mean / std luminance."""
+    from ..operators.multimodal import extract_features, synthesize_ppm
+
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    imgs = synthesize_ppm(d, "doc_id", "text")
+    return extract_features(imgs).select(
+        "doc_id",
+        "n_bytes",
+        F.col("f0").cast("int").alias("width"),
+        F.col("f1").cast("int").alias("height"),
+        F.round("f2", 6).alias("mean_luma"),
+        F.round("f3", 6).alias("std_luma"),
+    )
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode end-to-end: render a PCM16 WAV per document,
+    parse it with the stdlib ``wave`` reader, compute duration / RMS /
+    zero-crossing rate (operators.multimodal.decode_wav)."""
+    from ..operators.multimodal import extract_features, synthesize_wav
+
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    wavs = synthesize_wav(d, "doc_id", "text")
+    return extract_features(wavs).select(
+        "doc_id",
+        "n_bytes",
+        F.round("f0", 6).alias("duration_s"),
+        F.col("f1").cast("int").alias("n_channels"),
+        F.round("f2", 6).alias("rms"),
+        F.round("f3", 6).alias("zero_cross_rate"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-payload plumbing + Arrow-batched feature extraction
-    (decode stubbed — see operators.multimodal)."""
+    (text modality — see multimodal_image/audio_features for the real
+    media decodes)."""
     d = load(spark, sf, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -521,6 +564,8 @@ SPARK_QUERIES = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_features": q_multimodal_features,
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_audio_features": q_multimodal_audio_features,
 }
 
 ORACLE_SQL = {

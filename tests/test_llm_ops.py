@@ -138,7 +138,75 @@ def test_multimodal_roundtrip_and_stub_gate(spark):
     assert feats.n_bytes == 11 and feats.modality == "text"
     assert feats.f1 == ord("h") / 255.0
     with pytest.raises(NotImplementedError):
-        decode_stub(b"\x89PNG", "image")
+        decode_stub(b"\x89PNG", "image")  # PNG is NOT decodable here
+
+
+def test_ppm_codec_roundtrip_and_comments():
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(21)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    # spec allows comments in the header
+    with_comment = b"P6\n# a comment\n7 5\n255\n" + px.tobytes()
+    assert (decode_ppm(with_comment) == px).all()
+    small = resize_nearest(px, 3, 2)
+    assert small.shape == (2, 3, 3)
+    # NN resize picks existing pixels: every output pixel occurs in input
+    flat_in = {tuple(p) for p in px.reshape(-1, 3)}
+    assert all(tuple(p) in flat_in for p in small.reshape(-1, 3))
+
+
+def test_wav_codec_roundtrip_and_features():
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        decode_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.arange(8000, dtype=np.float64) / 8000.0
+    samples = (np.sin(2 * np.pi * 440 * t) * 16384).astype(np.int16)
+    payload = encode_wav(samples, sample_rate=8000)
+    back, rate, n_ch = decode_wav(payload)
+    assert rate == 8000 and n_ch == 1 and (back == samples).all()
+    dur, ch, rms, zcr = decode_features(payload, "audio")
+    assert abs(dur - 1.0) < 1e-9 and ch == 1.0
+    # 440 Hz sine: rms = A/sqrt(2), zcr ~ 2 * f / sample_rate
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(zcr - 880 / 8000) < 0.01
+
+
+def test_image_pipeline_real_decode(spark):
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        extract_features,
+        resize_images,
+        synthesize_ppm,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=3, text="abcdef"), Row(doc_id=10, text="zz")]
+    )
+    imgs = synthesize_ppm(df, "doc_id", "text")
+    feats = {r.doc_id: r for r in extract_features(imgs).collect()}
+    # doc 3: w = 8 + 3 % 9 = 11, h = 8 + 3 % 7 = 11
+    assert (feats[3].f0, feats[3].f1) == (11.0, 11.0)
+    # mean luminance matches a direct numpy reference on the same pixels
+    src = np.frombuffer(b"abcdef", dtype=np.uint8)
+    px = np.tile(src, -(-(11 * 11 * 3) // 6))[: 11 * 11 * 3].reshape(11, 11, 3)
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    assert abs(feats[3].f2 - luma.mean() / 255.0) < 1e-12
+
+    rs = {r.doc_id: r for r in resize_images(imgs, 4, 4).collect()}
+    assert (rs[3].w_in, rs[3].h_in, rs[3].w_out, rs[3].h_out) == (11, 11, 4, 4)
+    assert decode_ppm(bytes(rs[3].payload)).shape == (4, 4, 3)
 
 
 def test_cosine_function_exact(spark):
