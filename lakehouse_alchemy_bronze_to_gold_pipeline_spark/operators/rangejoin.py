@@ -42,7 +42,20 @@ def band_join(
 ) -> DataFrame:
     """Rows (left.*, right.*) where right_ts - left_ts in (lower, upper]
     and all ``keys`` match (keys must exist on both sides with the
-    same names).  Timestamps are integers (e.g. epoch micros)."""
+    same names).  Timestamps are integers (e.g. epoch micros).
+
+    INNER only: the exact band predicate is applied as a post-join
+    filter, so outer modes would first emit NULL-extended rows for
+    unmatched left rows (then drop them — silently inner) and would
+    duplicate survivors across the 2x bucket explode.  Outer band
+    semantics need the predicate folded into the join condition plus
+    explode-dedup; raise rather than return wrong rows."""
+    if how != "inner":
+        raise ValueError(
+            f"band_join implements inner semantics only, got how={how!r}; "
+            "wrap the result in a left join against the original left "
+            "relation if outer behavior is needed"
+        )
     if upper <= lower:
         raise ValueError("band upper bound must exceed lower bound")
     w = upper - lower

@@ -36,7 +36,25 @@ def salted_join(
     columns concatenated) so replicated hot-key rows spread evenly
     and deterministically; each small-side row is exploded to every
     salt value.  Shuffle keys become (key, salt): a key that used to
-    land on one reducer now lands on ``n_salts``."""
+    land on one reducer now lands on ``n_salts``.
+
+    Join modes that preserve the BIG side's grain (inner, left outer,
+    left semi/anti) are exact: each big row carries one salt, so it
+    meets exactly one replica of each matching small row.  Right/full
+    outer are rejected — an unmatched small-side row has ``n_salts``
+    replicas and every one would surface as a NULL-extended output
+    row (n_salts x duplication)."""
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "left_semi", "leftsemi", "anti", "left_anti",
+               "leftanti", "cross"}
+    if how.lower().replace("_", "") not in {
+        a.replace("_", "") for a in allowed
+    }:
+        raise ValueError(
+            f"salted_join supports big-side-grain joins only "
+            f"(inner/left/semi/anti), got how={how!r}: right/full outer "
+            "would emit each unmatched small row n_salts times"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     b = big.withColumn("__salt", salt.cast("int"))
     s = small.withColumn(

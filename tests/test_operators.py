@@ -222,6 +222,40 @@ def test_salted_join_matches_plain_join(spark):
     assert got == expected
 
 
+def test_salted_join_left_outer_matches_plain_and_rejects_right(spark):
+    import pytest as _pytest
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    big = spark.createDataFrame(
+        [Row(k=1, v=1), Row(k=2, v=2), Row(k=9, v=9)]  # k=9 unmatched
+    )
+    small = spark.createDataFrame([Row(k=1, name="a"), Row(k=2, name="b")])
+    got = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(big, small, "k", n_salts=4, how="left").collect()
+    )
+    expected = sorted(
+        (r.k, r.v, r.name) for r in big.join(small, "k", "left").collect()
+    )
+    assert got == expected  # unmatched big row survives exactly once
+    for bad in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError, match="n_salts times"):
+            salted_join(big, small, "k", how=bad)
+
+
+def test_band_join_rejects_outer_modes(spark):
+    import pytest as _pytest
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.rangejoin import (
+        band_join,
+    )
+
+    df = spark.createDataFrame([Row(k=1, ta=0, tb=0)])
+    with _pytest.raises(ValueError, match="inner semantics only"):
+        band_join(df, df, "ta", "tb", lower=0, upper=10, how="left")
+
+
 def test_two_phase_distinct_matches_count_distinct(spark):
     from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.skew import (
         two_phase_distinct,
