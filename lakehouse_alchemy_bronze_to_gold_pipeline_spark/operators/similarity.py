@@ -227,15 +227,19 @@ def lsh_pairs(
     replacement for ``cosine_pairs``.
 
     Shape: one narrow pass computes ``n_bands`` sign-bit signatures
-    per vector; the self-join runs per ``(band, signature)`` bucket —
-    shuffle volume is ``n_bands * n`` id rows, candidate pairs are
+    per vector; candidates come from ONE groupBy shuffle of
+    ``(band, signature, id)`` with pairs generated inside each
+    grouped bucket list (same construction as the MinHash candidate
+    stage — a bucket SELF-JOIN would re-execute the Arrow signature
+    subtree on both sides and shuffle the banded relation twice).
+    Shuffle volume is ``n_bands * n`` id rows; candidate pairs are
     bounded by ``n_bands * buckets * C(max_bucket, 2)`` instead of
     ``C(n, 2)``.  Buckets larger than ``max_bucket`` (degenerate
-    skew: near-constant vectors all hashing together) are dropped,
-    mirroring the MinHash operator's skew cap.  Exact cosine rerank
-    runs only on deduped candidates, via join-back to the raw
-    vectors (2 equi-joins ~ 2n rows, cheaper than carrying vectors
-    through the band explode at width x n_bands).
+    skew: near-constant vectors all hashing together) are dropped —
+    ``collect_list`` per bucket is safe BECAUSE of that cap.  Exact
+    cosine rerank runs only on deduped candidates, via join-back to
+    the raw vectors (2 equi-joins ~ 2n rows, cheaper than carrying
+    vectors through the band explode at width x n_bands).
 
     Fully deterministic (seeded plan-time hyperplanes), so a SQL
     oracle can replicate it value-for-value — see
@@ -254,22 +258,43 @@ def lsh_pairs(
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(id_col), F.posexplode(sig_fn(v)).alias("band", "sig"))
     )
-    # skew cap: the bucket-size window shares the (band, sig) exchange
-    # with the join below — one shuffle, reused
-    w = Window.partitionBy("band", "sig")
-    capped = banded.withColumn("__n", F.count(F.lit(1)).over(w)).filter(
-        F.col("__n") <= max_bucket
+    buckets = (
+        banded.groupBy("band", "sig")
+        .agg(F.collect_list(id_col).alias("ids"))
+        # skew guard as a size filter on the grouped list; singleton
+        # buckets generate nothing
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    a = capped.select(F.col("band"), F.col("sig"), F.col(id_col).alias("id_a"))
-    b_ = capped.select(F.col("band"), F.col("sig"), F.col(id_col).alias("id_b"))
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda b: F.struct(
+                    F.least(a, b).alias("id_a"),
+                    F.greatest(a, b).alias("id_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(b_, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = df.select(F.col(id_col).alias("id_a"), v.alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), v.alias("__vb"))
+    # rerank join-back: SHUFFLE_HASH on the vector side — candidates
+    # stay the streamed side so the (interpreted-HOF) cosine runs on
+    # the shuffle's full parallelism.  Without the hint the static
+    # planner can broadcast the candidate relation (its post-agg size
+    # estimate is tiny), which serializes the rerank onto the vector
+    # scan's few tasks; a broadcast of the VECTORS would be fine here
+    # but cannot scale — the corpus is the big relation at 100 TB.
+    va = df.select(F.col(id_col).alias("id_a"), v.alias("__va")).hint(
+        "shuffle_hash"
+    )
+    vb = df.select(F.col(id_col).alias("id_b"), v.alias("__vb")).hint(
+        "shuffle_hash"
+    )
     scored = (
         cand.join(va, "id_a")
         .join(vb, "id_b")

@@ -1,0 +1,211 @@
+"""Breadth batch 4: ranking/navigation window functions, gaps-and-
+islands, deterministic hash sampling, and date-spine zero-fill.
+
+Same numeric policy as ``core.py`` (decimal money sums, bigint
+counts, ISO date strings, tz-free epoch math for events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core import _dec_sum
+from .data import load
+
+
+# ------------------------------------- ranking / navigation windows
+
+
+def q_order_rank_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Navigation + distribution window functions per customer:
+    lead/lag (next/previous order price), ntile quartile,
+    percent_rank and cume_dist over the order sequence — ONE window
+    spec, one shuffle on o_custkey."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("customer_id"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_ORDER_RANK_FUNCTIONS = """
+SELECT o_orderkey AS order_key,
+       o_custkey AS customer_id,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------------------------- gaps and islands
+
+
+def q_user_activity_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: per user, islands of CONSECUTIVE active days
+    (day - row_number is constant within an island — the classic
+    formulation).  Two window passes + one aggregate, all partitioned
+    by user: no global shuffle beyond the user key."""
+    ev = load(spark, sf, "events")
+    days = (
+        ev.select(
+            "user_id",
+            (F.col("ts_us") / F.lit(86_400_000_000))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "grp", F.col("day") - F.row_number().over(w)
+    )
+    islands = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("streak_len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.max("streak_len").cast("bigint").alias("longest_streak"),
+    )
+
+
+SQL_USER_ACTIVITY_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+), grouped AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+), islands AS (
+  SELECT user_id, grp, COUNT(*) AS streak_len
+  FROM grouped GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak
+FROM islands
+GROUP BY user_id
+"""
+
+
+# ------------------------------------- deterministic hash sampling
+
+
+def q_lineitem_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~10% sample via md5 prefix compare — the
+    reproducible cross-engine sampling primitive (TABLESAMPLE is
+    engine-/split-dependent; a key-hash predicate is stable across
+    engines, runs, and repartitioning, and pushes down to the scan as
+    a cheap per-row filter).  Aggregates verify the sampled subset is
+    identical in both engines."""
+    li = load(spark, sf, "lineitem")
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sampled = li.filter(F.md5(key.cast("binary")) < "1a")  # 26/256 ~ 10.2%
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        _dec_sum(F.col("l_extendedprice"), 2, "revenue"),
+    )
+
+
+SQL_LINEITEM_HASH_SAMPLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))
+      < '1a'
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------- date spine zero-fill
+
+
+def q_event_date_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """Generated date spine (sequence + explode) x event types, LEFT
+    joined to daily counts with zero-fill — the dense-calendar shape
+    reporting needs (a bare groupBy silently drops empty days).  The
+    spine is generated, never scanned; the daily counts reduce before
+    the join, so the join is spine-sized, not event-sized."""
+    ev = load(spark, sf, "events")
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("bigint")
+    daily = ev.groupBy(
+        day.alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine_days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.unix_date(F.to_date(F.lit("2024-01-01"))).cast("bigint"),
+                F.unix_date(F.to_date(F.lit("2024-02-29"))).cast("bigint"),
+            )
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_days.crossJoin(types)
+    return (
+        spine.join(daily, ["day", "event_type"], "left")
+        .select(
+            F.date_format(
+                F.date_add(
+                    F.to_date(F.lit("1970-01-01")), F.col("day").cast("int")
+                ),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+SQL_EVENT_DATE_SPINE = """
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), spine_days AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', d.gs) AS BIGINT) AS day
+  FROM generate_series(DATE '2024-01-01', DATE '2024-02-29',
+                       INTERVAL 1 DAY) d(gs)
+), spine AS (
+  SELECT s.day, t.event_type
+  FROM spine_days s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT strftime(DATE '1970-01-01' + INTERVAL (s.day) DAY, '%Y-%m-%d') AS day,
+       s.event_type,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+FROM spine s
+LEFT JOIN daily d ON s.day = d.day AND s.event_type = d.event_type
+"""
+
+
+SPARK_QUERIES = {
+    "order_rank_functions": q_order_rank_functions,
+    "user_activity_streaks": q_user_activity_streaks,
+    "lineitem_hash_sample": q_lineitem_hash_sample,
+    "event_date_spine": q_event_date_spine,
+}
+
+ORACLE_SQL = {
+    "order_rank_functions": SQL_ORDER_RANK_FUNCTIONS,
+    "user_activity_streaks": SQL_USER_ACTIVITY_STREAKS,
+    "lineitem_hash_sample": SQL_LINEITEM_HASH_SAMPLE,
+    "event_date_spine": SQL_EVENT_DATE_SPINE,
+}

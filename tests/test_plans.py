@@ -114,6 +114,81 @@ def test_whole_stage_codegen_on_hot_path(spark):
     assert "*(" in final
 
 
+def test_scd1_merge_single_shuffle_no_join(spark):
+    """Keep-latest merge = union + ONE window shuffle on the merge
+    key — no join operator anywhere (a join-based MERGE would shuffle
+    twice and break on duplicate update keys)."""
+    plan = _formatted(spark, "scd1_upsert")
+    ops = _ops(plan)
+    assert _shuffles(plan) == 1
+    assert not any("Join" in o for o in ops)
+    assert "Window" in ops
+
+
+def test_approx_percentile_is_partial_final_aggregate(spark):
+    """The sketch percentile must keep the two-phase (partial ->
+    exchange -> final) shape — mergeable state is the whole point;
+    a plan that shipped raw rows to one node would be the exact
+    percentile's buffer problem again."""
+    plan = _formatted(spark, "price_percentiles_approx")
+    ops = _ops(plan)
+    aggs = [o for o in ops if o.endswith("HashAggregate")]
+    assert len(aggs) == 2  # partial + final (objHashAggregate for GK)
+    assert _shuffles(plan) == 1
+    assert "Sort" not in ops  # no per-group sort buffer
+
+
+def test_rank_functions_one_window_exchange(spark):
+    """lead/lag/ntile/percent_rank/cume_dist share one window spec ->
+    one shuffle on the partition key, one Window operator."""
+    plan = _formatted(spark, "order_rank_functions")
+    ops = _ops(plan)
+    assert _shuffles(plan) == 1
+    assert ops.count("Window") == 1
+
+
+def test_date_spine_joins_reduced_daily_not_raw_events(spark):
+    """The spine join must consume the AGGREGATED daily counts (spine
+    x daily, both tiny) — the aggregate runs below the join, never
+    after it."""
+    plan = _formatted(spark, "event_date_spine")
+    tree = plan.split("\n\n")[0]
+    ops = _ops(plan)
+    assert "CartesianProduct" not in ops
+    # zero-fill join is a broadcast hash join (spine side is tiny)
+    assert "BroadcastHashJoin" in ops
+    # daily counts aggregate BELOW the join: partial+final pairs for
+    # both the daily counts and the distinct types, none above it
+    join_pos = tree.find("BroadcastHashJoin")
+    assert join_pos != -1
+    assert tree.find("HashAggregate") > join_pos  # deeper in the tree
+
+
+def test_hash_sample_filter_in_scan_stage(spark):
+    """The md5 sample predicate is a per-row filter directly over the
+    scan — no exchange between scan and filter (sampling happens
+    before any shuffle, so downstream stages see only the sample)."""
+    plan = _formatted(spark, "lineitem_hash_sample")
+    ops = _ops(plan)
+    # exactly the one aggregation exchange; the filter adds none
+    assert _shuffles(plan) == 1
+    assert "Filter" in ops
+
+
+def test_lsh_pairs_single_arrow_pass_no_cartesian(spark):
+    """Banded LSH pair mining: the Arrow signature stage runs ONCE
+    (a bucket self-join would duplicate the whole subtree on both
+    sides), candidates come from an in-bucket pair generator, and no
+    cartesian/nested-loop join appears anywhere."""
+    plan = _formatted(spark, "embedding_top_pairs_lsh")
+    tree = plan.split("\n\n")[0]
+    ops = _ops(plan)
+    assert tree.count("ArrowEvalPython") == 1
+    assert "CartesianProduct" not in ops
+    assert "BroadcastNestedLoopJoin" not in ops
+    assert "TakeOrderedAndProject" in ops  # top-k, not global sort
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Two tables bucketed on the join key with equal bucket counts
     sort-merge-join with ZERO exchanges — the write-side co-location
