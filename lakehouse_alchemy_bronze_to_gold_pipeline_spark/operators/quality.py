@@ -156,3 +156,26 @@ class QualityEngine:
         if sink is not None:
             sink(self.failing_rows(df, entity))
         return counts
+
+    def observed(self, df: DataFrame, name: str = "dq"):
+        """In-flight DQ metrics: attach the rule counters to ``df`` as
+        an ``observe`` metric set — counts are accumulated DURING the
+        next action on the returned frame (the production write), so
+        quality monitoring costs ZERO extra scans.  At 100 TB that is
+        the difference between monitoring and a second pass over the
+        table.
+
+        Returns ``(df_with_metrics, observation)``; read
+        ``observation.get`` AFTER an action completes.  Counters are
+        plain conditional sums — the same numbers
+        ``violation_counts`` computes with its own job."""
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        aggs = [
+            F.sum(F.when(r.predicate, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(r.name)
+            for r in self.rules
+        ]
+        return df.observe(obs, *aggs), obs

@@ -196,11 +196,53 @@ LEFT JOIN daily d ON s.day = d.day AND s.event_type = d.event_type
 """
 
 
+# ------------------------------------------------- unpivot / melt
+
+
+def q_order_metrics_melt(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide-to-long reshape with the native ``unpivot`` operator: per
+    order status, three aggregate metrics melt into (status, metric,
+    value) rows.  Unpivot is a narrow 1->N row expansion — zero
+    shuffle beyond the aggregation's own exchange."""
+    o = load(spark, sf, "orders")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.sum(price_dec).cast("double").alias("sum_price"),
+        F.round(F.avg(price_dec), 6).cast("double").alias("avg_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["sum_price", "avg_price", "n_orders"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+SQL_ORDER_METRICS_MELT = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price,
+         CAST(ROUND(AVG(CAST(o_totalprice AS DECIMAL(18,2))), 6) AS DOUBLE)
+           AS avg_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+UNION ALL
+SELECT o_orderstatus, 'n_orders', n_orders FROM wide
+"""
+
+
 SPARK_QUERIES = {
     "order_rank_functions": q_order_rank_functions,
     "user_activity_streaks": q_user_activity_streaks,
     "lineitem_hash_sample": q_lineitem_hash_sample,
     "event_date_spine": q_event_date_spine,
+    "order_metrics_melt": q_order_metrics_melt,
 }
 
 ORACLE_SQL = {
@@ -208,4 +250,5 @@ ORACLE_SQL = {
     "user_activity_streaks": SQL_USER_ACTIVITY_STREAKS,
     "lineitem_hash_sample": SQL_LINEITEM_HASH_SAMPLE,
     "event_date_spine": SQL_EVENT_DATE_SPINE,
+    "order_metrics_melt": SQL_ORDER_METRICS_MELT,
 }

@@ -480,6 +480,111 @@ def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
 
 
+def q_training_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END training-data prep — the composed pipeline the
+    individual LLM-ops queries are stages of:
+
+      1. language gate (marker-word lang-id == 'en');
+      2. quality gate (composite score >= 0.4, same formula as
+         ``doc_quality_score``);
+      3. exact dedup: lowest doc_id survives per normalized-content
+         md5 fingerprint;
+      4. corpus accounting per quality bucket: docs, BPE-ish token
+         totals, exact mean score.
+
+    Shape at 100 TB: stages 1-2 are narrow filter passes fused into
+    the scan, stage 3 is the ONE shuffle (fingerprint), stage 4 a
+    partial+final aggregate.  Token budgeting happens on the bucket
+    totals (choose buckets until the budget fills) — a global
+    take-until-budget cumsum would serialize on one reducer."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents")
+    toks = TX.nonempty_tokens("text")
+    n_tokens = F.size(toks).cast("double")
+    stop_ratio = TX.stopword_count(toks).cast("double") / F.greatest(
+        n_tokens, F.lit(1.0)
+    )
+    alpha_ratio = F.length(
+        F.regexp_replace("text", "[^a-zA-Z]", "")
+    ).cast("double") / F.greatest(F.length("text").cast("double"), F.lit(1.0))
+    score = F.round(
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.3 * alpha_ratio,
+        4,
+    )
+    gated = (
+        d.filter(TX.lang_id("text") == "en")
+        .select(
+            "doc_id",
+            "text",
+            score.alias("quality_score"),
+            TX.fingerprint("text").alias("fp"),
+        )
+        .filter(F.col("quality_score") >= 0.4)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fp")
+    )
+    bucket = F.when(F.col("quality_score") >= 0.7, "high").otherwise("medium")
+    return deduped.groupBy(bucket.alias("quality_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TX.bpe_ish_tokens("text")).cast("bigint"))
+        .cast("bigint")
+        .alias("total_bpe_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_quality"),
+    )
+
+
+SQL_TRAINING_CORPUS_PREP = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x != '')) AS DOUBLE) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x IN {STOPWORD_SQL})) AS DOUBLE)
+           AS n_stop,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           AS n_alpha,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+  WHERE contains(' ' || lower(text) || ' ', ' the ')
+     OR contains(' ' || lower(text) || ' ', ' and ')
+), s AS (
+  SELECT doc_id, text,
+         ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+               + 0.3 * LEAST(n_stop / GREATEST(n_tokens, 1.0) * 5.0, 1.0)
+               + 0.3 * n_alpha / GREATEST(n_chars, 1.0), 4) AS quality_score
+  FROM t
+), gated AS (
+  SELECT doc_id, text, quality_score,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+  FROM s WHERE quality_score >= 0.4
+), deduped AS (
+  SELECT doc_id, text, quality_score FROM gated
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+)
+SELECT CASE WHEN quality_score >= 0.7 THEN 'high' ELSE 'medium' END
+         AS quality_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{TX_BPE_PATTERN_SQL}')))
+            AS BIGINT) AS total_bpe_tokens,
+       ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_quality
+FROM deduped
+GROUP BY 1
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-sampling plumbing: 1->N binary chunk rows per payload
     (mapInPandas; decode stubbed)."""
@@ -566,6 +671,7 @@ SPARK_QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
+    "training_corpus_prep": q_training_corpus_prep,
 }
 
 ORACLE_SQL = {
@@ -575,6 +681,7 @@ ORACLE_SQL = {
     "dedup_documents_exact": SQL_DEDUP_DOCUMENTS_EXACT,
     "doc_quality_score": SQL_DOC_QUALITY_SCORE,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
+    "training_corpus_prep": SQL_TRAINING_CORPUS_PREP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ngram_jaccard_query": SQL_NGRAM_JACCARD_QUERY,
     "embedding_topk": SQL_EMBEDDING_TOPK,

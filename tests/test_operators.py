@@ -74,6 +74,27 @@ def test_quality_single_pass_counts_and_rows(spark):
     assert len(rows) == 5 and all(r.entity == "t" for r in rows)
 
 
+def test_quality_observed_metrics_during_write(spark):
+    """``observed`` collects the SAME counters as violation_counts,
+    but during the production action (here a noop write) — no second
+    scan job."""
+    df = spark.createDataFrame(
+        [
+            Row(id=None, email="x@y.com", qty=2.0, name=" pad"),
+            Row(id=2, email="bad", qty=-1.0, name="ok"),
+            Row(id=3, email="a@b.io", qty=1.5, name="ok"),
+        ]
+    )
+    rules = [null_pk_rule(["id"]), email_rule("email"), positive_rule(["qty"])]
+    eng = QualityEngine(rules)
+    observed_df, obs = eng.observed(df)
+    observed_df.write.format("noop").mode("overwrite").save()
+    expected = {
+        r.rule: r.n_violations for r in eng.violation_counts(df).collect()
+    }
+    assert obs.get == expected
+
+
 def test_orphan_rule_anti_join(spark):
     fact = spark.createDataFrame([Row(fk=1), Row(fk=2), Row(fk=9)])
     dim = spark.createDataFrame([Row(k=1), Row(k=2)])
