@@ -78,6 +78,33 @@ def minhash_signatures(
     return out.withColumn("sig", sig)
 
 
+def band_buckets(
+    sigs: DataFrame,
+    id_col: str,
+    n_bands: int = 16,
+    band_rows: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_hash) — one row per band per document.
+    The materializable LSH index relation: persisted as a table it
+    lets NEW documents find near-dup candidates among ALL previously
+    seen documents with one equi-join on (band_idx, band_hash) —
+    see ``streaming.incremental_dedup``."""
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * band_rows + 1, band_rows)
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bucket"),
+    ).select(id_col, "bucket.band_idx", "bucket.band_hash")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str,
@@ -93,20 +120,7 @@ def lsh_candidate_pairs(
     the skew guard (the bucket-width cap is a size filter on the
     grouped list).  ``collect_list`` per bucket is safe BECAUSE of the
     cap: state per bucket is <= max_bucket ids."""
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * band_rows + 1, band_rows)
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bucket"),
-    ).select(id_col, "bucket.band_idx", "bucket.band_hash")
+    banded = band_buckets(sigs, id_col, n_bands, band_rows)
 
     buckets = (
         banded.groupBy("band_idx", "band_hash")

@@ -585,6 +585,67 @@ GROUP BY 1
 """
 
 
+def q_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking — split each document into overlapping
+    token windows (size 40, stride 30), the 1->N reshape every
+    RAG/training pipeline runs before embedding.  Pure built-in
+    expressions: tokenize once, generate window starts with
+    ``sequence``, slice per start, posexplode — a narrow per-row
+    expansion, NO shuffle and no UDF.  Short docs yield one chunk."""
+    d = load(spark, sf, "documents")
+    toks = TX.nonempty_tokens("text", lowercase=False)
+    size, stride = 40, 30
+    # integer floor-division for the last window start (a double `/`
+    # would round 31/30*30 to 30.99999... and cast to 30 vs DuckDB's
+    # exact integer `//`)
+    last_start = F.greatest(
+        F.floor((F.size("__toks") - 1) / F.lit(stride)).cast("int")
+        * F.lit(stride),
+        F.lit(0),
+    )
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.slice(F.col("__toks"), s + 1, size)
+    )
+    return (
+        d.select("doc_id", toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        # drop stride tails fully covered by the previous window
+        .filter((F.col("chunk_idx") == 0) | (F.size("chunk") > size - stride))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.concat_ws(" ", "chunk").alias("chunk_text"),
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+SQL_DOC_CHUNKING = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), chunks AS (
+  SELECT doc_id,
+         CAST(s.i / 30 AS BIGINT) AS chunk_idx,
+         toks[s.i + 1 : s.i + 40] AS chunk
+  FROM nonempty,
+       LATERAL (SELECT unnest(range(0, GREATEST((n - 1) // 30 * 30, 0) + 1,
+                                    30)) AS i) s
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(chunk, ' ') AS chunk_text,
+       CAST(len(chunk) AS BIGINT) AS n_tokens
+FROM chunks
+WHERE chunk_idx = 0 OR len(chunk) > 10
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-sampling plumbing: 1->N binary chunk rows per payload
     (mapInPandas; decode stubbed)."""
@@ -672,6 +733,7 @@ SPARK_QUERIES = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_audio_features": q_multimodal_audio_features,
     "training_corpus_prep": q_training_corpus_prep,
+    "doc_chunking": q_doc_chunking,
 }
 
 ORACLE_SQL = {
@@ -682,6 +744,7 @@ ORACLE_SQL = {
     "doc_quality_score": SQL_DOC_QUALITY_SCORE,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "training_corpus_prep": SQL_TRAINING_CORPUS_PREP,
+    "doc_chunking": SQL_DOC_CHUNKING,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ngram_jaccard_query": SQL_NGRAM_JACCARD_QUERY,
     "embedding_topk": SQL_EMBEDDING_TOPK,

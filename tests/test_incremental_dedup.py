@@ -1,0 +1,93 @@
+"""Incremental streaming near-dup filter: new docs are gated against
+EVERYTHING seen in prior runs via the persisted signature/bucket
+tables — cross-run dedup that bounded streaming state cannot hold.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.tables import (
+    TableIO,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.incremental_dedup import (
+    IncrementalNearDupFilter,
+)
+
+SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the old river bank "
+    "while birds sing in the tall green trees above"
+)
+OTHER = "completely different words about spark sql engines and shuffles here"
+
+
+def _write(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run(spark, gate, src, cp, out_table):
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    q = gate.sink(stream, out_table, cp).start()
+    q.awaitTermination(120)
+
+
+def test_incremental_neardup_across_runs(spark, tmp_path):
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("incq_dd_sigs", "incq_dd_buckets", "incq_dd_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    io = TableIO(spark, fmt="parquet")
+    gate = IncrementalNearDupFilter(io, "incq_dd", threshold=0.5)
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+
+    # run 1: A, B distinct; C is a near-dup of A (same batch) -> drop C
+    _write(src, "b1.json", [
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": OTHER},
+        {"doc_id": 3, "text": BASE.replace("lazy", "sleepy")},
+    ])
+    _run(spark, gate, src, cp, "incq_dd_out")
+    assert sorted(
+        r.doc_id for r in spark.read.table("incq_dd_out").collect()
+    ) == [1, 2]
+
+    # run 2: D dups A from the PREVIOUS run -> dropped via the
+    # persisted index; E is new -> kept
+    _write(src, "b2.json", [
+        {"doc_id": 4, "text": BASE.replace("quick", "swift")},
+        {"doc_id": 5, "text": "unrelated fresh content about parquet files"},
+    ])
+    _run(spark, gate, src, cp, "incq_dd_out")
+    assert sorted(
+        r.doc_id for r in spark.read.table("incq_dd_out").collect()
+    ) == [1, 2, 5]
+
+    # replayed/already-seen ids are ignored (exactly-once guard)
+    _write(src, "b3.json", [
+        {"doc_id": 5, "text": "unrelated fresh content about parquet files"},
+        {"doc_id": 6, "text": OTHER.replace("different", "distinct")},
+    ])
+    _run(spark, gate, src, cp, "incq_dd_out")
+    got = sorted(r.doc_id for r in spark.read.table("incq_dd_out").collect())
+    assert got == [1, 2, 5]  # 5 replay-guarded, 6 near-dups OTHER (doc 2)
+
+    # state tables carry exactly the survivors
+    assert sorted(
+        r.doc_id for r in spark.read.table("incq_dd_sigs").collect()
+    ) == [1, 2, 5]
+    for t in ("incq_dd_sigs", "incq_dd_buckets", "incq_dd_out"):
+        spark.sql(f"DROP TABLE {t}")
