@@ -423,6 +423,43 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 SQL_MINHASH_NEARDUP_MD5 = _minhash_md5_oracle_sql()
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate GROUPS from near-dup PAIRS: MinHash md5 pairs reduced
+    by alternating large-star/small-star connected components
+    (``operators.components``, O(log n) shuffle rounds) to
+    (doc_id, cluster_id = min doc_id of the duplicate group) — the
+    keep-one-canonical-document step of corpus dedup.  Oracle: DuckDB
+    reproduces the pairs value-for-value (md5 hash family) and labels
+    components with a recursive min-reachability CTE."""
+    from ..operators.components import connected_components
+    from ..operators.minhash import minhash_near_duplicates_md5
+
+    d = load(spark, sf, "documents")
+    pairs = minhash_near_duplicates_md5(
+        d, "doc_id", "text", threshold=0.4, shingle_n=2
+    )
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_md5_oracle_sql()}) base
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk(id, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+)
+SELECT id AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY id
+"""
+
+
 def q_simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash per document (bitwise HOF expression)."""
     d = load(spark, sf, "documents")
@@ -724,6 +761,7 @@ SPARK_QUERIES = {
     "knn_join": q_knn_join,
     "minhash_neardup": q_minhash_neardup,
     "minhash_neardup_md5": q_minhash_neardup_md5,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_bits_md5": q_simhash_bits_md5,
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -750,6 +788,7 @@ ORACLE_SQL = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "knn_join": SQL_KNN_JOIN,
     "minhash_neardup_md5": SQL_MINHASH_NEARDUP_MD5,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash_bits_md5": SQL_SIMHASH_BITS_MD5,
     # minhash_neardup / simhash_fingerprints / embedding_lsh_topk /
     # multimodal_features: intentionally no oracle (probabilistic or
