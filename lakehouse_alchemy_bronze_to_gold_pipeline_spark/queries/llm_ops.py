@@ -683,6 +683,224 @@ WHERE chunk_idx = 0 OR len(chunk) > 10
 """
 
 
+# --------------------------------------------- corpus-level text IR
+
+def _doc_terms(spark: SparkSession, sf: str):
+    """(doc_id, term, tf) + (doc_id, dl) token-length relation —
+    shared frame for TF-IDF / BM25.  One explode + one groupBy
+    shuffle; term stats downstream are aggregations of THIS relation,
+    never a second scan of the text."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", TX.nonempty_tokens("text").alias("toks")
+    ).filter(F.size("toks") > 0)
+    lens = toks.select(
+        "doc_id", F.size("toks").cast("bigint").alias("dl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf, lens
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smooth idf =
+    ln((N+1)/(df+1))) — the keyword-extraction / feature-weighting
+    pass of a text corpus pipeline.  Shape: the (doc, term, tf)
+    relation aggregates once more per term for document frequency,
+    joins back (shuffle join — the term dimension is corpus-sized,
+    NOT broadcastable at scale), and a per-doc window takes the top
+    terms.  N is a scalar aggregate broadcast by construction."""
+    tf, lens = _doc_terms(spark, sf)
+    n_docs = lens.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "tfidf",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, t FROM toks WHERE len(t) > 0
+), tf AS (
+  SELECT doc_id, u.term, COUNT(*) AS tf
+  FROM nonempty, UNNEST(t) AS u(term)
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM nonempty
+)
+SELECT doc_id, term, tf, df,
+       ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf,
+       CAST(row_number() OVER (
+         PARTITION BY doc_id
+         ORDER BY tf * ln((n_docs + 1.0) / (df + 1.0)) DESC, term
+       ) AS BIGINT) AS rank
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+QUALIFY rank <= 3
+"""
+
+
+#: BM25 free parameters (Robertson/Sparck Jones defaults).
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 documents for a fixed term query under BM25 — corpus
+    search over the same one-shuffle (doc, term, tf) relation.  The
+    per-query-term df/idf relation is tiny (|query| rows) and
+    explicitly broadcast; dl/avgdl come from the token-length
+    relation (scalar aggregate).  No text re-scan, no UDF."""
+    qterms = QUERY_TEXT.split()
+    tf, lens = _doc_terms(spark, sf)
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = tf.filter(F.col("term").isin(qterms))
+    dfreq = qtf.groupBy("term").agg(F.count("*").alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(idf * norm), 4).alias("bm25"),
+            F.count("*").alias("n_matched"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+SQL_BM25_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, t FROM toks WHERE len(t) > 0
+), lens AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM nonempty
+), tf AS (
+  SELECT doc_id, u.term, COUNT(*) AS tf
+  FROM nonempty, UNNEST(t) AS u(term)
+  GROUP BY 1, 2
+), qtf AS (
+  SELECT * FROM tf
+  WHERE term IN ({", ".join("'" + t + "'" for t in QUERY_TEXT.split())})
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+)
+SELECT q.doc_id,
+       ROUND(SUM(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * q.tf * ({_BM25_K1} + 1)
+           / (q.tf + {_BM25_K1}
+              * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+       ), 4) AS bm25,
+       COUNT(*) AS n_matched
+FROM qtf q
+JOIN dfreq USING (term)
+JOIN lens l ON l.doc_id = q.doc_id
+CROSS JOIN stats s
+GROUP BY q.doc_id
+ORDER BY bm25 DESC, q.doc_id
+LIMIT 20
+"""
+
+
+def q_vocab_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary building: global term frequencies, min-count floor,
+    contiguous token ids by (count desc, term).  The global rank runs
+    AFTER a TakeOrdered top-V cut (vocab output is small by
+    definition), so no single-partition window ever sees the full
+    term dimension."""
+    tf, _ = _doc_terms(spark, sf)
+    counts = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("n"), F.count("*").alias("n_docs"))
+        .filter(F.col("n") >= 5)
+        .orderBy(F.col("n").desc(), "term")
+        .limit(500)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "term")
+    return counts.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("token_id"),
+        "term",
+        "n",
+        "n_docs",
+    )
+
+
+SQL_VOCAB_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, t FROM toks WHERE len(t) > 0
+), tf AS (
+  SELECT doc_id, u.term, COUNT(*) AS tf
+  FROM nonempty, UNNEST(t) AS u(term)
+  GROUP BY 1, 2
+), counts AS (
+  SELECT term, SUM(tf) AS n, COUNT(*) AS n_docs
+  FROM tf GROUP BY 1 HAVING SUM(tf) >= 5
+  ORDER BY n DESC, term LIMIT 500
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, term) - 1 AS BIGINT)
+         AS token_id,
+       term, CAST(n AS BIGINT) AS n, n_docs
+FROM counts
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-sampling plumbing: 1->N binary chunk rows per payload
     (mapInPandas; decode stubbed)."""
@@ -772,6 +990,9 @@ SPARK_QUERIES = {
     "multimodal_audio_features": q_multimodal_audio_features,
     "training_corpus_prep": q_training_corpus_prep,
     "doc_chunking": q_doc_chunking,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_search": q_bm25_search,
+    "vocab_top_terms": q_vocab_top_terms,
 }
 
 ORACLE_SQL = {
@@ -783,6 +1004,9 @@ ORACLE_SQL = {
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,
     "training_corpus_prep": SQL_TRAINING_CORPUS_PREP,
     "doc_chunking": SQL_DOC_CHUNKING,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "bm25_search": SQL_BM25_SEARCH,
+    "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ngram_jaccard_query": SQL_NGRAM_JACCARD_QUERY,
     "embedding_topk": SQL_EMBEDDING_TOPK,
