@@ -683,6 +683,132 @@ WHERE chunk_idx = 0 OR len(chunk) > 10
 """
 
 
+def q_eval_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval contamination check — which training documents
+    share word 5-grams with a held-out eval split (doc_id % 10 == 7),
+    the decontamination step run before every benchmark-clean
+    training set.  Grams are md5'd to a fixed-width join key (the
+    shuffle carries 32-byte strings, not arbitrary text) and the eval
+    gram set is BROADCAST: eval corpora are MB-scale by construction,
+    while the train side streams through map-side."""
+    d = load(spark, sf, "documents")
+    grams = TX.word_shingles(TX.nonempty_tokens("text"), 5)
+    g = d.select(
+        "doc_id", F.explode(grams).alias("gram")
+    ).select("doc_id", F.md5("gram").alias("gram"))
+    ev = (
+        g.filter(F.col("doc_id") % 10 == 7).select("gram").distinct()
+    )
+    return (
+        g.filter(F.col("doc_id") % 10 != 7)
+        .join(F.broadcast(ev), "gram")
+        # shingles are distinct per doc, so count(*) = distinct grams
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy(F.col("n_shared").desc(), "doc_id")
+    )
+
+
+SQL_EVAL_CONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         md5(unnest(list_distinct(list_transform(range(1, len(t) - 3),
+               i -> array_to_string(list_slice(t, i, i + 4), ' ')))))
+           AS gram
+  FROM toks
+), ev AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 7
+)
+SELECT doc_id, COUNT(*) AS n_shared
+FROM grams JOIN ev USING (gram)
+WHERE doc_id % 10 != 7
+GROUP BY 1
+ORDER BY n_shared DESC, doc_id
+"""
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (scale = max|x|/127) +
+    reconstruction-error accounting — the 4x bandwidth/memory cut
+    applied to embedding stores before ANN serving.  The (v, scale)
+    relation is materialized behind a repartition BEFORE the
+    per-element quantize lambda: CollapseProject would otherwise
+    inline the array_max subtree into the lambda and re-evaluate it
+    per element (O(dim^2) per row).  The repartition doubles as the
+    compute-spread for the scan's single file split."""
+    from ..functions.vectors import as_double_array
+
+    emb = load(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    ).withColumn(
+        "scale",
+        F.array_max(F.transform("v", lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    base = base.repartition(spark.sparkContext.defaultParallelism)
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform("v", lambda x: F.round(x / F.col("scale")).cast("int")),
+    ).otherwise(F.transform("v", lambda x: F.lit(0)))
+    sq_err = F.zip_with(
+        "v", "q", lambda x, qq: F.pow(x - qq * F.col("scale"), F.lit(2.0))
+    )
+    # q_sum / l2_err are computed in withColumn stages so "scale"
+    # resolves against the INPUT column: in a single select, lateral
+    # column alias resolution would bind F.col("scale") inside the
+    # error lambda to the just-aliased ROUNDED scale
+    return (
+        base.withColumn("q", q)
+        .withColumn(
+            "q_sum",
+            F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x),
+        )
+        .withColumn(
+            "l2_err",
+            F.round(
+                F.sqrt(
+                    F.aggregate(sq_err, F.lit(0.0), lambda a, x: a + x)
+                ),
+                6,
+            ),
+        )
+        .select(
+            "vec_id",
+            F.round("scale", 6).alias("scale"),
+            "q_sum",
+            "l2_err",
+        )
+    )
+
+
+SQL_EMBEDDING_QUANTIZE_INT8 = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(round(x / scale) AS INTEGER))
+              ELSE list_transform(v, x -> 0) END AS q
+  FROM s
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       ROUND(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+               i -> pow(v[i] - q[i] * scale, 2)))), 6) AS l2_err
+FROM q
+"""
+
+
 # --------------------------------------------- corpus-level text IR
 
 def _doc_terms(spark: SparkSession, sf: str):
@@ -993,6 +1119,8 @@ SPARK_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "vocab_top_terms": q_vocab_top_terms,
+    "eval_contamination": q_eval_contamination,
+    "embedding_quantize_int8": q_embedding_quantize_int8,
 }
 
 ORACLE_SQL = {
@@ -1007,6 +1135,8 @@ ORACLE_SQL = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_search": SQL_BM25_SEARCH,
     "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
+    "eval_contamination": SQL_EVAL_CONTAMINATION,
+    "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE_INT8,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ngram_jaccard_query": SQL_NGRAM_JACCARD_QUERY,
     "embedding_topk": SQL_EMBEDDING_TOPK,
