@@ -237,8 +237,86 @@ SELECT o_orderstatus, 'n_orders', n_orders FROM wide
 """
 
 
+# ------------------------------------- binning / moment aggregates
+
+
+def q_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram of order totals: 20 equal bins with a
+    top clamp — binning is a pure projection (floor-div), so the
+    whole histogram is ONE partial+final aggregate pass, the shape a
+    100 TB distribution profile must have (no sort, no window).
+    Bucket bounds are emitted so the result is self-describing."""
+    o = load(spark, sf, "orders")
+    width, nbins = 30000, 20
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / width), F.lit(nbins - 1)
+    ).cast("bigint")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * width).cast("double").alias("lo"),
+            ((F.col("bucket") + 1) * width).cast("double").alias("hi"),
+            "n_orders",
+        )
+    )
+
+
+SQL_PRICE_HISTOGRAM = """
+SELECT bucket,
+       CAST(bucket * 30000 AS DOUBLE) AS lo,
+       CAST((bucket + 1) * 30000 AS DOUBLE) AS hi,
+       COUNT(*) AS n_orders
+FROM (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / 30000) AS BIGINT), 19) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+"""
+
+
+def q_lineitem_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Second-moment statistics per return flag: stddev, correlation
+    and covariance of quantity vs extended price — single-pass
+    mergeable co-moment aggregates (Welford/Chan), the only shape
+    that computes distribution relationships at 100 TB without a
+    second scan.  Rounded to 6 d.p.: both engines run the same
+    numerically-stable update, agreeing well past that."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(
+                F.corr("l_quantity", "l_extendedprice"), 6
+            ).alias("corr_qty_price"),
+            F.round(
+                F.covar_samp("l_quantity", "l_discount"), 6
+            ).alias("covar_qty_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_LINEITEM_MOMENTS = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 SPARK_QUERIES = {
     "order_rank_functions": q_order_rank_functions,
+    "price_histogram": q_price_histogram,
+    "lineitem_moments": q_lineitem_moments,
     "user_activity_streaks": q_user_activity_streaks,
     "lineitem_hash_sample": q_lineitem_hash_sample,
     "event_date_spine": q_event_date_spine,
@@ -247,6 +325,8 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "order_rank_functions": SQL_ORDER_RANK_FUNCTIONS,
+    "price_histogram": SQL_PRICE_HISTOGRAM,
+    "lineitem_moments": SQL_LINEITEM_MOMENTS,
     "user_activity_streaks": SQL_USER_ACTIVITY_STREAKS,
     "lineitem_hash_sample": SQL_LINEITEM_HASH_SAMPLE,
     "event_date_spine": SQL_EVENT_DATE_SPINE,
