@@ -127,21 +127,43 @@ class TableIO:
         writer.saveAsTable(table)
 
     # ---------------------------------------------------- maintenance
-    def compact(self, table: str, cluster_by: list[str]) -> None:
+    def compact(
+        self,
+        table: str,
+        cluster_by: list[str],
+        n_files: int | None = None,
+    ) -> None:
         """``OPTIMIZE t ZORDER BY (cols)`` (SURVEY S12) or fallback.
 
-        Delta path issues the real command; parquet path rewrites the
-        table range-partitioned + sorted on the cluster keys, which
-        restores file- and row-group-level min/max pruning on those
-        keys — the property ZORDER buys at scale.
+        Delta path issues the real command.  Parquet path rewrites the
+        table clustered on the keys: ONE key -> range-partitioned +
+        sorted (lexicographic is optimal for a single dimension);
+        SEVERAL keys -> a Morton/Z-order interleave key
+        (``operators.zorder``), so file-level min/max pruning works on
+        EVERY clustered column, not just the leading one — the
+        property ZORDER buys at scale.
         """
         if self.fmt == "delta":
             cols = ", ".join(cluster_by)
             self.spark.sql(f"OPTIMIZE {table} ZORDER BY ({cols})")
             return
         df = self.spark.read.table(table)
-        rewritten = df.repartitionByRange(*[F.col(c) for c in cluster_by])
-        rewritten = rewritten.sortWithinPartitions(*cluster_by)
+        if len(cluster_by) > 1:
+            from ..operators.zorder import zorder_key
+
+            df, key = zorder_key(df, cluster_by)
+            parts = [F.col(key)]
+        else:
+            key = None
+            parts = [F.col(c) for c in cluster_by]
+        rewritten = (
+            df.repartitionByRange(n_files, *parts)
+            if n_files
+            else df.repartitionByRange(*parts)
+        )
+        rewritten = rewritten.sortWithinPartitions(*parts)
+        if key:
+            rewritten = rewritten.drop(key)
         tmp = f"{table}__compact_tmp"
         rewritten.write.format(self.fmt).mode("overwrite").saveAsTable(tmp)
         self.spark.read.table(tmp).write.format(self.fmt).mode(

@@ -54,3 +54,41 @@ def test_compact_clusters_and_preserves_content(spark):
     # the tmp swap table is gone
     assert not spark.catalog.tableExists(f"{table}__compact_tmp")
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_compact_zorder_prunes_every_dimension(spark):
+    """Multi-key compact interleaves a Morton key: a narrow predicate
+    on EITHER clustered column touches a strict subset of files.
+    Lexicographic (x, y) clustering would leave y unpruned — every
+    file spans the full y range."""
+    io = TableIO(spark, fmt="parquet")
+    table = "zorder_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # x and y independent and scattered: no file locality pre-compact
+    df = spark.range(8000).select(
+        F.pmod(F.col("id") * 2654435761, F.lit(1 << 16)).alias("x"),
+        F.pmod(F.col("id") * 40503 + 7, F.lit(1 << 16)).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    df.repartition(8).write.format("parquet").saveAsTable(table)
+
+    px = F.col("x") < (1 << 16) // 8
+    py = F.col("y") < (1 << 16) // 8
+    assert _files_for(spark, table, px) == 8
+    assert _files_for(spark, table, py) == 8
+    expected = sorted(
+        (r.x, r.y, r.payload) for r in spark.read.table(table).collect()
+    )
+
+    io.compact(table, ["x", "y"], n_files=8)
+
+    after = spark.read.table(table)
+    assert (
+        sorted((r.x, r.y, r.payload) for r in after.collect()) == expected
+    )
+    assert "__zorder_key" not in after.columns
+    # each dimension gets ~half the key's bit planes: a 1/8-range
+    # predicate on either column must skip most files
+    assert _files_for(spark, table, px) <= 4
+    assert _files_for(spark, table, py) <= 4
+    spark.sql(f"DROP TABLE {table}")
