@@ -80,13 +80,16 @@ class IncrementalNearDupFilter:
         spark = batch.sparkSession
         idc, txt = self.id_col, self.text_col
 
+        cached = []  # batch-lifetime persists, released before return
         sigs = minhash_signatures(
             batch, idc, txt, self.n_hashes, self.shingle_n
         ).persist()
+        cached.append(sigs)
         has_state = spark.catalog.tableExists(self.sig_table)
         if has_state:
             seen = self.io.read(self.sig_table).select(idc)
             sigs = sigs.join(seen, idc, "left_anti").persist()
+            cached.append(sigs)
 
         # ---- within-batch: verified pairs, smaller id wins
         from ..operators.minhash import lsh_candidate_pairs
@@ -104,6 +107,7 @@ class IncrementalNearDupFilter:
             .distinct()
         )
         fresh = sigs.join(dup_in_batch, idc, "left_anti").persist()
+        cached.append(fresh)
 
         # ---- cross-corpus: new buckets probe the persisted index
         if has_state:
@@ -140,6 +144,7 @@ class IncrementalNearDupFilter:
                 .distinct()
             )
             fresh = fresh.join(dup_vs_corpus, idc, "left_anti").persist()
+            cached.append(fresh)
 
         # ---- fold survivors into state.  MATERIALIZE first: the
         # survivor lineage READS the state tables (replay guard,
@@ -160,6 +165,11 @@ class IncrementalNearDupFilter:
         )
         self._refresh(self.sig_table)
         self._refresh(self.bucket_table)
+        # everything downstream reads the two localCheckpoints; the
+        # intermediate caches would otherwise pin executor storage for
+        # the stream's lifetime (one leak per micro-batch)
+        for df in cached:
+            df.unpersist()
         return survivors
 
     def _refresh(self, table: str) -> None:
