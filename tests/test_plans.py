@@ -257,3 +257,47 @@ def test_partitioned_table_prunes_partitions(spark, tmp_path):
     assert "order_date" in plan.split("PartitionFilters")[1].split("\n")[0]
     assert q.count() == 30
     spark.sql(f"DROP TABLE {t}")
+
+
+def test_price_histogram_single_agg_pass(spark):
+    """Binning is a projection: the whole histogram must be one
+    partial+final aggregate around ONE exchange — no sort, no window,
+    no second scan."""
+    plan = _formatted(spark, "price_histogram")
+    ops = _ops(plan)
+    assert ops.count("HashAggregate") == 2
+    assert _shuffles(plan) == 1
+    assert "Sort" not in ops and "Window" not in ops
+
+
+def test_eval_contamination_broadcasts_eval_grams(spark):
+    """The eval gram set must broadcast (eval corpora are MB-scale);
+    the corpus-sized train side must never be on the build side of a
+    sort-merge or nested-loop join."""
+    plan = _formatted(spark, "eval_contamination")
+    ops = _ops(plan)
+    assert "BroadcastHashJoin" in ops
+    assert "CartesianProduct" not in ops
+    assert "BroadcastNestedLoopJoin" not in ops
+
+
+def test_bm25_search_topk_and_no_cartesian_blowup(spark):
+    """Global top-20 must be TakeOrdered (partial per-partition
+    top-k), never a global sort; the only nested-loop join allowed is
+    the 1-row scalar stats broadcast."""
+    plan = _formatted(spark, "bm25_search")
+    ops = _ops(plan)
+    assert "TakeOrderedAndProject" in ops
+    assert "CartesianProduct" not in ops
+    assert ops.count("Sort") == 0
+
+
+def test_embedding_quantize_is_narrow(spark):
+    """Quantization is a per-row transform: zero hash/range shuffles
+    (the repartition breaker is round-robin), no aggregate across
+    rows, no join."""
+    plan = _formatted(spark, "embedding_quantize_int8")
+    ops = _ops(plan)
+    assert _shuffles(plan) == 0
+    assert not any("Join" in o for o in ops)
+    assert "Exchange" in ops  # the materialization breaker is present
