@@ -136,6 +136,100 @@ GROUP BY l_returnflag
 """
 
 
+#: per-stratum sampling rates: hex threshold on the md5 key prefix
+#: (two hex digits = fraction/256), chosen per order status
+_STRATA = {"F": "1a", "O": "0d", "P": "80"}  # ~10% / ~5% / ~50%
+
+
+def q_orders_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified deterministic sampling: each stratum (order status)
+    keeps a DIFFERENT fraction via the same md5-prefix predicate as
+    ``lineitem_hash_sample`` — the rebalancing step for skewed class
+    distributions (downsample the bulk class, keep the rare one).
+    The per-stratum threshold is a tiny CASE expression, so the
+    sample is still a single pushed-down scan filter: no shuffle, no
+    per-group pass, reproducible across engines and repartitioning."""
+    o = load(spark, sf, "orders")
+    thresh = F.when(
+        F.col("o_orderstatus") == "F", _STRATA["F"]
+    ).when(F.col("o_orderstatus") == "O", _STRATA["O"]).otherwise(
+        _STRATA["P"]
+    )
+    h = F.md5(F.col("o_orderkey").cast("string").cast("binary"))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((h < thresh).cast("bigint")).alias("n_sampled"),
+            _dec_sum(
+                F.when(h < thresh, F.col("o_totalprice")).otherwise(0.0),
+                2,
+                "sampled_price",
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_ORDERS_STRATIFIED_SAMPLE = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN md5(CAST(o_orderkey AS VARCHAR)) <
+             CASE o_orderstatus WHEN 'F' THEN '{_STRATA["F"]}'
+                                WHEN 'O' THEN '{_STRATA["O"]}'
+                                ELSE '{_STRATA["P"]}' END
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN md5(CAST(o_orderkey AS VARCHAR)) <
+             CASE o_orderstatus WHEN 'F' THEN '{_STRATA["F"]}'
+                                WHEN 'O' THEN '{_STRATA["O"]}'
+                                ELSE '{_STRATA["P"]}' END
+           THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE)
+         AS sampled_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_customer_string_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar string-function medley (SURVEY §2.8 breadth): regex
+    capture, split, padding/masking, case/replace — all narrow
+    codegen'd expressions over one scan.  ``c_name`` is
+    'Customer#NNNNNNNNN'."""
+    c = load(spark, sf, "customer")
+    num = F.regexp_extract("c_name", r"#(\d+)$", 1)
+    return c.select(
+        "c_custkey",
+        num.cast("bigint").alias("name_num"),
+        F.length(F.regexp_replace("c_name", r"[^0-9]", ""))
+        .cast("bigint")
+        .alias("n_digits"),
+        F.concat(
+            F.lit("***#"), F.substring(F.col("c_name"), -4, 4)
+        ).alias("masked_name"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("_"))).alias(
+            "name_norm"
+        ),
+        F.lpad(F.col("c_mktsegment"), 12, ".").alias("segment_padded"),
+        F.size(F.split(F.col("c_name"), "#")).cast("bigint").alias(
+            "n_name_parts"
+        ),
+    )
+
+
+SQL_CUSTOMER_STRING_FUNCS = """
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '#(\\d+)$', 1) AS BIGINT) AS name_num,
+       CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS BIGINT)
+         AS n_digits,
+       '***#' || substring(c_name, length(c_name) - 3, 4) AS masked_name,
+       lower(replace(c_name, '#', '_')) AS name_norm,
+       lpad(c_mktsegment, 12, '.') AS segment_padded,
+       CAST(len(string_split(c_name, '#')) AS BIGINT) AS n_name_parts
+FROM customer
+"""
+
+
 # --------------------------------------------- date spine zero-fill
 
 
@@ -319,6 +413,8 @@ SPARK_QUERIES = {
     "lineitem_moments": q_lineitem_moments,
     "user_activity_streaks": q_user_activity_streaks,
     "lineitem_hash_sample": q_lineitem_hash_sample,
+    "orders_stratified_sample": q_orders_stratified_sample,
+    "customer_string_funcs": q_customer_string_funcs,
     "event_date_spine": q_event_date_spine,
     "order_metrics_melt": q_order_metrics_melt,
 }
@@ -329,6 +425,8 @@ ORACLE_SQL = {
     "lineitem_moments": SQL_LINEITEM_MOMENTS,
     "user_activity_streaks": SQL_USER_ACTIVITY_STREAKS,
     "lineitem_hash_sample": SQL_LINEITEM_HASH_SAMPLE,
+    "orders_stratified_sample": SQL_ORDERS_STRATIFIED_SAMPLE,
+    "customer_string_funcs": SQL_CUSTOMER_STRING_FUNCS,
     "event_date_spine": SQL_EVENT_DATE_SPINE,
     "order_metrics_melt": SQL_ORDER_METRICS_MELT,
 }
