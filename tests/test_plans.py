@@ -301,3 +301,42 @@ def test_embedding_quantize_is_narrow(spark):
     assert _shuffles(plan) == 0
     assert not any("Join" in o for o in ops)
     assert "Exchange" in ops  # the materialization breaker is present
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The engine's posture for skewed joins at scale is AQE's runtime
+    skew split (manual salting in operators/skew.py is the fallback
+    for non-AQE paths). Pin that the adaptive planner actually
+    rewrites a pathologically skewed sort-merge join (one key owning
+    ~90% of the big side) into skew-split form when thresholds are
+    scaled to the test data."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        small = spark.range(2_000).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        joined = big.join(small, "k")
+        joined.collect()  # finalize THIS execution's adaptive plan
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
