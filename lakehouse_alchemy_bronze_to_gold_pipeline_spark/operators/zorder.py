@@ -43,8 +43,10 @@ def zorder_key(
     n_buckets = 1 << bits
     key = F.lit(0).cast("bigint")
     for j, c in enumerate(cols):
-        mn = float(stats[f"mn_{j}"])
-        mx = float(stats[f"mx_{j}"])
+        # empty relation / all-null column: no spread to cluster by —
+        # a constant key degrades gracefully to a plain rewrite
+        mn = float(stats[f"mn_{j}"]) if stats[f"mn_{j}"] is not None else 0.0
+        mx = float(stats[f"mx_{j}"]) if stats[f"mx_{j}"] is not None else 0.0
         span = (mx - mn) or 1.0
         bucket = F.least(
             F.greatest(

@@ -143,3 +143,25 @@ def test_flatten_empty(spark):
     out = flatten(_empty(spark, nested))
     assert out.columns == ["id", "payload_a"]
     assert out.count() == 0
+
+
+def test_zorder_key_empty(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.zorder import (
+        zorder_key,
+    )
+
+    df = _empty(spark, EVENTS)
+    out, key = zorder_key(df, ["k", "ts"])
+    assert out.count() == 0
+    assert key in out.columns
+
+
+def test_connected_components_empty(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    df = _empty(spark, EVENTS).select(
+        F.col("event_id").alias("src"), F.col("k").alias("dst")
+    )
+    assert connected_components(df, "src", "dst").count() == 0
