@@ -230,6 +230,76 @@ FROM customer
 """
 
 
+def q_signup_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-step event funnel: per user, first 'signup', then count
+    'purchase' events inside the following hour — conversion
+    measurement, the event-analytics shape product pipelines run
+    daily.  Shape: one filtered aggregate finds each user's first
+    signup (partial+final, no window/sort), then ONE equi-join on
+    user_id re-attaches purchases and the time band is a residual
+    filter on the joined row — never a time-range join condition
+    (which would nested-loop).  Event time is bigint microseconds
+    (tz-free, exact in both engines)."""
+    ev = load(spark, sf, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("signup_us"))
+    )
+    hour = 3_600_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_us"), "value"
+    )
+    return (
+        first_signup.join(purchases, "user_id", "left")
+        .withColumn(
+            "in_window",
+            (F.col("p_us") > F.col("signup_us"))
+            & (F.col("p_us") <= F.col("signup_us") + hour),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("signup_us").alias("signup_us"),
+            F.sum(F.col("in_window").cast("bigint")).alias("n_purchases_1h"),
+            _dec_sum(
+                F.when(F.col("in_window"), F.col("value")).otherwise(0.0),
+                2,
+                "purchase_value_1h",
+            ),
+        )
+        .withColumn(
+            "converted", (F.col("n_purchases_1h") > 0).cast("bigint")
+        )
+    )
+
+
+SQL_SIGNUP_PURCHASE_FUNNEL = """
+WITH first_signup AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT user_id, epoch_us(ts) AS p_us, value
+  FROM events WHERE event_type = 'purchase'
+), joined AS (
+  SELECT f.user_id, f.signup_us,
+         (p.p_us > f.signup_us AND p.p_us <= f.signup_us + 3600000000)
+           AS in_window,
+         p.value
+  FROM first_signup f LEFT JOIN p USING (user_id)
+)
+SELECT user_id,
+       MIN(signup_us) AS signup_us,
+       CAST(SUM(CASE WHEN in_window THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases_1h,
+       CAST(SUM(CASE WHEN in_window THEN CAST(value AS DECIMAL(18,2))
+                     ELSE 0 END) AS DOUBLE) AS purchase_value_1h,
+       CAST(CASE WHEN SUM(CASE WHEN in_window THEN 1 ELSE 0 END) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS converted
+FROM joined
+GROUP BY user_id
+"""
+
+
 # --------------------------------------------- date spine zero-fill
 
 
@@ -415,6 +485,7 @@ SPARK_QUERIES = {
     "lineitem_hash_sample": q_lineitem_hash_sample,
     "orders_stratified_sample": q_orders_stratified_sample,
     "customer_string_funcs": q_customer_string_funcs,
+    "signup_purchase_funnel": q_signup_purchase_funnel,
     "event_date_spine": q_event_date_spine,
     "order_metrics_melt": q_order_metrics_melt,
 }
@@ -427,6 +498,7 @@ ORACLE_SQL = {
     "lineitem_hash_sample": SQL_LINEITEM_HASH_SAMPLE,
     "orders_stratified_sample": SQL_ORDERS_STRATIFIED_SAMPLE,
     "customer_string_funcs": SQL_CUSTOMER_STRING_FUNCS,
+    "signup_purchase_funnel": SQL_SIGNUP_PURCHASE_FUNNEL,
     "event_date_spine": SQL_EVENT_DATE_SPINE,
     "order_metrics_melt": SQL_ORDER_METRICS_MELT,
 }
