@@ -132,6 +132,7 @@ class TableIO:
         table: str,
         cluster_by: list[str],
         n_files: int | None = None,
+        equidepth: bool = False,
     ) -> None:
         """``OPTIMIZE t ZORDER BY (cols)`` (SURVEY S12) or fallback.
 
@@ -147,11 +148,22 @@ class TableIO:
             cols = ", ".join(cluster_by)
             self.spark.sql(f"OPTIMIZE {table} ZORDER BY ({cols})")
             return
-        df = self.spark.read.table(table)
+        # snapshot FIRST, cluster LAST: a table cannot overwrite
+        # itself, so a tmp copy is unavoidable — but the clustered
+        # write must be the FINAL one.  (Clustering into tmp and then
+        # copying tmp -> table re-packs the carefully ranged files by
+        # SIZE, interleaving key ranges and silently undoing the
+        # layout the rewrite just paid for.)
+        tmp = f"{table}__compact_tmp"
+        self.spark.read.table(table).write.format(self.fmt).mode(
+            "overwrite"
+        ).saveAsTable(tmp)
+        df = self.spark.read.table(tmp)
         if len(cluster_by) > 1:
-            from ..operators.zorder import zorder_key
+            from ..operators.zorder import zorder_key, zorder_key_equidepth
 
-            df, key = zorder_key(df, cluster_by)
+            mk = zorder_key_equidepth if equidepth else zorder_key
+            df, key = mk(df, cluster_by)
             parts = [F.col(key)]
         else:
             key = None
@@ -164,11 +176,9 @@ class TableIO:
         rewritten = rewritten.sortWithinPartitions(*parts)
         if key:
             rewritten = rewritten.drop(key)
-        tmp = f"{table}__compact_tmp"
-        rewritten.write.format(self.fmt).mode("overwrite").saveAsTable(tmp)
-        self.spark.read.table(tmp).write.format(self.fmt).mode(
-            "overwrite"
-        ).saveAsTable(table)
+        rewritten.write.format(self.fmt).mode("overwrite").saveAsTable(
+            table
+        )
         self.spark.sql(f"DROP TABLE {tmp}")
 
     def _table_location(self, table: str) -> str:
