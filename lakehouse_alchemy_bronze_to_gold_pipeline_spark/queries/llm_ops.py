@@ -809,6 +809,23 @@ FROM q
 """
 
 
+def q_terms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top terms via merged Misra-Gries summaries
+    (``operators.sketch``): per-partition bounded-counter sketches,
+    ONE groupBy over |partitions| x capacity summary rows — the
+    100 TB path when the distinct-term dimension itself is too large
+    to shuffle (exact twin: ``vocab_top_terms``).  Counter values are
+    partition-layout-dependent -> no oracle; the no-miss/lower-bound
+    guarantees are property-tested in tests/test_sketch.py."""
+    from ..operators.sketch import heavy_hitters
+
+    d = load(spark, sf, "documents")
+    terms = d.select(
+        F.explode(TX.nonempty_tokens("text")).alias("term")
+    )
+    return heavy_hitters(terms, "term", k=20, capacity=512)
+
+
 # --------------------------------------------- corpus-level text IR
 
 def _doc_terms(spark: SparkSession, sf: str):
@@ -1121,6 +1138,7 @@ SPARK_QUERIES = {
     "vocab_top_terms": q_vocab_top_terms,
     "eval_contamination": q_eval_contamination,
     "embedding_quantize_int8": q_embedding_quantize_int8,
+    "terms_heavy_hitters": q_terms_heavy_hitters,
 }
 
 ORACLE_SQL = {
