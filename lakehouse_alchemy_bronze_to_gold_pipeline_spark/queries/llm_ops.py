@@ -809,6 +809,58 @@ FROM q
 """
 
 
+def q_dedup_keep_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """The fuzzy-dedup OUTPUT: drop every non-canonical duplicate
+    (cluster members whose doc_id != cluster min) and account for
+    what survived — the last step of pairs → clusters → pruned
+    corpus.  The drop-list is a LEFT ANTI join against the (tiny)
+    cluster relation; the corpus never shuffles."""
+    from ..operators.components import connected_components
+    from ..operators.minhash import minhash_near_duplicates_md5
+
+    d = load(spark, sf, "documents")
+    pairs = minhash_near_duplicates_md5(
+        d, "doc_id", "text", threshold=0.4, shingle_n=2
+    )
+    clusters = connected_components(pairs, "id_a", "id_b")
+    drop = clusters.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = d.join(F.broadcast(drop), "doc_id", "left_anti")
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+SQL_DEDUP_KEEP_CANONICAL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_md5_oracle_sql()}) base
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), walk(id, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+), clusters AS (
+  SELECT id AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY id
+), kept AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id NOT IN
+    (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+)
+SELECT COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM kept
+"""
+
+
 def q_terms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top terms via merged Misra-Gries summaries
     (``operators.sketch``): per-partition bounded-counter sketches,
@@ -1123,6 +1175,7 @@ SPARK_QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "minhash_neardup_md5": q_minhash_neardup_md5,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_bits_md5": q_simhash_bits_md5,
     "embedding_lsh_topk": q_embedding_lsh_topk,
@@ -1161,6 +1214,7 @@ ORACLE_SQL = {
     "knn_join": SQL_KNN_JOIN,
     "minhash_neardup_md5": SQL_MINHASH_NEARDUP_MD5,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
     "simhash_bits_md5": SQL_SIMHASH_BITS_MD5,
     # minhash_neardup / simhash_fingerprints / embedding_lsh_topk /
     # multimodal_features: intentionally no oracle (probabilistic or
