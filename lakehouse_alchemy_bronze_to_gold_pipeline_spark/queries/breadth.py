@@ -254,8 +254,14 @@ def q_signup_purchase_funnel(spark: SparkSession, sf: str) -> DataFrame:
         first_signup.join(purchases, "user_id", "left")
         .withColumn(
             "in_window",
-            (F.col("p_us") > F.col("signup_us"))
-            & (F.col("p_us") <= F.col("signup_us") + hour),
+            # coalesce: a user with NO purchase rows at all joins to a
+            # null p_us -> the predicate is NULL, and a NULL-only group
+            # would sum to NULL where the oracle's CASE yields 0
+            F.coalesce(
+                (F.col("p_us") > F.col("signup_us"))
+                & (F.col("p_us") <= F.col("signup_us") + hour),
+                F.lit(False),
+            ),
         )
         .groupBy("user_id")
         .agg(

@@ -101,10 +101,13 @@ def test_compact_zorder_prunes_every_dimension(spark):
     )
     assert "__zorder_key" not in after.columns
     # 16 files = the top 4 interleaved bits (y,x,y,x): a 1/8-range
-    # predicate zeroes a column's two top bits -> ~4 of 16 files,
-    # plus slop because range boundaries aren't exactly bit-aligned
-    assert _files_for(spark, table, px) <= 6
-    assert _files_for(spark, table, py) <= 6
+    # predicate zeroes a column's two top bits -> the 4
+    # non-contiguous key stripes owning it; each stripe edge can pull
+    # in one extra file because sampled range boundaries aren't
+    # bit-aligned -> at most half the files (unclustered: all 16;
+    # lexicographic (x,y): y would touch all 16)
+    assert _files_for(spark, table, px) <= 8
+    assert _files_for(spark, table, py) <= 8
     spark.sql(f"DROP TABLE {table}")
 
 
