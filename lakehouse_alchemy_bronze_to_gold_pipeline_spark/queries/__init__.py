@@ -13,10 +13,11 @@ the driver's comparator sorts columns by name before hashing.
 from .analytics import SPARK_QUERIES as _AN_Q, ORACLE_SQL as _AN_SQL
 from .breadth import SPARK_QUERIES as _BR_Q, ORACLE_SQL as _BR_SQL
 from .core import SPARK_QUERIES as _CORE_Q, ORACLE_SQL as _CORE_SQL
+from .corpus import SPARK_QUERIES as _CP_Q, ORACLE_SQL as _CP_SQL
 from .llm_ops import SPARK_QUERIES as _LLM_Q, ORACLE_SQL as _LLM_SQL
 
-SPARK_QUERIES = {**_CORE_Q, **_AN_Q, **_BR_Q, **_LLM_Q}
-ORACLE_SQL = {**_CORE_SQL, **_AN_SQL, **_BR_SQL, **_LLM_SQL}
+SPARK_QUERIES = {**_CORE_Q, **_AN_Q, **_BR_Q, **_LLM_Q, **_CP_Q}
+ORACLE_SQL = {**_CORE_SQL, **_AN_SQL, **_BR_SQL, **_LLM_SQL, **_CP_SQL}
 
 #: O(n^2) correctness baselines kept ONLY as small-sf oracle
 #: cross-checks for their LSH-bucketed scale twins
