@@ -5,6 +5,11 @@ Queries are materialized through the ``noop`` sink so the full plan
 executes (a bare ``count()`` would let Catalyst prune projections and
 under-report work).
 
+The recorder captures only a bounded tail of stdout, so the final line
+must stay small: the full per-query breakdown goes to stderr and to
+``BENCH_DETAIL.json`` next to this script, and stdout's last line is a
+compact ``{"metric","value","unit","sf","n_queries"}`` object.
+
 Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local parallelism (default 32)
@@ -37,7 +42,12 @@ def main() -> None:
         sf = -1.0
 
     spark = get_spark(
-        "bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        # keep stdout clean: console progress bars would push the final
+        # JSON line out of the recorder's tail-capture window
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     # warm the executors/codegen so query 1 isn't charged JVM boot,
     # then run the flagship once at the smallest SF so the parquet
@@ -64,14 +74,30 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     spark.stop()
+    detail = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(json.dumps(detail["queries"], sort_keys=True), file=sys.stderr)
+    # the compact summary is the LAST stdout line so a bounded tail
+    # capture always retains a parseable JSON object
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
-                "value": round(sum(times.values()), 3),
+                "value": detail["value"],
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

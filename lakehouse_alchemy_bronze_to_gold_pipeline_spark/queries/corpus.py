@@ -259,8 +259,13 @@ def q_doc_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: a single narrow pass — the token array is materialized once
     through the repartition exchange and every signal is a per-row
-    expression (no explode, no join, no window); cost is O(len²) in
-    the bounded per-doc token count."""
+    expression (no explode, no join, no window).  The top-word count
+    is O(n log n) per document: sort the token array once, then one
+    linear ``aggregate`` fold tracks the longest run of equal adjacent
+    tokens (= the max frequency of any word).  The previous
+    formulation (count every distinct word against the full array) was
+    O(n_tokens × n_distinct) per row — quadratic for long documents,
+    which is exactly the regime a repetition filter must handle."""
     t = _tokens_df(spark, sf)
     w = F.col("w")
     tri = F.when(
@@ -273,11 +278,30 @@ def q_doc_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(w),
-            lambda x: F.size(F.filter(w, lambda y: y == x)),
+
+    def _run_fold(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
         )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    # null on the empty array to match array_max-over-empty semantics
+    top_cnt = F.when(
+        F.size(w) > 0,
+        F.aggregate(
+            F.array_sort(w),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("bigint").alias("run"),
+                F.lit(0).cast("bigint").alias("best"),
+            ),
+            _run_fold,
+            lambda acc: acc["best"],
+        ),
     )
     s = t.select(
         "doc_id",
