@@ -6,9 +6,10 @@ executes (a bare ``count()`` would let Catalyst prune projections and
 under-report work).
 
 The recorder captures only a bounded tail of stdout, so the final line
-must stay small: the full per-query breakdown goes to stderr and to
-``BENCH_DETAIL.json`` next to this script, and stdout's last line is a
-compact ``{"metric","value","unit","sf","n_queries"}`` object.
+must stay small: the full per-query breakdown goes to stderr and to a
+timestamped ``bench_out/BENCH_DETAIL_*.json`` (gitignored), and
+stdout's last line is a compact
+``{"metric","value","unit","sf","n_queries"}`` object.
 
 Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
@@ -81,8 +82,14 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    # per-run file under a gitignored dir: successive runs don't
+    # clobber each other and the detail can't be committed by accident
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out"
+    )
+    os.makedirs(out_dir, exist_ok=True)
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        out_dir, time.strftime("BENCH_DETAIL_%Y%m%dT%H%M%S.json")
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -97,7 +104,9 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(times),
-                "detail": "BENCH_DETAIL.json",
+                "detail": os.path.relpath(
+                    detail_path, os.path.dirname(os.path.abspath(__file__))
+                ),
             }
         )
     )

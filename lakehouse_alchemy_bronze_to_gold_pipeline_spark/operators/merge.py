@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 from ..sources.tables import TableIO
 
 
+def collapse_keep_latest(
+    df: DataFrame, keys: Sequence[str], order_col: str
+) -> DataFrame:
+    """One row per key: the highest-``order_col`` row wins.  This is
+    the shared pre-dedup both MERGE entry points run on their update
+    set, so the documented contract ("any number of update rows per
+    key") holds on every branch — Delta's MERGE errors on multiple
+    source matches per target row."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def merge_keep_latest(
     target: DataFrame,
     updates: DataFrame,
@@ -65,16 +81,7 @@ def upsert_keep_latest(
         return
 
     if io.fmt == "delta":
-        # Delta MERGE errors when several source rows match one target
-        # row — collapse updates to one row per key (keep-latest)
-        # BEFORE the merge so the documented contract ("any number of
-        # update rows per key") holds on this branch too.
-        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
-        one = (
-            updates.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        one = collapse_keep_latest(updates, keys, order_col)
         one.createOrReplaceTempView("__merge_updates")
         on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
         spark.sql(
@@ -113,14 +120,7 @@ def streaming_upsert(
 
     def merge_batch(batch: DataFrame, _batch_id: int) -> None:
         # dedup within the batch first so MERGE sees one row per key
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
-        one = (
-            batch.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        one = collapse_keep_latest(batch, keys, order_col)
         upsert_keep_latest(spark, io, table, one, keys, order_col)
 
     return (

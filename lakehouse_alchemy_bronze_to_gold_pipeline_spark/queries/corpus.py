@@ -134,9 +134,12 @@ def q_domain_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
     per-source sample deterministically with the md5-prefix threshold
     trick — reproducible across engines and runs, no RNG state.
 
-    Scale: two aggregates over documents (token counts per source,
-    then sampled counts) plus a broadcast join of the 10-row rate
-    table; the keep-predicate is a pure per-row expression.  In
+    Scale: the tokenized projection ``d`` is consumed twice (the
+    per-source stats aggregate, then the sampled-counts rejoin), so it
+    is persisted — one corpus scan + tokenize instead of two; the
+    cached relation is 4 narrow columns, a tiny fraction of the text
+    it derives from.  The rate table (one row per source) joins by
+    broadcast; the keep-predicate is a pure per-row expression.  In
     production the stats pass runs on the corpus manifest, not the
     text itself."""
     d = load(spark, sf, "documents").select(
@@ -146,7 +149,7 @@ def q_domain_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.substring(
             F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
         ).alias("hx"),
-    )
+    ).persist()
     src = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("src_tokens"),
@@ -280,7 +283,10 @@ def q_doc_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
 
     def _run_fold(acc, x):
-        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+        # null-rejecting == (not eqNullSafe): a null token must never
+        # extend a run, matching the DuckDB oracle's `y = x` and the
+        # previous array_distinct/filter formulation.
+        run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(
             F.lit(1).cast("bigint")
         )
         return F.struct(

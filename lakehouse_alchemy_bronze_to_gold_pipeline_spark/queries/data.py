@@ -26,11 +26,15 @@ def ntz_epoch_us(col: str) -> F.Column:
     timezone-independently (``unix_micros`` requires LTZ and a cast
     would shift by the session timezone — which the driver controls,
     not us).  Field extraction on NTZ is tz-free."""
+    # Explicit bigint casts: hour()/minute() return INT and e.g.
+    # minute * 60000000 overflows int32 for minute >= 36 under ANSI.
+    # date_part('SECOND') is DECIMAL(8,6): keeps the sub-second micros
+    # that second() would truncate.
     return F.expr(
         f"unix_date(cast({col} as date)) * 86400000000"
-        f" + hour({col}) * 3600000000"
-        f" + minute({col}) * 60000000"
-        f" + second({col}) * 1000000"
+        f" + cast(hour({col}) as bigint) * 3600000000"
+        f" + cast(minute({col}) as bigint) * 60000000"
+        f" + cast(date_part('SECOND', {col}) * 1000000 as bigint)"
     ).cast("bigint")
 
 
@@ -39,12 +43,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     happen at the parquet scan because callers select/filter on the
     returned (lazy) DataFrame.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's
-    TimestampType (microsecond) cannot represent: we read it via the
-    ``nanosAsLong`` legacy conf and expose ``ts_us`` (bigint
-    microseconds since epoch).  DuckDB truncates the same column to
-    microseconds on read, so integer-microsecond arithmetic is the
-    exact cross-engine representation (oracles use ``epoch_us(ts)``).
+    ``events.ts`` has shipped in two physical formats across driver
+    testdata generations: parquet TIMESTAMP(NANOS) (surfaced as bigint
+    nanoseconds via the ``nanosAsLong`` legacy conf) and
+    ``timestamp[us]`` (surfaced as TIMESTAMP_NTZ).  Either way we
+    expose ``ts_us`` (bigint microseconds since epoch), which is the
+    exact cross-engine representation: DuckDB oracles use
+    ``epoch_us(ts)`` and both are timezone-free.  The branch keys on
+    the *observed* dtype so an upstream regeneration can't silently
+    break every events query again.
     """
     if table not in TABLES:
         raise ValueError(f"unknown table {table!r}")
@@ -52,9 +59,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
+            ts_us = F.expr("ts DIV 1000")
+        elif ts_type.startswith("timestamp"):  # timestamp[us] -> NTZ
+            ts_us = ntz_epoch_us("ts")
+        else:
+            raise TypeError(f"unsupported events.ts dtype {ts_type!r}")
         return df.select(
             "event_id",
-            F.expr("ts DIV 1000").alias("ts_us"),
+            ts_us.alias("ts_us"),
             "user_id",
             "event_type",
             "value",

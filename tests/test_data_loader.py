@@ -1,0 +1,73 @@
+"""Regression tests for queries/data.py's events loader.
+
+The driver's synthetic ``events.parquet`` silently changed physical
+ts type between rounds (TIMESTAMP(NANOS) -> timestamp[us]/NTZ), which
+broke every events query.  These tests pin both formats so the next
+upstream drift is a one-test diagnosis, not a dead round.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.data import load
+
+# 2024-03-05T06:47:08.123456 UTC, as microseconds since epoch.
+# minute=47 deliberately exercises the int32-overflow range of
+# minute * 60_000_000 (overflows for minute >= 36 if not widened).
+_US = 1709621228123456
+
+
+def _write_events(path: str, ts_array: pa.Array) -> None:
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.5], pa.float64()),
+            "props": pa.array(['{"k":"v"}'], pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def _load_events_row(spark, tmp_path):
+    df = load(spark, str(tmp_path), "events")
+    assert df.schema["ts_us"].dataType.simpleString() == "bigint"
+    return df.collect()[0]
+
+
+def test_events_ts_timestamp_us(spark, tmp_path):
+    """Current driver format: parquet timestamp[us] (reads as NTZ)."""
+    dt = datetime.datetime(2024, 3, 5, 6, 47, 8, 123456)
+    _write_events(
+        os.path.join(tmp_path, "events.parquet"),
+        pa.array([dt], pa.timestamp("us")),
+    )
+    row = _load_events_row(spark, tmp_path)
+    assert row["ts_us"] == _US
+
+
+def test_events_ts_nanos_as_long(spark, tmp_path):
+    """Legacy driver format: parquet TIMESTAMP(NANOS) -> bigint nanos."""
+    _write_events(
+        os.path.join(tmp_path, "events.parquet"),
+        pa.array([_US * 1000], pa.timestamp("ns")),
+    )
+    row = _load_events_row(spark, tmp_path)
+    assert row["ts_us"] == _US
+
+
+def test_events_ts_unsupported_dtype_raises(spark, tmp_path):
+    _write_events(
+        os.path.join(tmp_path, "events.parquet"),
+        pa.array(["not-a-ts"], pa.string()),
+    )
+    with pytest.raises(TypeError, match="events.ts"):
+        load(spark, str(tmp_path), "events")

@@ -314,3 +314,38 @@ def test_approx_percentile_within_tolerance(spark):
         F.percentile_approx("x", F.lit(0.5), F.lit(1000)).alias("a"),
     ).first()
     assert abs(approx - exact) <= 10
+
+
+# ------------------------------------------------- SCD-1 merge contract
+def test_upsert_duplicate_update_keys_parquet_branch(spark):
+    """The documented contract — 'any number of update rows per key' —
+    exercised through the parquet fallback branch of
+    ``upsert_keep_latest`` (test_delta_paths.py runs the same scenario
+    through the delta MERGE branch when delta-spark is present).  Both
+    branches share ``collapse_keep_latest`` as the pre-dedup."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.merge import (
+        upsert_keep_latest,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.tables import (
+        TableIO,
+    )
+
+    io = TableIO(spark, fmt="parquet")
+    t = "parquet_merge_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
+    base = spark.createDataFrame(
+        [Row(pk=1, val="old", ver=1), Row(pk=2, val="keep", ver=5)]
+    )
+    upsert_keep_latest(spark, io, t, base, ["pk"], "ver")
+    updates = spark.createDataFrame(
+        [
+            Row(pk=1, val="mid", ver=2),
+            Row(pk=1, val="new", ver=3),  # duplicate key in one batch
+            Row(pk=2, val="stale", ver=4),  # older than target -> no-op
+            Row(pk=3, val="ins", ver=1),
+        ]
+    )
+    upsert_keep_latest(spark, io, t, updates, ["pk"], "ver")
+    got = {r.pk: (r.val, r.ver) for r in io.read(t).collect()}
+    assert got == {1: ("new", 3), 2: ("keep", 5), 3: ("ins", 1)}
+    spark.sql(f"DROP TABLE {t}")

@@ -77,6 +77,20 @@ def main() -> int:
     only = set(sys.argv[2:])
     qs, oracles = queries(), oracle_sql()
 
+    # dtype banner: round 3 lost its bench to a silent upstream change
+    # of events.ts's physical type — print every table's schema up
+    # front so the next external-data drift is a one-glance diagnosis
+    import pyarrow.parquet as pq
+
+    print(f"-- table dtypes @ {sf_dir} --")
+    for t in TABLES:
+        try:
+            sch = pq.read_schema(f"{sf_dir}/{t}.parquet")
+            cols = ", ".join(f"{f.name}:{f.type}" for f in sch)
+        except Exception as e:
+            cols = f"<unreadable: {e}>"
+        print(f"  {t}: {cols}")
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
