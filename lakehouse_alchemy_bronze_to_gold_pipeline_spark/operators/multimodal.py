@@ -5,14 +5,17 @@ metadata struct.  The Spark-side plumbing — schema, Arrow batch shape,
 ``mapInPandas`` signature, partition sizing — is real and tested, and
 two modalities now have REAL pure-stdlib decoders:
 
-- **image**: binary PPM (``P6``, the Netpbm format — public spec) is
-  parsed with ``numpy``: header scan, raw RGB plane, per-image
-  luminance stats, nearest-neighbor resize, re-encode.
+- **image**: binary PPM (``P6``, the Netpbm format) is parsed with
+  ``numpy``, and 8-bit non-interlaced PNG (gray / RGB / RGBA) is
+  decoded from scratch per the public PNG spec — chunk walk, zlib
+  inflate, all five scanline filters including Paeth — with a
+  matching minimal encoder for round-trips.  ``decode_image``
+  dispatches on the magic bytes.
 - **audio**: RIFF/WAVE PCM is parsed with the stdlib ``wave`` module:
   sample rate / channels / duration, RMS amplitude and zero-crossing
   rate over the PCM16 samples.
 
-Formats that genuinely need external libraries (PNG/JPEG, MP3, video
+Formats that genuinely need external libraries (JPEG, MP3, video
 containers) still raise ``NotImplementedError`` — an honest gate, not
 a fake decode.  ``synthesize_ppm`` / ``synthesize_wav`` render
 deterministic payloads from a text column so driver tables without
@@ -28,7 +31,9 @@ batch; payload bytes per batch are what actually matter).
 from __future__ import annotations
 
 import io
+import struct
 import wave
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -78,8 +83,8 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     ints (``#`` comments allowed), one whitespace byte, raw RGB."""
     if payload[:2] != b"P6":
         raise NotImplementedError(
-            "image decode supports binary PPM (P6) only; "
-            f"got magic {payload[:2]!r} — PNG/JPEG need external libraries"
+            "decode_ppm handles binary PPM (P6) only; "
+            f"got magic {payload[:2]!r} (use decode_image for dispatch)"
         )
     pos, fields = 2, []
     while len(fields) < 3:
@@ -98,6 +103,125 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise NotImplementedError("only 8-bit PPM (maxval 255) supported")
     raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return raw.reshape(h, w, 3)
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> minimal PNG bytes: 8-bit truecolor,
+    filter 0 on every scanline, one IDAT.  Enough for round-trips;
+    no palette / interlace / ancillary chunks."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body))
+        )
+
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    # the PNG spec's Paeth predictor: nearest of left/up/up-left to
+    # the linear estimate a + b - c
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8, implemented from the public spec:
+    chunk walk, zlib-inflated IDAT stream, per-scanline unfiltering
+    (None/Sub/Up/Average/Paeth).  Supports 8-bit non-interlaced
+    grayscale (0), RGB (2), gray+alpha (4) and RGBA (6); gray is
+    replicated to 3 channels and alpha is dropped.  Palette,
+    16-bit, and interlaced PNGs raise — the honest gate moves from
+    'any PNG' to the subsets this decoder genuinely handles."""
+    if payload[:8] != PNG_SIG:
+        raise NotImplementedError(
+            "image decode supports binary PPM (P6) and PNG; "
+            f"got magic {payload[:4]!r} — JPEG etc. need external libraries"
+        )
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + tag + data + crc
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError("only 8-bit PNG supported")
+            if color not in (0, 2, 4, 6):
+                raise NotImplementedError(
+                    f"PNG color type {color} (palette) not supported"
+                )
+            if interlace:
+                raise NotImplementedError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR chunk")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        ftype = raw[y * (stride + 1)]
+        if ftype == 1:  # Sub
+            for x in range(nch, stride):
+                row[x] = (row[x] + row[x - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - nch] if x >= nch else 0
+                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = row[x - nch] if x >= nch else 0
+                ul = int(prev[x - nch]) if x >= nch else 0
+                row[x] = (row[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = prev = np.frombuffer(bytes(row), dtype=np.uint8)
+    px = out.reshape(h, w, nch)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    return px[..., :3]  # RGB, or RGBA with alpha dropped
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch over the supported image containers."""
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    return decode_ppm(payload)
 
 
 def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -141,8 +265,8 @@ def decode_features(payload: bytes, modality: str) -> list[float]:
     """Real per-payload decode -> 4 features.
 
     - ``text``: size + head-byte stats (no decode needed);
-    - ``image``: PPM decode -> width, height, mean / std of Rec.601
-      luminance (normalized);
+    - ``image``: PPM or PNG decode (magic dispatch) -> width, height,
+      mean / std of Rec.601 luminance (normalized);
     - ``audio``: WAV decode -> duration s, channels, RMS amplitude
       (normalized), zero-crossing rate.
 
@@ -158,7 +282,7 @@ def decode_features(payload: bytes, modality: str) -> list[float]:
             sum(head) / (16 * 255.0),
         ]
     if modality == "image":
-        px = decode_ppm(payload).astype(np.float64)
+        px = decode_image(payload).astype(np.float64)
         luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
         h, w = luma.shape
         return [float(w), float(h), luma.mean() / 255.0, luma.std() / 255.0]
@@ -274,10 +398,11 @@ IMAGE_RESIZE_SCHEMA = (
 
 
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """REAL image resize: decode PPM -> nearest-neighbor resample ->
-    re-encode PPM, Arrow-batched.  The binary-in/binary-out shape is
-    what a PIL/opencv stage would have at scale; only the resample
-    kernel is simpler (NN instead of Lanczos)."""
+    """REAL image resize: decode (PPM or PNG, magic dispatch) ->
+    nearest-neighbor resample -> re-encode PPM, Arrow-batched.  The
+    binary-in/binary-out shape is what a PIL/opencv stage would have
+    at scale; only the resample kernel is simpler (NN instead of
+    Lanczos)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -286,7 +411,7 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 "w_in": [], "h_in": [], "w_out": [], "h_out": [],
             }
             for i, p in zip(pdf["doc_id"], pdf["payload"]):
-                px = decode_ppm(bytes(p))
+                px = decode_image(bytes(p))
                 out = resize_nearest(px, out_w, out_h)
                 rows["doc_id"].append(i)
                 rows["payload"].append(encode_ppm(out))

@@ -1161,6 +1161,179 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(with_payload)
 
 
+# ------------------------------------------- PII scrub + LM scoring
+
+#: detection patterns shared by the Spark and DuckDB sides — kept to
+#: the regex subset where Java regex and RE2 agree (no backrefs, no
+#: lookaround).
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redaction_report(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub pass — the compliance gate every training-data
+    pipeline runs before release: detect emails / IPv4s, redact them
+    to fixed placeholders, account for what was removed per source.
+
+    The synthetic corpus carries no real PII, so every third document
+    gets a deterministic doc_id-derived contact line appended first —
+    the detect/redact machinery then runs on real matches with exact,
+    reproducible counts (and the untouched docs prove the no-match
+    path).
+
+    Scale: one narrow pass (inject, two regexp_extract_all, two
+    regexp_replace — all JVM-side, no UDF) + one per-source
+    aggregation; the regexes stay in the whole-stage-codegen span."""
+    d = load(spark, sf, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ),
+    ).otherwise(F.col("text"))
+    t = d.select("source", "doc_id", injected.alias("t"))
+    # idx=0: count whole-pattern matches (the patterns carry no
+    # capture groups; DuckDB's default is also the full match)
+    n_emails = F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL_RE), 0))
+    n_ips = F.size(F.regexp_extract_all("t", F.lit(PII_IPV4_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace("t", PII_EMAIL_RE, "[EMAIL]"),
+        PII_IPV4_RE,
+        "[IP]",
+    )
+    per_doc = t.select(
+        "source",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        (F.length("t") - F.length(redacted)).alias("chars_removed"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_emails") + F.col("n_ips") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_pii"),
+        F.sum("n_emails").cast("bigint").alias("total_emails"),
+        F.sum("n_ips").cast("bigint").alias("total_ips"),
+        F.sum("chars_removed").cast("bigint").alias("total_chars_removed"),
+    )
+
+
+SQL_PII_REDACTION_REPORT = f"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com from 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.1'
+              ELSE text END AS t
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(t, '{PII_IPV4_RE}')) AS n_ips,
+         length(t) - length(
+           regexp_replace(
+             regexp_replace(t, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{PII_IPV4_RE}', '[IP]', 'g')
+         ) AS chars_removed
+  FROM t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_emails + n_ips > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(n_ips) AS BIGINT) AS total_ips,
+       CAST(SUM(chars_removed) AS BIGINT) AS total_chars_removed
+FROM per_doc
+GROUP BY source
+"""
+
+
+def q_doc_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram language-model scoring — the CCNet/Gopher-style
+    "perplexity filter": train a unigram LM on the corpus itself
+    (term frequency / total tokens), score each document by its mean
+    token log-probability, and flag the lowest-scoring tail
+    (bottom decile) as out-of-distribution.
+
+    Scale: reuses the one-shuffle (doc, term, tf) relation; the LM
+    join is a shuffle join on the corpus-sized term dimension (NOT
+    broadcastable at 100 TB); totals are scalar aggregates broadcast
+    by construction; the decile threshold is one approx-free
+    percentile over the per-doc scores (constant-size relation: one
+    row per doc, ~1e9 rows at 100 TB — a cheap exact percentile next
+    to the corpus itself)."""
+    tf, lens = _doc_terms(spark, sf)
+    term_freq = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = term_freq.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = (
+        tf.join(term_freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_toks"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("cnt")))
+                / F.sum("tf")
+                - F.log(F.first("total"))
+            ).alias("avg_logprob"),
+        )
+    )
+    thr = scored.agg(
+        F.expr("percentile(avg_logprob, 0.1)").alias("p10")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round("avg_logprob", 6).alias("avg_logprob"),
+            (F.col("avg_logprob") < F.col("p10"))
+            .cast("boolean")
+            .alias("flag_low_lm_score"),
+        )
+    )
+
+
+SQL_DOC_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, t FROM toks WHERE len(t) > 0
+), tf AS (
+  SELECT doc_id, u.term, COUNT(*) AS tf
+  FROM nonempty, UNNEST(t) AS u(term)
+  GROUP BY 1, 2
+), freq AS (
+  SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_toks,
+         SUM(tf * ln(cnt)) / SUM(tf) - ln(ANY_VALUE(total))
+           AS avg_logprob
+  FROM tf JOIN freq USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+), thr AS (
+  SELECT quantile_cont(avg_logprob, 0.1) AS p10 FROM scored
+)
+SELECT doc_id, n_toks,
+       ROUND(avg_logprob, 6) AS avg_logprob,
+       avg_logprob < p10 AS flag_low_lm_score
+FROM scored CROSS JOIN thr
+"""
+
+
 SPARK_QUERIES = {
     "text_token_stats": q_text_token_stats,
     "lang_id_confusion": q_lang_id_confusion,
@@ -1192,6 +1365,8 @@ SPARK_QUERIES = {
     "eval_contamination": q_eval_contamination,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "terms_heavy_hitters": q_terms_heavy_hitters,
+    "pii_redaction_report": q_pii_redaction_report,
+    "doc_unigram_logprob": q_doc_unigram_logprob,
 }
 
 ORACLE_SQL = {
@@ -1216,6 +1391,8 @@ ORACLE_SQL = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
     "simhash_bits_md5": SQL_SIMHASH_BITS_MD5,
+    "pii_redaction_report": SQL_PII_REDACTION_REPORT,
+    "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
     # minhash_neardup / simhash_fingerprints / embedding_lsh_topk /
     # multimodal_features: intentionally no oracle (probabilistic or
     # pandas-UDF paths) -> driver rows-only check; see tests/ for the

@@ -138,7 +138,8 @@ def test_multimodal_roundtrip_and_stub_gate(spark):
     assert feats.n_bytes == 11 and feats.modality == "text"
     assert feats.f1 == ord("h") / 255.0
     with pytest.raises(NotImplementedError):
-        decode_stub(b"\x89PNG", "image")  # PNG is NOT decodable here
+        # JPEG is NOT decodable here (PNG and PPM are)
+        decode_stub(b"\xff\xd8\xff\xe0 not a real jpeg", "image")
 
 
 def test_ppm_codec_roundtrip_and_comments():
@@ -160,6 +161,143 @@ def test_ppm_codec_roundtrip_and_comments():
     # NN resize picks existing pixels: every output pixel occurs in input
     flat_in = {tuple(p) for p in px.reshape(-1, 3)}
     assert all(tuple(p) in flat_in for p in small.reshape(-1, 3))
+
+
+def test_png_codec_roundtrip_and_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_features,
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    # encoder round-trip (filter 0 path)
+    assert (decode_png(encode_png(px)) == px).all()
+    # magic dispatch: same bytes through the generic entry point
+    assert (decode_image(encode_png(px)) == px).all()
+
+    # hand-filtered stream: one scanline per nontrivial filter type
+    # (Sub, Up, Average, Paeth), built from the spec definitions with
+    # test-local code — decode must reproduce the original pixels
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    h, w, bpp = 4, 3, 3
+    raw = rng.integers(0, 256, size=(h, w * bpp), dtype=np.int64)
+    stream = bytearray()
+    for y, f in enumerate([1, 2, 3, 4]):
+        stream.append(f)
+        for x in range(w * bpp):
+            left = raw[y, x - bpp] if x >= bpp else 0
+            up = raw[y - 1, x] if y > 0 else 0
+            ul = raw[y - 1, x - bpp] if (y > 0 and x >= bpp) else 0
+            if f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                pred = paeth(left, up, ul)
+            stream.append(int(raw[y, x] - pred) & 0xFF)
+
+    def chunk(tag, data):
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body))
+        )
+
+    payload = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+    assert (
+        decode_png(payload) == raw.astype(np.uint8).reshape(h, w, bpp)
+    ).all()
+
+    # grayscale replicates to 3 channels; RGBA drops alpha
+    gray = bytes([0]) + bytes(range(5))
+    payload_g = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(gray))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(payload_g)
+    assert out.shape == (1, 5, 3) and (out[0, :, 0] == range(5)).all()
+    assert (out[..., 0] == out[..., 1]).all() and (
+        out[..., 0] == out[..., 2]
+    ).all()
+
+    rgba = bytes([0]) + bytes([10, 20, 30, 255, 40, 50, 60, 0])
+    payload_a = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(rgba))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(payload_a).tolist() == [[[10, 20, 30], [40, 50, 60]]]
+
+    # honest gates: 16-bit / palette / interlaced raise
+    for depth, color, interlace in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        bad = (
+            PNG_SIG
+            + chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace),
+            )
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_png(bad)
+
+    # feature extraction dispatches to the PNG decoder transparently
+    f0, f1, f2, f3 = decode_features(encode_png(px), "image")
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    assert (f0, f1) == (5.0, 6.0)
+    assert abs(f2 - luma.mean() / 255.0) < 1e-12
+
+
+def test_png_resize_through_spark(spark):
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        encode_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        Row(
+            doc_id=i,
+            payload=bytearray(
+                encode_png(
+                    rng.integers(0, 256, size=(6 + i, 5, 3), dtype=np.uint8)
+                )
+            ),
+        )
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, payload binary")
+    out = {r.doc_id: r for r in resize_images(df, 4, 4).collect()}
+    for i in range(3):
+        assert (out[i].w_in, out[i].h_in) == (5, 6 + i)
+        assert decode_ppm(bytes(out[i].payload)).shape == (4, 4, 3)
 
 
 def test_wav_codec_roundtrip_and_features():
