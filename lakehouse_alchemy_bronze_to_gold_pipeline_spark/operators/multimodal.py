@@ -6,18 +6,22 @@ metadata struct.  The Spark-side plumbing — schema, Arrow batch shape,
 two modalities now have REAL pure-stdlib decoders:
 
 - **image**: binary PPM (``P6``, the Netpbm format) is parsed with
-  ``numpy``, and 8-bit non-interlaced PNG (gray / RGB / RGBA) is
-  decoded from scratch per the public PNG spec — chunk walk, zlib
-  inflate, all five scanline filters including Paeth — with a
-  matching minimal encoder for round-trips.  ``decode_image``
-  dispatches on the magic bytes.
+  ``numpy``; 8-bit non-interlaced PNG (gray / RGB / RGBA) is decoded
+  from scratch per the public PNG spec — chunk walk, zlib inflate,
+  all five scanline filters including Paeth — with a matching minimal
+  encoder for round-trips; and baseline sequential JPEG (SOF0,
+  4:4:4 / 4:2:0 / grayscale, restart markers) is decoded from the
+  public T.81 spec in ``operators/jpeg.py`` (huffman entropy decode,
+  dequantize, orthonormal IDCT, chroma upsample, YCbCr→RGB), again
+  with a matching encoder.  ``decode_image`` dispatches on magic
+  bytes.
 - **audio**: RIFF/WAVE PCM is parsed with the stdlib ``wave`` module:
   sample rate / channels / duration, RMS amplitude and zero-crossing
   rate over the PCM16 samples.
 
-Formats that genuinely need external libraries (JPEG, MP3, video
-containers) still raise ``NotImplementedError`` — an honest gate, not
-a fake decode.  ``synthesize_ppm`` / ``synthesize_wav`` render
+Formats that genuinely need external libraries (progressive/12-bit
+JPEG, MP3, video containers) still raise ``NotImplementedError`` —
+an honest gate, not a fake decode.  ``synthesize_ppm`` / ``synthesize_wav`` render
 deterministic payloads from a text column so driver tables without
 binary columns can exercise the full encode->decode path.
 
@@ -218,9 +222,15 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte dispatch over the supported image containers."""
+    """Magic-byte dispatch over the supported image containers:
+    PNG (from-scratch, ``decode_png``), baseline JPEG (from-scratch,
+    ``operators.jpeg``), binary PPM."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     return decode_ppm(payload)
 
 

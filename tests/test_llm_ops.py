@@ -138,8 +138,8 @@ def test_multimodal_roundtrip_and_stub_gate(spark):
     assert feats.n_bytes == 11 and feats.modality == "text"
     assert feats.f1 == ord("h") / 255.0
     with pytest.raises(NotImplementedError):
-        # JPEG is NOT decodable here (PNG and PPM are)
-        decode_stub(b"\xff\xd8\xff\xe0 not a real jpeg", "image")
+        # GIF is NOT decodable here (PNG, baseline JPEG and PPM are)
+        decode_stub(b"GIF89a not a supported format", "image")
 
 
 def test_ppm_codec_roundtrip_and_comments():
