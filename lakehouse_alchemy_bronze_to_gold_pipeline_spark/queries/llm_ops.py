@@ -882,20 +882,27 @@ def q_terms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
 
 def _doc_terms(spark: SparkSession, sf: str):
     """(doc_id, term, tf) + (doc_id, dl) token-length relation —
-    shared frame for TF-IDF / BM25.  One explode + one groupBy
-    shuffle; term stats downstream are aggregations of THIS relation,
-    never a second scan of the text."""
+    shared frame for TF-IDF / BM25 / LM scoring.  One explode + one
+    groupBy shuffle, then PERSISTED: every consumer (document
+    frequency, term frequency, corpus totals, the score join) is an
+    aggregation or join over THIS cached relation — without the
+    persist, Spark's lazy evaluation re-scans and re-tokenizes the
+    corpus once per consumer, tripling the heaviest pass (verified in
+    tests/test_plans.py: exactly one parquet scan of documents)."""
     d = load(spark, sf, "documents")
     toks = d.select(
         "doc_id", TX.nonempty_tokens("text").alias("toks")
     ).filter(F.size("toks") > 0)
-    lens = toks.select(
-        "doc_id", F.size("toks").cast("bigint").alias("dl")
-    )
     tf = (
         toks.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    # doc length == sum of term frequencies: derived from the cached
+    # relation instead of a second tokenize pass over the text
+    lens = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("dl")
     )
     return tf, lens
 

@@ -340,3 +340,39 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pii_redaction_single_pass_no_udf(spark):
+    plan = _formatted(spark, "pii_redaction_report")
+    ops = _ops(plan)
+    # one narrow scan -> partial/final agg around ONE exchange on
+    # source; regexes are JVM expressions, not Python workers
+    assert ops.count("HashAggregate") == 2
+    assert _shuffles(plan) == 1
+    assert "BatchEvalPython" not in ops and "ArrowEvalPython" not in ops
+    # only the columns the query needs leave the parquet scan
+    assert "n_chars" not in plan and "lang" not in plan
+
+
+def test_unigram_logprob_single_tokenize_pass(spark):
+    plan = _formatted(spark, "doc_unigram_logprob")
+    ops = _ops(plan)
+    tree = plan.split("\n\n")[0]
+    # the (doc, term, tf) relation is persisted and shared: its four
+    # consumers (LM freq, corpus total, score join, decile) must all
+    # read the cache, leaving exactly ONE distinct parquet scan of
+    # documents in the plan (without the persist, lazy evaluation
+    # re-tokenizes the corpus once per consumer)
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) == 1
+    assert "InMemoryTableScan" in tree
+    # 1-row scalar relations (total, p10) broadcast; no cartesian
+    assert "CartesianProduct" not in ops
+
+
+def test_tfidf_and_bm25_single_tokenize_pass(spark):
+    for name in ("tfidf_top_terms", "bm25_search"):
+        tree = _formatted(spark, name).split("\n\n")[0]
+        scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+        assert len(scan_ids) == 1, name
+        assert "InMemoryTableScan" in tree, name
