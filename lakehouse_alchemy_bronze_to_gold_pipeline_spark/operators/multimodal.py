@@ -365,6 +365,49 @@ def synthesize_ppm(
     )
 
 
+def synthesize_mixed_images(
+    df: DataFrame, id_col: str = "doc_id", source_col: str = "text"
+) -> DataFrame:
+    """Like ``synthesize_ppm`` but rotating the container per row
+    (doc_id % 3: PPM, PNG, JPEG) — the corpus shape a real ingest
+    sees, exercising every decoder through the same binary column."""
+    from .jpeg import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, codecs = [], []
+            for i, t in zip(pdf[id_col], pdf[source_col]):
+                w, h = 8 + int(i) % 9, 8 + int(i) % 7
+                px = _cycled_bytes(t, w * h * 3).reshape(h, w, 3)
+                k = int(i) % 3
+                if k == 0:
+                    payloads.append(encode_ppm(px))
+                    codecs.append("ppm")
+                elif k == 1:
+                    payloads.append(encode_png(px))
+                    codecs.append("png")
+                else:
+                    payloads.append(encode_jpeg(px, quality=90))
+                    codecs.append("jpeg")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": payloads,
+                    "codec": codecs,
+                    "media_meta": [
+                        {"n_bytes": len(p), "modality": "image"}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id bigint, payload binary, codec string, "
+        "media_meta struct<n_bytes: bigint, modality: string>",
+    )
+
+
 def synthesize_wav(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1157,6 +1157,44 @@ def q_multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_codec_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Every image decoder through one binary column: synthesize a
+    PPM/PNG/JPEG per document (container rotates by doc_id), decode
+    with the magic-dispatch featureizer, aggregate fidelity stats per
+    codec.  Per-codec row counts are exact thirds of the corpus; the
+    luminance means agree across codecs up to JPEG's quantization
+    loss — which is what the bounded min/max columns demonstrate.
+
+    Scale: same Arrow mapInPandas plumbing as the other multimodal
+    queries; decode is per-row numpy; the final agg is 3 rows."""
+    from ..operators.multimodal import synthesize_mixed_images
+
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    imgs = synthesize_mixed_images(d, "doc_id", "text")
+    # codec is a pure function of doc_id (id % 3) — recompute instead
+    # of joining back through a second synthesis pass
+    feats = extract_features(imgs.drop("codec")).withColumn(
+        "codec",
+        F.element_at(
+            F.array(F.lit("ppm"), F.lit("png"), F.lit("jpeg")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    )
+    return (
+        feats.groupBy("codec")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.round(F.avg("f2"), 4).alias("avg_luma_mean"),
+            F.round(F.min("f2"), 4).alias("min_luma_mean"),
+            F.round(F.max("f2"), 4).alias("max_luma_mean"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("codec")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-payload plumbing + Arrow-batched feature extraction
     (text modality — see multimodal_image/audio_features for the real
@@ -1374,6 +1412,7 @@ SPARK_QUERIES = {
     "terms_heavy_hitters": q_terms_heavy_hitters,
     "pii_redaction_report": q_pii_redaction_report,
     "doc_unigram_logprob": q_doc_unigram_logprob,
+    "multimodal_codec_mix": q_multimodal_codec_mix,
 }
 
 ORACLE_SQL = {

@@ -492,3 +492,35 @@ def test_lsh_pairs_recall_vs_bruteforce(spark):
     assert found / len(exact) >= 0.9  # banded LSH recalls the near-dups
     for k, v in approx.items():
         assert k in exact and abs(v - exact[k]) < 1e-9  # exact rerank
+
+
+def test_multimodal_codec_mix_agreement(spark):
+    """The three image codecs produce consistent features through one
+    binary column: exact luma equality for the lossless pair
+    (PPM/PNG), bounded deviation for JPEG."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthesize_mixed_images,
+        synthesize_ppm,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"codec mix probe text {i} " * 3) for i in range(12)]
+    )
+    mixed = {
+        r.doc_id: r
+        for r in extract_features(
+            synthesize_mixed_images(df).drop("codec")
+        ).collect()
+    }
+    ppm = {
+        r.doc_id: r
+        for r in extract_features(synthesize_ppm(df)).collect()
+    }
+    for i in range(12):
+        # same pixels regardless of container: dims match exactly
+        assert (mixed[i].f0, mixed[i].f1) == (ppm[i].f0, ppm[i].f1)
+        if i % 3 == 1:  # png: lossless, exact luma equality
+            assert abs(mixed[i].f2 - ppm[i].f2) < 1e-12
+        elif i % 3 == 2:  # jpeg: lossy, bounded deviation
+            assert abs(mixed[i].f2 - ppm[i].f2) < 0.02
