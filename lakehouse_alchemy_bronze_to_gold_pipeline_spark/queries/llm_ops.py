@@ -1379,6 +1379,70 @@ FROM scored CROSS JOIN thr
 """
 
 
+def q_crossdoc_span_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document span duplication — the n-gram-granularity form
+    of exact-substring dedup (Lee et al., "Deduplicating Training
+    Data"): for each document, the fraction of its distinct word
+    5-grams that also occur in at least one OTHER document; documents
+    past a threshold are span-duplicate suspects (boilerplate,
+    templated content, copy-paste families) even when whole-document
+    dedup misses them.
+
+    Scale: distinct shingles stay at row grain (``word_shingles``,
+    no explode) until the single explode into md5-hashed fixed-width
+    gram keys; then ONE groupBy over the gram dimension for document
+    frequency and one join back — the same two-shuffle shape as
+    TF-IDF, corpus-sized dimensions never broadcast or collected."""
+    d = load(spark, sf, "documents")
+    g = (
+        d.select(
+            "doc_id",
+            F.explode(
+                TX.word_shingles(TX.nonempty_tokens("text"), 5)
+            ).alias("gram"),
+        )
+        .select("doc_id", F.md5("gram").alias("hx"))
+    )
+    gd = g.groupBy("hx").agg(F.count("*").alias("df"))
+    shared = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+    return (
+        g.join(gd, "hx")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            shared.cast("bigint").alias("n_shared"),
+            F.round(shared / F.count("*"), 6).alias("shared_frac"),
+            (shared / F.count("*") > 0.3).alias("flag_span_dup"),
+        )
+    )
+
+
+SQL_CROSSDOC_SPAN_COVERAGE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(t[u.i : u.i + 4], ' ')) AS hx
+  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)
+), gd AS (
+  SELECT hx, COUNT(*) AS df FROM g GROUP BY 1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       ROUND(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS shared_frac,
+       (SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE)) > 0.3 AS flag_span_dup
+FROM g JOIN gd USING (hx)
+GROUP BY doc_id
+"""
+
+
 SPARK_QUERIES = {
     "text_token_stats": q_text_token_stats,
     "lang_id_confusion": q_lang_id_confusion,
@@ -1413,6 +1477,7 @@ SPARK_QUERIES = {
     "pii_redaction_report": q_pii_redaction_report,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "multimodal_codec_mix": q_multimodal_codec_mix,
+    "crossdoc_span_coverage": q_crossdoc_span_coverage,
 }
 
 ORACLE_SQL = {
@@ -1439,6 +1504,7 @@ ORACLE_SQL = {
     "simhash_bits_md5": SQL_SIMHASH_BITS_MD5,
     "pii_redaction_report": SQL_PII_REDACTION_REPORT,
     "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
+    "crossdoc_span_coverage": SQL_CROSSDOC_SPAN_COVERAGE,
     # minhash_neardup / simhash_fingerprints / embedding_lsh_topk /
     # multimodal_features: intentionally no oracle (probabilistic or
     # pandas-UDF paths) -> driver rows-only check; see tests/ for the
