@@ -1443,6 +1443,98 @@ GROUP BY doc_id
 """
 
 
+def q_embedding_covariance_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Covariance structure of the embedding space — the whitening /
+    PCA-readiness diagnostic (high off-diagonal mass means dimensions
+    are correlated and a whitening transform would help downstream
+    ANN and clustering).  Computes the full d×d population covariance
+    matrix distributively, then reduces it to one summary row: total
+    variance (trace), Frobenius norm, and off-diagonal concentration.
+
+    Scale: one posexplode to the (vec_id, i, x) relation (n·d rows),
+    persisted; the pair sums come from a SELF-JOIN co-partitioned on
+    vec_id — ONE shuffle feeds both sides — and the (i, j) groupBy
+    partial-aggregates map-side, so the exchange after the join
+    carries at most |partitions|·d² summary rows, independent of n.
+    Per-dimension means broadcast (d rows).  Nothing is collected."""
+    e = load(spark, sf, "embeddings")
+    dims = (
+        e.select(
+            "vec_id", F.posexplode("embedding").alias("i", "x")
+        )
+        .withColumn("x", F.col("x").cast("double"))
+        .persist()
+    )
+    means = dims.groupBy("i").agg(
+        F.avg("x").alias("mean_i"), F.count("*").alias("n")
+    )
+    b = dims.select(
+        F.col("vec_id"), F.col("i").alias("j"), F.col("x").alias("y")
+    )
+    pairs = (
+        dims.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("x") * F.col("y")).alias("sxy"),
+             F.count("*").alias("n"))
+    )
+    mi = means.select("i", "mean_i")
+    mj = means.select(
+        F.col("i").alias("j"), F.col("mean_i").alias("mean_j")
+    )
+    cov = (
+        pairs.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("sxy") / F.col("n")
+             - F.col("mean_i") * F.col("mean_j")).alias("c"),
+        )
+    )
+    offdiag = F.when(F.col("i") != F.col("j"), F.abs("c"))
+    return cov.crossJoin(
+        F.broadcast(means.agg(F.max("n").cast("bigint").alias("n_vectors")))
+    ).agg(
+        F.first("n_vectors").alias("n_vectors"),
+        (F.countDistinct("i")).cast("bigint").alias("dims"),
+        F.round(F.sum(F.when(F.col("i") == F.col("j"), F.col("c"))), 6)
+        .alias("trace"),
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6)
+        .alias("frobenius"),
+        F.round(F.max(offdiag), 6).alias("max_abs_offdiag"),
+        F.round(F.avg(offdiag), 6).alias("avg_abs_offdiag"),
+    )
+
+
+SQL_EMBEDDING_COVARIANCE_STATS = """
+WITH dims AS (
+  SELECT vec_id, u.i AS i,
+         CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+), means AS (
+  SELECT i, AVG(x) AS mean_i, COUNT(*) AS n FROM dims GROUP BY 1
+), pairs AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy, COUNT(*) AS n
+  FROM dims a JOIN dims b USING (vec_id)
+  GROUP BY 1, 2
+), cov AS (
+  SELECT p.i, p.j, p.sxy / p.n - mi.mean_i * mj.mean_i AS c
+  FROM pairs p
+  JOIN means mi ON p.i = mi.i
+  JOIN means mj ON p.j = mj.i
+)
+SELECT CAST((SELECT MAX(n) FROM means) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS dims,
+       ROUND(SUM(CASE WHEN i = j THEN c END), 6) AS trace,
+       ROUND(sqrt(SUM(c * c)), 6) AS frobenius,
+       ROUND(MAX(CASE WHEN i != j THEN abs(c) END), 6)
+         AS max_abs_offdiag,
+       ROUND(AVG(CASE WHEN i != j THEN abs(c) END), 6)
+         AS avg_abs_offdiag
+FROM cov
+"""
+
+
 SPARK_QUERIES = {
     "text_token_stats": q_text_token_stats,
     "lang_id_confusion": q_lang_id_confusion,
@@ -1478,6 +1570,7 @@ SPARK_QUERIES = {
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "multimodal_codec_mix": q_multimodal_codec_mix,
     "crossdoc_span_coverage": q_crossdoc_span_coverage,
+    "embedding_covariance_stats": q_embedding_covariance_stats,
 }
 
 ORACLE_SQL = {
@@ -1505,6 +1598,7 @@ ORACLE_SQL = {
     "pii_redaction_report": SQL_PII_REDACTION_REPORT,
     "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
     "crossdoc_span_coverage": SQL_CROSSDOC_SPAN_COVERAGE,
+    "embedding_covariance_stats": SQL_EMBEDDING_COVARIANCE_STATS,
     # minhash_neardup / simhash_fingerprints / embedding_lsh_topk /
     # multimodal_features: intentionally no oracle (probabilistic or
     # pandas-UDF paths) -> driver rows-only check; see tests/ for the
