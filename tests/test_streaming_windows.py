@@ -265,3 +265,66 @@ def test_continuous_aggregate_incremental_rollup(spark, tmp_path):
     assert got == {"10:00": (2, 6.0), "10:15": (1, 2.0), "11:00": (1, 3.0)}
     assert len(rows) == 3  # exactly one row per window
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched left rows emit with
+    null right columns only once the watermark passes their join
+    window — which requires a LATER batch to advance event time.
+    This pins the two-run emission pattern (nothing outer in run 1,
+    outer rows surface in run 2)."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.joins import (
+        stream_stream_join,
+    )
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    _write(imp_dir, "a.json", [
+        {"user_id": "u1", "ts": "2024-01-01 10:00:00", "value": 1.0},
+        {"user_id": "u2", "ts": "2024-01-01 10:00:00", "value": 2.0},
+    ])
+    _write(clk_dir, "a.json", [
+        {"user_id": "u1", "ts": "2024-01-01 10:05:00", "value": 10.0},
+        # u2 clicks past the 10-minute delay window -> never matches
+        {"user_id": "u2", "ts": "2024-01-01 10:20:00", "value": 20.0},
+    ])
+
+    def run():
+        imps = (
+            spark.readStream.schema(SCHEMA).json(imp_dir)
+            .select("user_id", F.col("ts").alias("imp_ts"),
+                    F.col("value").alias("imp_v"))
+        )
+        clicks = (
+            spark.readStream.schema(SCHEMA).json(clk_dir)
+            .select("user_id", F.col("ts").alias("click_ts"),
+                    F.col("value").alias("click_v"))
+        )
+        joined = stream_stream_join(
+            imps, clicks, "user_id", "imp_ts", "click_ts",
+            max_delay="10 minutes", watermark="30 minutes",
+            how="left_outer",
+        )
+        rows = []
+        q = (
+            joined.writeStream
+            .foreachBatch(lambda df, _id: rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    run1 = {(r.user_id, r.imp_v, r.click_v) for r in run()}
+    assert run1 == {("u1", 1.0, 10.0)}  # outer rows NOT yet emitted
+
+    # late traffic on BOTH sides advances the global watermark past
+    # u2's join window (10:10 + 30 min) -> the outer row surfaces
+    _write(imp_dir, "b.json", [
+        {"user_id": "u9", "ts": "2024-01-01 12:00:00", "value": 9.0},
+    ])
+    _write(clk_dir, "b.json", [
+        {"user_id": "u9", "ts": "2024-01-01 12:01:00", "value": 90.0},
+    ])
+    run2 = {(r.user_id, r.imp_v, r.click_v) for r in run()}
+    assert ("u2", 2.0, None) in run2  # watermark-released outer row
