@@ -483,7 +483,49 @@ ORDER BY l_returnflag
 """
 
 
+def q_scd2_customer_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 dimension history build — the versioned form of the
+    reference's SCD-1 overwrite (gold_transformation.py:28-161
+    rebuilds dims destructively; type 2 keeps every version with a
+    validity interval).  Each order event becomes a customer-state
+    version: ``valid_from`` = event date, ``valid_to`` = next event's
+    date (exclusive, NULL while current), ``is_current`` flags the
+    open version — the QUALIFY/row_number construction a MERGE-based
+    SCD-2 pipeline computes incrementally.
+
+    Scale: ONE window shuffle on the dimension key; no joins, no
+    self-union.  At 100 TB the same window runs per key partition and
+    the history table partitions by ``is_current`` so point-in-time
+    lookups prune to closed or open versions."""
+    o = load(spark, sf, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        F.row_number().over(w).cast("bigint").alias("version_nr"),
+        F.col("o_orderdate").cast("string").alias("valid_from"),
+        nxt.cast("string").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.round("o_totalprice", 2).alias("snapshot_value"),
+    )
+
+
+SQL_SCD2_CUSTOMER_HISTORY = """
+SELECT o_custkey,
+       CAST(row_number() OVER w AS BIGINT) AS version_nr,
+       CAST(o_orderdate AS VARCHAR) AS valid_from,
+       CAST(lead(o_orderdate) OVER w AS VARCHAR) AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current,
+       ROUND(o_totalprice, 2) AS snapshot_value
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 SPARK_QUERIES = {
+    "scd2_customer_history": q_scd2_customer_history,
     "order_rank_functions": q_order_rank_functions,
     "price_histogram": q_price_histogram,
     "lineitem_moments": q_lineitem_moments,
@@ -497,6 +539,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "scd2_customer_history": SQL_SCD2_CUSTOMER_HISTORY,
     "order_rank_functions": SQL_ORDER_RANK_FUNCTIONS,
     "price_histogram": SQL_PRICE_HISTOGRAM,
     "lineitem_moments": SQL_LINEITEM_MOMENTS,
