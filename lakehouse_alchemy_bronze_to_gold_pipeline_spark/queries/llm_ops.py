@@ -1535,6 +1535,40 @@ FROM cov
 """
 
 
+def q_embedding_kmeans_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus cartography via full-data spherical k-means
+    (``operators.kmeans``): train k=8 centroids distributively
+    (assignment is a narrow argmax pass per iteration; the update
+    reduce returns only k×(d+1) numbers to the driver), then profile
+    each cluster — size and mean/min cosine of members to their
+    centroid (cohesion).  Iterative => no SQL oracle; determinism,
+    planted-blob purity and cohesion floors are pytest-pinned
+    (tests/test_kmeans.py)."""
+    from ..functions.vectors import as_double_array, cosine, literal_vector
+    from ..operators.kmeans import kmeans_assign, kmeans_fit
+
+    e = load(spark, sf, "embeddings")
+    centroids = kmeans_fit(e, "embedding", "vec_id", k=8, iters=4)
+    assigned = kmeans_assign(e, centroids)
+    sim = cosine(
+        as_double_array("embedding"),
+        F.element_at(
+            F.array(*[literal_vector(c) for c in centroids]),
+            (F.col("cluster") + 1).cast("int"),
+        ),
+    )
+    return (
+        assigned.withColumn("cos_to_centroid", sim)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.avg("cos_to_centroid"), 4).alias("avg_cohesion"),
+            F.round(F.min("cos_to_centroid"), 4).alias("min_cohesion"),
+        )
+        .orderBy("cluster")
+    )
+
+
 SPARK_QUERIES = {
     "text_token_stats": q_text_token_stats,
     "lang_id_confusion": q_lang_id_confusion,
@@ -1571,6 +1605,7 @@ SPARK_QUERIES = {
     "multimodal_codec_mix": q_multimodal_codec_mix,
     "crossdoc_span_coverage": q_crossdoc_span_coverage,
     "embedding_covariance_stats": q_embedding_covariance_stats,
+    "embedding_kmeans_profile": q_embedding_kmeans_profile,
 }
 
 ORACLE_SQL = {
