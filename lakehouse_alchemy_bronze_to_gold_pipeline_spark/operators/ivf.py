@@ -79,32 +79,51 @@ def ivf_topk(
     train_sample: int = 10_000,
     kmeans_iters: int = 5,
     seed: int = 42,
+    train: str = "sample",
 ) -> DataFrame:
     """Approximate knn: probe the ``n_probe`` best inverted lists per
     query, exact cosine rerank inside.  Output matches ``knn_join``
-    (query_id, neighbor_id, cosine_sim, rank)."""
-    # pseudo-random, order-independent training sample: take the
-    # train_sample smallest xxhash64(id, seed) rows (TakeOrdered =
-    # per-partition top-n + driver merge, no global sort).  A bare
-    # ``limit(n)`` takes the FIRST n rows — on a sorted/clustered
-    # corpus that trains centroids on one corner of the space and
-    # recall silently degrades; hash order is uniform regardless of
-    # physical layout, and seeded so the plan stays deterministic.
-    sample = np.array(
-        [
-            r[0]
-            for r in corpus.select(
-                as_double_array(vec_col).alias("__v"),
-                F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
-            )
-            .orderBy("__h")
-            .limit(train_sample)
-            .select("__v")
-            .collect()
-        ]
-    )
-    n_lists = min(n_lists, len(sample))
-    centroids = _kmeans(sample, n_lists, kmeans_iters, seed)
+    (query_id, neighbor_id, cosine_sim, rank).
+
+    ``train="sample"`` (default) fits list heads on a bounded driver
+    sample — O(1) cost, graceful quality; ``train="full"`` delegates
+    to ``operators.kmeans.kmeans_fit`` for full-corpus distributed
+    Lloyd training (O(iters) passes) when list balance matters more
+    than training cost."""
+    if train == "full":
+        from .kmeans import kmeans_fit
+
+        dim = len(corpus.select(as_double_array(vec_col)).first()[0])
+        centroids = kmeans_fit(
+            corpus, vec_col, id_col, k=n_lists, iters=kmeans_iters,
+            dim=dim, seed=seed,
+        )
+    elif train == "sample":
+        # pseudo-random, order-independent training sample: take the
+        # train_sample smallest xxhash64(id, seed) rows (TakeOrdered =
+        # per-partition top-n + driver merge, no global sort).  A bare
+        # ``limit(n)`` takes the FIRST n rows — on a sorted/clustered
+        # corpus that trains centroids on one corner of the space and
+        # recall silently degrades; hash order is uniform regardless
+        # of physical layout, and seeded so the plan stays
+        # deterministic.
+        sample = np.array(
+            [
+                r[0]
+                for r in corpus.select(
+                    as_double_array(vec_col).alias("__v"),
+                    F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h"),
+                )
+                .orderBy("__h")
+                .limit(train_sample)
+                .select("__v")
+                .collect()
+            ]
+        )
+        n_lists = min(n_lists, len(sample))
+        centroids = _kmeans(sample, n_lists, kmeans_iters, seed)
+    else:
+        raise ValueError(f"train must be 'sample' or 'full', got {train!r}")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -384,6 +384,18 @@ def test_ivf_topk_recall_vs_exact(spark):
     # every query finds itself first
     for q in (0, 40, 80, 120):
         assert approx[(q, 1)] == q
+    # full-corpus distributed training path: at least as good here
+    full = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(
+            df, qs, k=3, n_lists=8, n_probe=3, train="full",
+            kmeans_iters=3,
+        ).collect()
+    }
+    full_hits = sum(1 for k, v in exact.items() if full.get(k) == v)
+    assert full_hits / len(exact) >= 0.9
+    with pytest.raises(ValueError, match="train must be"):
+        ivf_topk(df, qs, train="bogus")
 
 
 def test_knn_join_guards_large_query_side(spark):
