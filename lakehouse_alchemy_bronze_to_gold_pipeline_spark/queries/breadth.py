@@ -524,7 +524,74 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_snapshot_diff_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-style snapshot diff (``operators.diff.snapshot_diff``): a
+    second orders snapshot is derived deterministically (drop every
+    97th key = deletes, bump price on every 89th = updates, re-key a
+    copy of every 101st = inserts), then diffed against the original
+    with ONE full outer join on the key.  Output: per change class,
+    row count and key checksum.
+
+    Scale: the single key-shuffle join is the whole cost; bucketed
+    snapshots make it shuffle-free."""
+    from ..operators.diff import snapshot_diff
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    modified = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    new = modified.unionByName(inserts)
+    d = snapshot_diff(o, new, ["o_orderkey"])
+    return d.groupBy("change").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+    )
+
+
+SQL_SNAPSHOT_DIFF_ORDERS = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+  FROM orders
+), new AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM o WHERE o_orderkey % 97 != 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderstatus
+  FROM o WHERE o_orderkey % 101 = 0
+), d AS (
+  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NULL
+                THEN 'delete'
+              WHEN o.o_orderkey IS NULL AND n.o_orderkey IS NOT NULL
+                THEN 'insert'
+              WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'update'
+         END AS change
+  FROM o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT change,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM d WHERE change IS NOT NULL
+GROUP BY change
+"""
+
+
 SPARK_QUERIES = {
+    "snapshot_diff_orders": q_snapshot_diff_orders,
     "scd2_customer_history": q_scd2_customer_history,
     "order_rank_functions": q_order_rank_functions,
     "price_histogram": q_price_histogram,
@@ -539,6 +606,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "snapshot_diff_orders": SQL_SNAPSHOT_DIFF_ORDERS,
     "scd2_customer_history": SQL_SCD2_CUSTOMER_HISTORY,
     "order_rank_functions": SQL_ORDER_RANK_FUNCTIONS,
     "price_histogram": SQL_PRICE_HISTOGRAM,

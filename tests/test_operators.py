@@ -349,3 +349,44 @@ def test_upsert_duplicate_update_keys_parquet_branch(spark):
     got = {r.pk: (r.val, r.ver) for r in io.read(t).collect()}
     assert got == {1: ("new", 3), 2: ("keep", 5), 3: ("ins", 1)}
     spark.sql(f"DROP TABLE {t}")
+
+
+# ------------------------------------------------- snapshot diff (CDC)
+def test_snapshot_diff_classes_and_null_transitions(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.diff import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [
+            Row(k=1, v="same", w=1),
+            Row(k=2, v="old", w=1),
+            Row(k=3, v="gone", w=1),
+            Row(k=4, v=None, w=1),   # null -> value must count as update
+            Row(k=5, v="x", w=1),    # value -> null must count as update
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, v="same", w=1),
+            Row(k=2, v="new", w=1),
+            Row(k=4, v="filled", w=1),
+            Row(k=5, v=None, w=1),
+            Row(k=6, v="born", w=1),
+        ]
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {2: "update", 3: "delete", 4: "update",
+                   5: "update", 6: "insert"}  # k=1 unchanged -> absent
+
+
+def test_snapshot_diff_ignores_one_sided_columns(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.diff import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame([Row(k=1, v="a", legacy=1)])
+    new = spark.createDataFrame([Row(k=1, v="a", added="z")])
+    # schema evolution: columns present on only one side are ignored,
+    # so the row is unchanged
+    assert snapshot_diff(old, new, ["k"]).count() == 0
