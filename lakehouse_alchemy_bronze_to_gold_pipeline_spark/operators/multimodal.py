@@ -15,9 +15,11 @@ two modalities now have REAL pure-stdlib decoders:
   dequantize, orthonormal IDCT, chroma upsample, YCbCr→RGB), again
   with a matching encoder.  ``decode_image`` dispatches on magic
   bytes.
-- **audio**: RIFF/WAVE PCM is parsed with the stdlib ``wave`` module:
-  sample rate / channels / duration, RMS amplitude and zero-crossing
-  rate over the PCM16 samples.
+- **audio**: RIFF/WAVE PCM16 via the stdlib ``wave`` module, plus
+  G.711 μ-law / A-law WAVs (format codes 7 / 6, which ``wave``
+  refuses) through a manual RIFF chunk walk and the ITU-T expansion
+  LUTs — sample rate / channels / duration, RMS amplitude and
+  zero-crossing rate over the decoded samples.
 
 Formats that genuinely need external libraries (progressive/12-bit
 JPEG, MP3, video containers) still raise ``NotImplementedError`` —
@@ -257,9 +259,76 @@ def encode_wav(
     return buf.getvalue()
 
 
+# G.711 companding (public ITU-T spec): 256-entry decode LUTs built
+# from the segment/mantissa formulas.
+
+
+def _ulaw_table() -> np.ndarray:
+    out = np.zeros(256, dtype=np.int16)
+    for u in range(256):
+        c = ~u & 0xFF
+        sign, exp, man = c & 0x80, (c >> 4) & 0x07, c & 0x0F
+        s = (((man << 3) + 0x84) << exp) - 0x84
+        out[u] = -s if sign else s
+    return out
+
+
+def _alaw_table() -> np.ndarray:
+    out = np.zeros(256, dtype=np.int16)
+    for a in range(256):
+        c = a ^ 0x55
+        sign, exp, man = c & 0x80, (c >> 4) & 0x07, c & 0x0F
+        if exp == 0:
+            s = (man << 4) + 8
+        else:
+            s = ((man << 4) + 0x108) << (exp - 1)
+        out[a] = s if sign else -s
+    return out
+
+
+_ULAW = _ulaw_table()
+_ALAW = _alaw_table()
+
+
+def encode_ulaw(samples: np.ndarray) -> np.ndarray:
+    """int16 -> uint8 μ-law bytes (the G.711 encoder, for round-trip
+    tests and synthetic corpora)."""
+    x = samples.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = np.floor(np.log2(mag)).astype(np.int64) - 7
+    man = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | man) & 0xFF).astype(np.uint8)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """WAV bytes -> (int16 samples, sample_rate, n_channels) via the
-    stdlib ``wave`` reader (RIFF/WAVE PCM — public format)."""
+    """WAV bytes -> (int16 samples, sample_rate, n_channels).
+
+    PCM16 goes through the stdlib ``wave`` reader; G.711 μ-law /
+    A-law WAVs (format codes 7 / 6 — ``wave`` refuses them) are
+    parsed with a manual RIFF chunk walk and expanded through the
+    G.711 LUTs.  Other codecs raise."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        pos, fmt_code, rate, n_ch, data = 12, None, 0, 1, None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + size]
+            if tag == b"fmt ":
+                fmt_code, n_ch, rate = struct.unpack_from(
+                    "<HHI", body, 0
+                )
+            elif tag == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt_code in (6, 7) and data is not None:
+            lut = _ULAW if fmt_code == 7 else _ALAW
+            return lut[np.frombuffer(data, dtype=np.uint8)], rate, n_ch
+        if fmt_code not in (1, None):
+            raise NotImplementedError(
+                f"WAV format code {fmt_code} not supported "
+                "(PCM16, mu-law, A-law are)"
+            )
     with wave.open(io.BytesIO(payload), "rb") as wf:
         if wf.getsampwidth() != 2:
             raise NotImplementedError("only PCM16 WAV supported")

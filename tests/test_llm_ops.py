@@ -536,3 +536,46 @@ def test_multimodal_codec_mix_agreement(spark):
             assert abs(mixed[i].f2 - ppm[i].f2) < 1e-12
         elif i % 3 == 2:  # jpeg: lossy, bounded deviation
             assert abs(mixed[i].f2 - ppm[i].f2) < 0.02
+
+
+def test_g711_ulaw_alaw_wav_decode():
+    import struct
+
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        _ALAW,
+        _ULAW,
+        decode_wav,
+        encode_ulaw,
+    )
+
+    def g711_wav(fmt_code, data, rate=8000):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, rate, rate, 1, 8)
+        riff = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(riff)) + b"WAVE" + riff
+
+    # mu-law round-trip: encode a sine, decode through the WAV path,
+    # error bounded by the largest segment step (~1/32 full scale)
+    t = np.arange(800) / 800.0
+    ref = (np.sin(2 * np.pi * 5 * t) * 16000).astype(np.int16)
+    payload = g711_wav(7, encode_ulaw(ref).tobytes())
+    samples, rate, n_ch = decode_wav(payload)
+    assert rate == 8000 and n_ch == 1 and len(samples) == 800
+    assert np.max(np.abs(samples.astype(int) - ref.astype(int))) < 1024
+
+    # spec identities: mu-law 0xFF decodes to 0, A-law 0x55 -> -8
+    assert _ULAW[0xFF] == 0
+    assert _ALAW[0x55] == -8
+    # A-law WAV path decodes through the LUT
+    a_payload = g711_wav(6, bytes(range(256)))
+    a_samples, _, _ = decode_wav(a_payload)
+    assert (a_samples == _ALAW[np.arange(256)]).all()
+
+    # honest gate: an unsupported format code raises
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="format code"):
+        decode_wav(g711_wav(85, b"\x00\x01"))  # 85 = MP3 in RIFF
