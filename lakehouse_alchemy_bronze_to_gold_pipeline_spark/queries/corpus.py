@@ -520,7 +520,63 @@ GROUP BY 1
 """
 
 
+def q_corpus_train_val_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified train/val/test split — the last gate
+    before a training corpus ships: 90/5/5 by md5-prefix threshold,
+    stratified per source so every domain appears in every split, and
+    reproducible across engines/runs/reshards (the split is a pure
+    function of doc_id, never of ordering or partitioning).  Reports
+    doc and token counts per (source, split) for the split manifest.
+
+    Scale: one narrow pass (hash + threshold CASE + token count) and
+    one aggregation; the split predicate composes with any downstream
+    filter pushdown."""
+    d = load(spark, sf, "documents")
+    hx = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+    )
+    # 90% / 5% / 5% of the 32-bit hex space
+    split = (
+        F.when(hx < F.lit("e6666666"), "train")
+        .when(hx < F.lit("f3333333"), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(
+            "source",
+            split.alias("split"),
+            TX.token_count("text").alias("n_toks"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+SQL_CORPUS_TRAIN_VAL_SPLIT = """
+WITH t AS (
+  SELECT source,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   < 'e6666666' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   < 'f3333333' THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_toks
+  FROM documents
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM t
+GROUP BY source, split
+"""
+
+
 SPARK_QUERIES = {
+    "corpus_train_val_split": q_corpus_train_val_split,
     "doc_pack_chunks": q_doc_pack_chunks,
     "domain_mix_sample": q_domain_mix_sample,
     "doc_repetition_filter": q_doc_repetition_filter,
@@ -529,6 +585,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "corpus_train_val_split": SQL_CORPUS_TRAIN_VAL_SPLIT,
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "domain_mix_sample": SQL_DOMAIN_MIX_SAMPLE,
     "doc_repetition_filter": SQL_DOC_REPETITION_FILTER,
