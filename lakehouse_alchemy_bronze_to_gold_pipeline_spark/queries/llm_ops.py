@@ -1569,6 +1569,53 @@ def q_embedding_kmeans_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_source_dup_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source contamination matrix: near-dup pairs (the
+    oracle-reproducible md5 MinHash pipeline) rolled up to
+    (source, source) — which domains duplicate INTO which.  The
+    matrix drives dedup policy: a heavy diagonal means within-source
+    boilerplate, off-diagonal mass means mirror/scrape overlap
+    between corpora.
+
+    Scale: the pair relation is tiny next to the corpus (bounded by
+    the LSH bucket cap), so the two source-lookup joins stream it
+    against the (doc_id, source) projection; the final groupBy is at
+    most |sources|² rows."""
+    from ..operators.minhash import minhash_near_duplicates_md5
+
+    d = load(spark, sf, "documents")
+    pairs = minhash_near_duplicates_md5(d, "doc_id", "text", threshold=0.4)
+    sa = d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "jaccard",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+SQL_SOURCE_DUP_MATRIX = f"""
+WITH pairs AS ({_minhash_md5_oracle_sql()})
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(jaccard), 6) AS avg_jaccard
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.id_a
+JOIN documents db ON db.doc_id = pairs.id_b
+GROUP BY 1, 2
+"""
+
+
 SPARK_QUERIES = {
     "text_token_stats": q_text_token_stats,
     "lang_id_confusion": q_lang_id_confusion,
@@ -1606,6 +1653,7 @@ SPARK_QUERIES = {
     "crossdoc_span_coverage": q_crossdoc_span_coverage,
     "embedding_covariance_stats": q_embedding_covariance_stats,
     "embedding_kmeans_profile": q_embedding_kmeans_profile,
+    "source_dup_matrix": q_source_dup_matrix,
 }
 
 ORACLE_SQL = {
@@ -1634,6 +1682,7 @@ ORACLE_SQL = {
     "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
     "crossdoc_span_coverage": SQL_CROSSDOC_SPAN_COVERAGE,
     "embedding_covariance_stats": SQL_EMBEDDING_COVARIANCE_STATS,
+    "source_dup_matrix": SQL_SOURCE_DUP_MATRIX,
     # minhash_neardup / simhash_fingerprints / embedding_lsh_topk /
     # multimodal_features: intentionally no oracle (probabilistic or
     # pandas-UDF paths) -> driver rows-only check; see tests/ for the
