@@ -1390,9 +1390,13 @@ def q_crossdoc_span_coverage(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: distinct shingles stay at row grain (``word_shingles``,
     no explode) until the single explode into md5-hashed fixed-width
-    gram keys; then ONE groupBy over the gram dimension for document
-    frequency and one join back — the same two-shuffle shape as
-    TF-IDF, corpus-sized dimensions never broadcast or collected."""
+    gram keys; the (doc_id, hx) relation is PERSISTED because both
+    the document-frequency groupBy and the join back consume it —
+    without the persist, lazy evaluation re-shingles the corpus
+    twice (the ``_doc_terms`` lesson, plan-gated in
+    tests/test_plans.py).  Then ONE groupBy over the gram dimension
+    and one join back — the TF-IDF two-shuffle shape, corpus-sized
+    dimensions never broadcast or collected."""
     d = load(spark, sf, "documents")
     g = (
         d.select(
@@ -1402,6 +1406,7 @@ def q_crossdoc_span_coverage(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("gram"),
         )
         .select("doc_id", F.md5("gram").alias("hx"))
+        .persist()
     )
     gd = g.groupBy("hx").agg(F.count("*").alias("df"))
     shared = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))

@@ -376,3 +376,13 @@ def test_tfidf_and_bm25_single_tokenize_pass(spark):
         scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
         assert len(scan_ids) == 1, name
         assert "InMemoryTableScan" in tree, name
+
+
+def test_span_coverage_single_shingle_pass(spark):
+    tree = _formatted(spark, "crossdoc_span_coverage").split("\n\n")[0]
+    # the (doc_id, md5(gram)) relation is persisted and shared by the
+    # document-frequency groupBy and the join back: exactly one
+    # distinct parquet scan of documents survives in the plan
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) == 1
+    assert "InMemoryTableScan" in tree
