@@ -86,20 +86,26 @@ def connected_components(
     rounds covers any realistic graph — hitting it means the input is
     pathological, not that more iterations would help silently).
     """
-    nodes = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
-        .distinct()
-    )
-    e = (
+    # Checkpoint the canonicalized edges FIRST (self-loops included),
+    # then derive BOTH the node set and the working edge set from the
+    # checkpoint: ``nodes`` is consumed after the iteration, and if it
+    # referenced the original ``edges`` plan the whole upstream
+    # pipeline (for dedup: the full MinHash candidate+verify stage)
+    # would be evaluated a second time at final materialization.
+    e0 = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
             F.least(F.col(src), F.col(dst)).alias("v"),
         )
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    nodes = (
+        e0.select(F.col("u").alias("id"))
+        .union(e0.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    e = e0.filter(F.col("u") != F.col("v"))
     if e.isEmpty():
         return nodes.select("id", F.col("id").alias("component"))
 
