@@ -707,7 +707,73 @@ FROM s, (
 """
 
 
+def q_user_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention cohorts — THE product-analytics matrix: users
+    cohorted by the week of their first event; for each (cohort week,
+    weeks-since) cell, how many of them were active and what fraction
+    of the cohort that is.  Weeks are integer weeks since epoch
+    (``ts_us DIV 7·86400·10⁶``) — engine- and timezone-neutral.
+
+    Scale: distinct (user, week) activity first (ONE shuffle that
+    also serves the min-week cohort aggregate), then a user-keyed
+    join of activity to cohorts, then the matrix groupBy — cells are
+    |weeks|² at most, tiny.  The activity relation is persisted
+    across its two consumers (cohort min + the join)."""
+    ev = load(spark, sf, "events")
+    wk = (F.col("ts_us") / F.lit(604_800_000_000)).cast("bigint")
+    activity = (
+        ev.select("user_id", wk.alias("week")).distinct().persist()
+    )
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.col("n_active") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+SQL_USER_RETENTION_COHORTS = """
+WITH activity AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 604800000000 AS week
+  FROM events
+), cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY 1
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1
+), cells AS (
+  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM activity a JOIN cohorts c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       ROUND(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention
+FROM cells JOIN sizes USING (cohort_week)
+"""
+
+
 SPARK_QUERIES = {
+    "user_retention_cohorts": q_user_retention_cohorts,
     "price_percentiles": q_price_percentiles,
     "price_percentiles_approx": q_price_percentiles_approx,
     "revenue_grouping_sets": q_revenue_grouping_sets,
@@ -728,6 +794,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "user_retention_cohorts": SQL_USER_RETENTION_COHORTS,
     "price_percentiles": SQL_PRICE_PERCENTILES,
     "price_percentiles_approx": SQL_PRICE_PERCENTILES_APPROX,
     "revenue_grouping_sets": SQL_REVENUE_GROUPING_SETS,

@@ -129,3 +129,78 @@ def test_upsert_keep_latest_parquet_fallback(spark, tmp_path):
     got = {r.pk: (r.v, r.ver) for r in spark.read.table(table).collect()}
     assert got == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 1)}
     spark.sql(f"DROP TABLE {table}")
+
+
+# -------------------------------------------- image codec properties
+# Pure-Python codecs (no Spark): full hypothesis budget, no fixture.
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_any_shape(h, w, seed):
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert (decode_png(encode_png(px)) == px).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    quality=st.integers(min_value=30, max_value=100),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_roundtrip_any_shape_bounded_error(h, w, quality, seed):
+    """JPEG must decode to the right SHAPE for any dims (incl. 1x1 and
+    non-multiple-of-8 edges) with worst-case error bounded by the
+    largest quantization step at that quality."""
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    dec = decode_jpeg(encode_jpeg(px, quality=quality))
+    assert dec.shape == px.shape
+    err = np.abs(dec.astype(int) - px.astype(int)).mean()
+    # random noise is the worst case for DCT coding; mean abs error
+    # stays far below mid-gray even at quality 30
+    assert err < 64
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_ulaw_roundtrip_error_bound(n, seed):
+    """G.711 mu-law: segment-logarithmic quantization error bound —
+    max error for |x| in segment s is half the segment step."""
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        _ULAW,
+        encode_ulaw,
+    )
+
+    x = np.random.default_rng(seed).integers(
+        -32000, 32000, size=n, dtype=np.int16
+    )
+    back = _ULAW[encode_ulaw(x)]
+    err = np.abs(back.astype(int) - x.astype(int))
+    # the coarsest segment (exp=7) quantizes in steps of 8<<7 = 1024,
+    # so the worst-case round-trip error is the half-step, 512
+    assert err.max() <= 512
