@@ -479,6 +479,80 @@ FROM sess GROUP BY 1, 2
 """
 
 
+def q_session_conversion_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily session conversion — the funnel KPI computed on TOP of
+    gap sessionization (composition the driver checks end-to-end):
+    sessions containing a ``purchase`` event over all sessions, per
+    session-start day, plus mean session depth.
+
+    Scale: sessionization's one user-keyed window shuffle, a
+    same-key per-session aggregate (map-side partial), then a
+    by-day rollup over the tiny session relation; day numbers are
+    integer days since epoch (engine/timezone neutral)."""
+    ev = load(spark, sf, "events").withColumn(
+        "ts_sec", F.expr("ts_us DIV 1000000")
+    )
+    sessions = sessionize(
+        ev, user_col="user_id", ts_col="ts_us", gap_seconds=1800,
+        order_tiebreak="event_id", seconds_col="ts_sec",
+    )
+    per_sess = sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("start_us"),
+        F.count("*").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return (
+        per_sess.groupBy(
+            F.expr("start_us DIV 86400000000").alias("day_nr")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.round(F.sum("converted") / F.count("*"), 6).alias(
+                "conversion_rate"
+            ),
+            F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+        )
+    )
+
+
+SQL_SESSION_CONVERSION_DAILY = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR (ts_us // 1000000) - (lag(ts_us) OVER w // 1000000) > 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT user_id, event_type, ts_us,
+         SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, session_id,
+         MIN(ts_us) AS start_us,
+         COUNT(*) AS n_events,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM sess GROUP BY 1, 2
+)
+SELECT start_us // 86400000000 AS day_nr,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       ROUND(SUM(converted) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS conversion_rate,
+       ROUND(AVG(n_events), 6) AS avg_session_events
+FROM per_sess
+GROUP BY 1
+"""
+
+
 def q_dedup_events_keep_latest(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic keep-latest dedup via window row_number — the
     reproducible variant of the reference's arbitrary-survivor
@@ -533,6 +607,7 @@ SPARK_QUERIES = {
     "events_hourly": q_events_hourly,
     "events_json_kv": q_events_json_kv,
     "sessionize_events": q_sessionize_events,
+    "session_conversion_daily": q_session_conversion_daily,
     "dedup_events_keep_latest": q_dedup_events_keep_latest,
     "set_ops_customers": q_set_ops_customers,
 }
@@ -551,6 +626,7 @@ ORACLE_SQL = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_json_kv": SQL_EVENTS_JSON_KV,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "session_conversion_daily": SQL_SESSION_CONVERSION_DAILY,
     "dedup_events_keep_latest": SQL_DEDUP_EVENTS_KEEP_LATEST,
     "set_ops_customers": SQL_SET_OPS_CUSTOMERS,
 }
