@@ -8,7 +8,7 @@ rounding for ratios, bigint counts, ISO date strings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -772,7 +772,68 @@ FROM cells JOIN sizes USING (cohort_week)
 """
 
 
+def q_order_backlog_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Open-order backlog over time by interval sweep-line: each order
+    contributes +1 on its order date and -1 the day after its last
+    lineitem ships; the running sum over boundary days IS the backlog
+    — no per-day interval join, no date spine.
+
+    Scale: the per-order interval aggregate is one key shuffle; the
+    delta relation then has at most 2·|distinct days| rows (thousands
+    for decades of data), so the final ordered running-sum window runs
+    single-partition over a relation that tiny by construction — the
+    sweep-line's whole point is compressing the interval set before
+    anything global happens."""
+    o = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    last_ship = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("last_ship"))
+    )
+    j = o.join(last_ship, o["o_orderkey"] == last_ship["l_orderkey"])
+    deltas = (
+        j.select(F.col("o_orderdate").alias("day"), F.lit(1).alias("d"))
+        .unionByName(
+            j.select(
+                F.date_add("last_ship", 1).alias("day"),
+                F.lit(-1).alias("d"),
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").cast("bigint").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "delta",
+        F.sum("delta").over(w).cast("bigint").alias("backlog"),
+    )
+
+
+SQL_ORDER_BACKLOG_DAILY = """
+WITH last_ship AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o_orderdate, last_ship
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+), deltas AS (
+  SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+    SELECT CAST(o_orderdate AS DATE) AS day, 1 AS d FROM j
+    UNION ALL
+    SELECT last_ship + INTERVAL 1 DAY, -1 FROM j
+  ) GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, delta,
+       CAST(SUM(delta) OVER (ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS backlog
+FROM deltas
+"""
+
+
 SPARK_QUERIES = {
+    "order_backlog_daily": q_order_backlog_daily,
     "user_retention_cohorts": q_user_retention_cohorts,
     "price_percentiles": q_price_percentiles,
     "price_percentiles_approx": q_price_percentiles_approx,
@@ -794,6 +855,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "order_backlog_daily": SQL_ORDER_BACKLOG_DAILY,
     "user_retention_cohorts": SQL_USER_RETENTION_COHORTS,
     "price_percentiles": SQL_PRICE_PERCENTILES,
     "price_percentiles_approx": SQL_PRICE_PERCENTILES_APPROX,
