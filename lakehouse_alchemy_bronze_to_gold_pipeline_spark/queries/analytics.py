@@ -832,7 +832,64 @@ FROM deltas
 """
 
 
+def q_brand_cooccurrence_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 brand pairs appearing
+    in the same order — the itemset-mining primitive behind
+    "frequently bought together".
+
+    Scale: brands are collapsed to DISTINCT per order FIRST (one key
+    shuffle, map-side partial), pairs are generated inside each
+    order's collected brand set (bounded: |brands per order| is small
+    and capped upstream by basket size, the same in-group generator
+    as the LSH bucket pair stage — never a self-join of the fact
+    table), then one count shuffle and TakeOrdered for the top-k."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    baskets = ob.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("brands")
+    )
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda a, i: F.transform(
+                F.slice(F.col("brands"), i + 2, F.size("brands")),
+                lambda b: F.struct(a.alias("brand_a"), b.alias("brand_b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .groupBy("p.brand_a", "p.brand_b")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+SQL_BRAND_COOCCURRENCE_TOP = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pairs AS (
+  SELECT a.l_orderkey, a.p_brand AS brand_a, b.p_brand AS brand_b
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+   AND a.p_brand < b.p_brand
+)
+SELECT brand_a, brand_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
 SPARK_QUERIES = {
+    "brand_cooccurrence_top": q_brand_cooccurrence_top,
     "order_backlog_daily": q_order_backlog_daily,
     "user_retention_cohorts": q_user_retention_cohorts,
     "price_percentiles": q_price_percentiles,
@@ -855,6 +912,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "brand_cooccurrence_top": SQL_BRAND_COOCCURRENCE_TOP,
     "order_backlog_daily": SQL_ORDER_BACKLOG_DAILY,
     "user_retention_cohorts": SQL_USER_RETENTION_COHORTS,
     "price_percentiles": SQL_PRICE_PERCENTILES,
