@@ -888,7 +888,67 @@ LIMIT 20
 """
 
 
+def q_brand_supplier_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Supply-concentration per brand: the Herfindahl–Hirschman index
+    (sum of squared supplier market shares of shipped quantity) —
+    1/n_suppliers when supply is even, →1 as one supplier dominates.
+
+    Scale: two stacked aggregations on subset keys — (brand,
+    supplier) quantity first, then the HHI reduce per brand; the
+    second groupBy re-uses the first shuffle's partitioning (subset
+    key), so only ONE wide exchange touches fact-table cardinality.
+    The part dimension broadcasts."""
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    part = load(spark, sf, "part").select("p_partkey", "p_brand")
+    bs = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty")
+        )
+    )
+    return (
+        bs.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("qty").cast("double").alias("total_qty"),
+            F.round(
+                F.sum(
+                    (F.col("qty").cast("double") * F.col("qty").cast("double"))
+                )
+                / (
+                    F.sum(F.col("qty")).cast("double")
+                    * F.sum(F.col("qty")).cast("double")
+                ),
+                6,
+            ).alias("hhi"),
+        )
+        .select("p_brand", "n_suppliers", "total_qty", "hhi")
+    )
+
+
+SQL_BRAND_SUPPLIER_HHI = """
+WITH bs AS (
+  SELECT p_brand, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(qty) AS DOUBLE) AS total_qty,
+       ROUND(SUM(CAST(qty AS DOUBLE) * CAST(qty AS DOUBLE))
+             / (CAST(SUM(qty) AS DOUBLE) * CAST(SUM(qty) AS DOUBLE)), 6)
+         AS hhi
+FROM bs
+GROUP BY 1
+"""
+
+
 SPARK_QUERIES = {
+    "brand_supplier_hhi": q_brand_supplier_hhi,
     "brand_cooccurrence_top": q_brand_cooccurrence_top,
     "order_backlog_daily": q_order_backlog_daily,
     "user_retention_cohorts": q_user_retention_cohorts,
@@ -912,6 +972,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "brand_supplier_hhi": SQL_BRAND_SUPPLIER_HHI,
     "brand_cooccurrence_top": SQL_BRAND_COOCCURRENCE_TOP,
     "order_backlog_daily": SQL_ORDER_BACKLOG_DAILY,
     "user_retention_cohorts": SQL_USER_RETENTION_COHORTS,
