@@ -62,8 +62,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
             ts_us = F.expr("ts DIV 1000")
-        elif ts_type.startswith("timestamp"):  # timestamp[us] -> NTZ
+        elif ts_type == "timestamp_ntz":  # timestamp[us], isAdjustedToUTC=false
             ts_us = ntz_epoch_us("ts")
+        elif ts_type == "timestamp":
+            # LTZ carries instant semantics: unix_micros is exact and
+            # session-timezone-independent (field extraction is NOT).
+            ts_us = F.expr("unix_micros(ts)")
         else:
             raise TypeError(f"unsupported events.ts dtype {ts_type!r}")
         return df.select(

@@ -64,6 +64,26 @@ def test_events_ts_nanos_as_long(spark, tmp_path):
     assert row["ts_us"] == _US
 
 
+def test_events_ts_timestamp_ltz(spark, tmp_path):
+    """UTC-adjusted timestamp[us] (reads as LTZ): unix_micros must be
+    exact under a non-UTC session timezone — field extraction on LTZ
+    would shift by the zone offset."""
+    dt = datetime.datetime(
+        2024, 3, 5, 6, 47, 8, 123456, tzinfo=datetime.timezone.utc
+    )
+    _write_events(
+        os.path.join(tmp_path, "events.parquet"),
+        pa.array([dt], pa.timestamp("us", tz="UTC")),
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        row = _load_events_row(spark, tmp_path)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert row["ts_us"] == _US
+
+
 def test_events_ts_unsupported_dtype_raises(spark, tmp_path):
     _write_events(
         os.path.join(tmp_path, "events.parquet"),
