@@ -507,6 +507,53 @@ def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, n_bits=6, dim=dim)
 
 
+def sql_embedding_lsh_topk() -> str:
+    """DuckDB twin of ``q_embedding_lsh_topk``: the seeded n_bits=6
+    hyperplanes inline as float64 literals (repr round-trips exactly),
+    the sign-bit signature as a CASE sum, bucket equi-join + exact
+    cosine rerank + row_number cut in plain SQL.  The operator is
+    *approximate* but fully deterministic given the seed, so it is
+    value-checkable — the same construction that oracles its sibling
+    ``embedding_top_pairs_lsh`` (analytics._sql_lsh_pairs).  Cosine
+    uses the explicit fold formula that already hash-matches at 6 dp
+    in SQL_EMBEDDING_TOPK."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6, 42)
+    bits = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        bits.append(
+            f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    sig = "\n     + ".join(bits)
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (SELECT vec_id, v, CAST({sig} AS BIGINT) AS sig FROM v),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS cos_raw
+  FROM sigs q
+  JOIN sigs c ON q.sig = c.sig
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+       ROUND(cos_raw, 6) AS cosine_sim,
+       CAST(rnk AS BIGINT) AS "rank"
+FROM ranked
+WHERE rnk <= 5
+"""
+
+
 def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate knn via IVF inverted lists (operators.ivf) — the
     second ANN scale path; recall property-tested vs knn_join."""
@@ -1688,8 +1735,10 @@ ORACLE_SQL = {
     "crossdoc_span_coverage": SQL_CROSSDOC_SPAN_COVERAGE,
     "embedding_covariance_stats": SQL_EMBEDDING_COVARIANCE_STATS,
     "source_dup_matrix": SQL_SOURCE_DUP_MATRIX,
-    # minhash_neardup / simhash_fingerprints / embedding_lsh_topk /
-    # multimodal_features: intentionally no oracle (probabilistic or
-    # pandas-UDF paths) -> driver rows-only check; see tests/ for the
+    "embedding_lsh_topk": sql_embedding_lsh_topk(),
+    # minhash_neardup / simhash_fingerprints / multimodal_* /
+    # terms_heavy_hitters / embedding_ivf_topk / embedding_kmeans_
+    # profile: intentionally no oracle (probabilistic or pandas-UDF
+    # paths) -> driver rows-only check; see tests/ for the
     # ground-truth verification.
 }
