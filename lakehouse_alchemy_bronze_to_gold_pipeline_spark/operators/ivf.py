@@ -80,6 +80,7 @@ def ivf_topk(
     kmeans_iters: int = 5,
     seed: int = 42,
     train: str = "sample",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate knn: probe the ``n_probe`` best inverted lists per
     query, exact cosine rerank inside.  Output matches ``knn_join``
@@ -89,15 +90,21 @@ def ivf_topk(
     sample — O(1) cost, graceful quality; ``train="full"`` delegates
     to ``operators.kmeans.kmeans_fit`` for full-corpus distributed
     Lloyd training (O(iters) passes) when list balance matters more
-    than training cost."""
-    if train == "full":
+    than training cost.  Passing ``centroids`` (an (n_lists, dim)
+    ndarray) skips training entirely — the pretrained-list-heads
+    workflow, and what lets a SQL oracle pin the assign/probe/rerank
+    pipeline over fixed heads."""
+    if centroids is not None:
+        n_lists = len(centroids)
+    elif train == "full":
         from .kmeans import kmeans_fit
 
         dim = len(corpus.select(as_double_array(vec_col)).first()[0])
         centroids = kmeans_fit(
             corpus, vec_col, id_col, k=n_lists, iters=kmeans_iters,
-            dim=dim, seed=seed,
+            dim=dim, seed=seed, allow_fewer=True,
         )
+        n_lists = len(centroids)  # clamped like the sample path
     elif train == "sample":
         # pseudo-random, order-independent training sample: take the
         # train_sample smallest xxhash64(id, seed) rows (TakeOrdered =

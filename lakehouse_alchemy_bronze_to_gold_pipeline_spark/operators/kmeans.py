@@ -73,10 +73,14 @@ def kmeans_fit(
     iters: int = 10,
     dim: int = 64,
     seed: int = 42,
+    allow_fewer: bool = False,
 ) -> np.ndarray:
     """Train k unit-norm centroids on the full corpus.  Returns a
     (k, dim) ndarray usable as plan-time constants (``kmeans_assign``,
-    IVF list heads, semantic-dedup bucket keys)."""
+    IVF list heads, semantic-dedup bucket keys).  ``allow_fewer``
+    degrades k to the corpus size instead of raising when the corpus
+    holds fewer than k vectors (the IVF train="full" contract,
+    matching the sample path's clamp)."""
     v = _unit(as_double_array(vec_col))
     x = df.select(F.col(id_col).alias("__id"), v.alias("__v")).persist()
 
@@ -91,7 +95,10 @@ def kmeans_fit(
     )
     centroids = np.array([r[0] for r in init])
     if len(centroids) < k:
-        raise ValueError(f"corpus has fewer than k={k} vectors")
+        if not allow_fewer:
+            raise ValueError(f"corpus has fewer than k={k} vectors")
+        if len(centroids) == 0:
+            raise ValueError("cannot fit k-means on an empty corpus")
 
     dim_avgs = [
         F.avg(F.element_at("__v", i + 1)).alias(f"m{i}") for i in range(dim)

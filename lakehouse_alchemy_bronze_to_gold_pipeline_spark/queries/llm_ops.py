@@ -564,6 +564,84 @@ def q_embedding_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
 
 
+def _ivf_fixed_centroids():
+    """(16, 64) seeded gaussian list heads — plan-time constants
+    shared verbatim by the Spark query and its SQL oracle.  k-means
+    training itself is verified by the planted-blob pytest suite;
+    pinning the heads makes the assign/probe/rerank pipeline (where
+    join/rank bugs would live) value-checkable in plain SQL."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((16, 64))
+
+
+def q_embedding_ivf_topk_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF probe/rerank over FIXED pretrained list heads — the
+    oracle-backed twin of ``embedding_ivf_topk``."""
+    from ..operators.ivf import ivf_topk
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, k=5, n_probe=4, centroids=_ivf_fixed_centroids()
+    )
+
+
+def sql_embedding_ivf_topk_fixed() -> str:
+    """DuckDB twin of ``q_embedding_ivf_topk_fixed``: the fixed
+    centroids as list literals, nearest-list assignment and n_probe=4
+    probing as ROW_NUMBER over the vector×centroid dot products
+    (ties by larger list_id, matching the reversed array_sort in
+    ``operators.ivf._nearest_lists``), exact cosine rerank with the
+    fold formula that hash-matches at 6 dp in SQL_EMBEDDING_TOPK."""
+    cents = _ivf_fixed_centroids()
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(list_id, cv) AS (VALUES
+  {rows}
+),
+dots AS (
+  SELECT v.vec_id, v.v, c.list_id,
+         list_dot_product(v.v, c.cv) AS dot
+  FROM v CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, v, list_id FROM dots
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY dot DESC, list_id DESC) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, list_id FROM dots
+  WHERE vec_id < 5
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY dot DESC, list_id DESC) <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(p.qv, a.v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos_raw
+  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+       ROUND(cos_raw, 6) AS cosine_sim,
+       CAST(rnk AS BIGINT) AS "rank"
+FROM ranked
+WHERE rnk <= 5
+"""
+
+
 def q_training_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
     """END-TO-END training-data prep — the composed pipeline the
     individual LLM-ops queries are stages of:
@@ -1687,6 +1765,7 @@ SPARK_QUERIES = {
     "simhash_bits_md5": q_simhash_bits_md5,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_ivf_topk_fixed": q_embedding_ivf_topk_fixed,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_features": q_multimodal_features,
     "multimodal_image_features": q_multimodal_image_features,
@@ -1736,6 +1815,7 @@ ORACLE_SQL = {
     "embedding_covariance_stats": SQL_EMBEDDING_COVARIANCE_STATS,
     "source_dup_matrix": SQL_SOURCE_DUP_MATRIX,
     "embedding_lsh_topk": sql_embedding_lsh_topk(),
+    "embedding_ivf_topk_fixed": sql_embedding_ivf_topk_fixed(),
     # minhash_neardup / simhash_fingerprints / multimodal_* /
     # terms_heavy_hitters / embedding_ivf_topk / embedding_kmeans_
     # profile: intentionally no oracle (probabilistic or pandas-UDF

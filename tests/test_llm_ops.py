@@ -396,6 +396,32 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert full_hits / len(exact) >= 0.9
     with pytest.raises(ValueError, match="train must be"):
         ivf_topk(df, qs, train="bogus")
+    # fixed pretrained heads skip training and still find self-first
+    fixed = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(
+            df, qs, k=3, n_probe=4, centroids=centers
+        ).collect()
+    }
+    for q in (0, 40, 80, 120):
+        assert fixed[(q, 1)] == q
+
+
+def test_ivf_train_full_clamps_tiny_corpus(spark):
+    """train='full' must degrade k to the corpus size like the sample
+    path's clamp, not raise from kmeans_fit."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.ivf import (
+        ivf_topk,
+    )
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i + 1), 1.0]) for i in range(5)]
+    )
+    out = ivf_topk(
+        df, df.limit(1), k=2, n_lists=16, n_probe=16, train="full",
+        kmeans_iters=2,
+    ).collect()
+    assert len(out) == 2  # 5-vector corpus, k=2 neighbors returned
 
 
 def test_knn_join_guards_large_query_side(spark):
