@@ -6,10 +6,11 @@ metadata struct.  The Spark-side plumbing — schema, Arrow batch shape,
 two modalities now have REAL pure-stdlib decoders:
 
 - **image**: binary PPM (``P6``, the Netpbm format) is parsed with
-  ``numpy``; 8-bit non-interlaced PNG (gray / RGB / RGBA) is decoded
-  from scratch per the public PNG spec — chunk walk, zlib inflate,
-  all five scanline filters including Paeth — with a matching minimal
-  encoder for round-trips; and baseline sequential JPEG (SOF0,
+  ``numpy``; non-interlaced PNG (gray 1/2/4/8/16-bit, RGB/RGBA
+  8/16-bit, PLTE palette 1/2/4/8-bit) is decoded from scratch per
+  the public PNG spec — chunk walk, zlib inflate, all five scanline
+  filters including Paeth — with a matching minimal encoder for
+  round-trips; and baseline sequential JPEG (SOF0,
   4:4:4 / 4:2:0 / grayscale, restart markers) is decoded from the
   public T.81 spec in ``operators/jpeg.py`` (huffman entropy decode,
   dequantize, orthonormal IDCT, chroma upsample, YCbCr→RGB), again
@@ -152,11 +153,13 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8, implemented from the public spec:
     chunk walk, zlib-inflated IDAT stream, per-scanline unfiltering
-    (None/Sub/Up/Average/Paeth).  Supports 8-bit non-interlaced
-    grayscale (0), RGB (2), gray+alpha (4) and RGBA (6); gray is
-    replicated to 3 channels and alpha is dropped.  Palette,
-    16-bit, and interlaced PNGs raise — the honest gate moves from
-    'any PNG' to the subsets this decoder genuinely handles."""
+    (None/Sub/Up/Average/Paeth).  Supports non-interlaced grayscale
+    (0, depths 1/2/4/8/16), RGB (2, 8/16), palette (3, depths
+    1/2/4/8 via the PLTE lookup), gray+alpha (4, 8/16) and RGBA
+    (6, 8/16); gray replicates to 3 channels, alpha is dropped,
+    16-bit narrows to the high byte (the spec's 16->8 reduction).
+    Interlaced (Adam7) PNGs raise — the honest gate is now only
+    interlacing."""
     if payload[:8] != PNG_SIG:
         raise NotImplementedError(
             "image decode supports binary PPM (P6) and PNG; "
@@ -164,6 +167,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         )
     pos, w = 8, None
     idat = bytearray()
+    palette = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
@@ -173,23 +177,31 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8:
-                raise NotImplementedError("only 8-bit PNG supported")
-            if color not in (0, 2, 4, 6):
-                raise NotImplementedError(
-                    f"PNG color type {color} (palette) not supported"
+            legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
+            if color not in legal:
+                raise ValueError(f"bad PNG color type {color}")
+            if depth not in legal[color]:
+                raise ValueError(
+                    f"illegal PNG depth {depth} for color type {color}"
                 )
             if interlace:
                 raise NotImplementedError("interlaced PNG not supported")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG without IHDR chunk")
-    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     raw = zlib.decompress(bytes(idat))
-    stride = w * nch
+    # Filters operate on BYTES; the left-reference offset is the pixel
+    # size in whole bytes, floored to 1 for packed sub-byte rows
+    # (RFC 2083 §6.2: "bpp is rounded up to one").
+    bpp = max(1, (nch * depth) // 8)
+    stride = (w * nch * depth + 7) // 8
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -198,25 +210,49 @@ def decode_png(payload: bytes) -> np.ndarray:
         row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
         ftype = raw[y * (stride + 1)]
         if ftype == 1:  # Sub
-            for x in range(nch, stride):
-                row[x] = (row[x] + row[x - nch]) & 0xFF
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for x in range(stride):
                 row[x] = (row[x] + prev[x]) & 0xFF
         elif ftype == 3:  # Average
             for x in range(stride):
-                left = row[x - nch] if x >= nch else 0
+                left = row[x - bpp] if x >= bpp else 0
                 row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for x in range(stride):
-                left = row[x - nch] if x >= nch else 0
-                ul = int(prev[x - nch]) if x >= nch else 0
+                left = row[x - bpp] if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
                 row[x] = (row[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = prev = np.frombuffer(bytes(row), dtype=np.uint8)
-    px = out.reshape(h, w, nch)
+    if depth == 16:
+        px = (
+            (out.view(">u2") >> 8).astype(np.uint8).reshape(h, w, nch)
+        )
+    elif depth == 8:
+        px = out.reshape(h, w, nch)
+    else:  # packed 1/2/4-bit samples, big-endian within each byte
+        bits = np.unpackbits(out, axis=1)[:, : w * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        px = (
+            (bits.reshape(h, w, depth) * weights)
+            .sum(axis=2)
+            .astype(np.uint8)
+            .reshape(h, w, 1)
+        )
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        if int(px.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        return palette[px[..., 0]]
     if color == 0:
+        if depth < 8:  # expand to full 8-bit range (255/(2^d - 1))
+            px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+                np.uint8
+            )
         return np.repeat(px, 3, axis=2)
     if color == 4:
         return np.repeat(px[..., :1], 3, axis=2)

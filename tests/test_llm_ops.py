@@ -253,24 +253,98 @@ def test_png_codec_roundtrip_and_filters():
     )
     assert decode_png(payload_a).tolist() == [[[10, 20, 30], [40, 50, 60]]]
 
-    # honest gates: 16-bit / palette / interlaced raise
-    for depth, color, interlace in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
-        bad = (
-            PNG_SIG
-            + chunk(
-                b"IHDR",
-                struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace),
-            )
-            + chunk(b"IEND", b"")
-        )
-        with pytest.raises(NotImplementedError):
-            decode_png(bad)
+    # honest gate: interlaced (Adam7) raises; illegal depth/color
+    # combinations are malformed files, not unsupported features
+    bad = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
+    malformed = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(malformed)
 
     # feature extraction dispatches to the PNG decoder transparently
     f0, f1, f2, f3 = decode_features(encode_png(px), "image")
     luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
     assert (f0, f1) == (5.0, 6.0)
     assert abs(f2 - luma.mean() / 255.0) < 1e-12
+
+
+def test_png_palette_and_16bit():
+    import struct
+    import zlib
+
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(tag, data):
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body))
+        )
+
+    def png(w, h, depth, color, scanlines, extra=b""):
+        return (
+            PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0))
+            + extra
+            + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+            + chunk(b"IEND", b"")
+        )
+
+    # 8-bit palette: indices resolve through PLTE to RGB triples
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    plte = chunk(b"PLTE", pal.tobytes())
+    out = decode_png(png(3, 2, 8, 3, bytes([0, 0, 1, 2, 0, 3, 3, 0]), plte))
+    assert out.tolist() == [
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+        [[7, 8, 9], [7, 8, 9], [255, 0, 0]],
+    ]
+
+    # 4-bit palette: two indices per byte, big-endian in-byte order,
+    # odd width pads the last byte; w=3 -> bytes (0x01, 0x20)
+    out4 = decode_png(png(3, 1, 4, 3, bytes([0, 0x01, 0x20]), plte))
+    assert out4.tolist() == [[[255, 0, 0], [0, 255, 0], [0, 0, 255]]]
+
+    # palette without PLTE is malformed
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(png(1, 1, 8, 3, bytes([0, 0])))
+    # out-of-range index is malformed
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(png(1, 1, 8, 3, bytes([0, 9]), plte))
+
+    # 16-bit RGB narrows to the high byte; Sub filter runs at the
+    # 6-byte pixel offset (a 16-bit-specific regression: a 3-byte
+    # offset would corrupt every pixel after the first)
+    px16 = np.array(
+        [[[0x1234, 0x0001, 0xFFFF], [0xABCD, 0x8000, 0x00FF]]],
+        dtype=np.uint16,
+    )
+    rowbytes = px16.astype(">u2").tobytes()
+    out16 = decode_png(png(2, 1, 16, 2, bytes([0]) + rowbytes))
+    assert out16.tolist() == [[[0x12, 0x00, 0xFF], [0xAB, 0x80, 0x00]]]
+    sub = bytearray([1]) + bytearray(rowbytes[:6])
+    for i, b in enumerate(rowbytes[6:]):
+        sub.append((b - rowbytes[i]) & 0xFF)
+    assert decode_png(png(2, 1, 16, 2, bytes(sub))).tolist() == out16.tolist()
+
+    # 1-bit grayscale expands to 0/255
+    out1 = decode_png(png(3, 1, 1, 0, bytes([0, 0b10100000])))
+    assert out1[..., 0].tolist() == [[255, 0, 255]]
 
 
 def test_png_resize_through_spark(spark):
