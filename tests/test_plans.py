@@ -386,3 +386,49 @@ def test_span_coverage_single_shingle_pass(spark):
     scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
     assert len(scan_ids) == 1
     assert "InMemoryTableScan" in tree
+
+
+def _unpartitioned_window_count(plan: str) -> int:
+    """Number of Window nodes whose Arguments line carries no
+    partition spec.  In a formatted explain a Window node's detail
+    block prints ``Arguments: [exprs], [partSpec], [orderSpec]``;
+    an unpartitioned window drops the middle list, leaving TWO
+    top-level bracket groups instead of three."""
+    n = 0
+    for m in re.finditer(
+        r"\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: ([^\n]*)", plan
+    ):
+        depth = groups = 0
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups == 2:
+            n += 1
+    return n
+
+
+def test_unpartitioned_window_inventory(spark):
+    """A WindowExec with no PARTITION BY moves the whole relation to
+    one task — a 100x-scale incident unless the input is bounded by
+    construction.  Exactly two registry queries are allowed one:
+
+    - ``order_backlog_daily``: sweep-line running sum over per-day
+      deltas — at most 2·|distinct days| rows by construction;
+    - ``vocab_top_terms``: global rank over a relation already cut
+      to ``limit(500)``.
+
+    Any future query that grows a global window fails HERE instead
+    of surfacing as a single-task straggler at scale."""
+    allowed = {"order_backlog_daily", "vocab_top_terms"}
+    offenders = {}
+    for name in SPARK_QUERIES:
+        n = _unpartitioned_window_count(_formatted(spark, name))
+        if n:
+            offenders[name] = n
+    assert set(offenders) == allowed, offenders
+    # and each allowed query uses exactly one such window
+    assert all(v == 1 for v in offenders.values()), offenders
