@@ -52,10 +52,17 @@ def main() -> None:
     )
     # warm the executors/codegen so query 1 isn't charged JVM boot,
     # then run the flagship once at the smallest SF so the parquet
-    # reader + join/agg codegen paths are compiled before timing
+    # reader + join/agg codegen paths are compiled before timing.
+    # The warm-up dir derives from SPARK_GRAFT_SF_DIR (smallest
+    # sibling sf if present) so a relocated testdata root doesn't
+    # silently skip the warm-up and re-attach ~4 s of first-call JIT
+    # to whichever query runs first.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     try:
-        SPARK_QUERIES["fact_sales"](spark, "/root/testdata/sf0.001").write.format(
+        SPARK_QUERIES["fact_sales"](spark, warm_dir).write.format(
             "noop"
         ).mode("overwrite").save()
         # pre-fork the Python worker pool + Arrow channels so the
@@ -75,11 +82,15 @@ def main() -> None:
         )
         import pyspark.sql.functions as F
 
-        _load(spark, "/root/testdata/sf0.001", "documents").select(
+        _load(spark, warm_dir, "documents").select(
             F.explode(TX.word_shingles(TX.nonempty_tokens("text"), 5))
         ).write.format("noop").mode("overwrite").save()
-    except Exception:
-        pass
+    except Exception as exc:
+        print(
+            f"bench warm-up failed ({exc!r}); first-query timings "
+            "will include one-time JIT cost",
+            file=sys.stderr,
+        )
 
     times: dict[str, float] = {}
     for name, fn in SPARK_QUERIES.items():
@@ -88,6 +99,11 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        # queries persist intermediates (doc-term relations etc.);
+        # drop them OUTSIDE the timed section so one query's caches
+        # neither serve nor pressure the next (single-session sweep
+        # would otherwise accumulate storage for the session lifetime)
+        spark.catalog.clearCache()
 
     spark.stop()
     detail = {

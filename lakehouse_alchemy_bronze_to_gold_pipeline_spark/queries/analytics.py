@@ -720,7 +720,11 @@ def q_user_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
     |weeks|² at most, tiny.  The activity relation is persisted
     across its two consumers (cohort min + the join)."""
     ev = load(spark, sf, "events")
-    wk = (F.col("ts_us") / F.lit(604_800_000_000)).cast("bigint")
+    # integer DIV, not double-divide-then-cast: exact at any
+    # timestamp magnitude (truncation-vs-floor only diverges
+    # pre-epoch, but the idiom should match session_conversion_daily
+    # and the oracle's // everywhere)
+    wk = F.expr("ts_us DIV 604800000000")
     activity = (
         ev.select("user_id", wk.alias("week")).distinct().persist()
     )

@@ -115,6 +115,10 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # queries persist intermediates; don't let 90+ queries
+            # accumulate executor storage across one sweep session
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(sdf)} rows, "
                   f"{time.time()-t0:.1f}s) [no oracle]")
