@@ -951,8 +951,205 @@ GROUP BY 1
 """
 
 
+#: attribution lookback window (µs): touches within 1 h of a purchase
+_ATTR_WINDOW_US = 3_600_000_000
+
+
+def q_purchase_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-touch attribution — the marketing-analytics staple:
+    every purchase distributes conversion credit over the user's
+    click/view touchpoints in the preceding hour, under three models
+    at once (last-touch, first-touch, linear), rolled up per
+    touchpoint type.
+
+    Scale: purchases and touches shuffle ONCE on user_id for the
+    equi-join (the time band is a residual filter, not a join
+    condition explosion — per-user fanout is bounded by one hour of
+    activity); both rank windows and the per-purchase count share the
+    purchase_id partitioning, so attribution adds one more exchange.
+    No self-join of the full event log."""
+    ev = load(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("p_ts"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts_us").alias("t_ts"),
+    )
+    j = p.join(t, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - _ATTR_WINDOW_US)
+    )
+    w_last = Window.partitionBy("purchase_id").orderBy(
+        F.col("t_ts").desc(), "touch_id"
+    )
+    w_first = Window.partitionBy("purchase_id").orderBy(
+        F.col("t_ts").asc(), "touch_id"
+    )
+    j = (
+        j.withColumn("r_last", F.row_number().over(w_last))
+        .withColumn("r_first", F.row_number().over(w_first))
+        .withColumn(
+            "n_touches", F.count("*").over(Window.partitionBy("purchase_id"))
+        )
+    )
+    return (
+        j.groupBy("touch_type")
+        .agg(
+            F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum((F.col("r_last") == 1).cast("double")).alias(
+                "last_touch_credit"
+            ),
+            F.sum((F.col("r_first") == 1).cast("double")).alias(
+                "first_touch_credit"
+            ),
+            F.round(F.sum(1.0 / F.col("n_touches")), 6).alias(
+                "linear_credit"
+            ),
+        )
+        .orderBy("touch_type")
+    )
+
+
+SQL_PURCHASE_ATTRIBUTION = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+         epoch_us(ts) AS t_ts
+  FROM events WHERE event_type IN ('click', 'view')
+), j AS (
+  SELECT p.purchase_id, t.touch_type,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY t.t_ts DESC, t.touch_id) AS r_last,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY t.t_ts ASC, t.touch_id) AS r_first,
+         COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - {_ATTR_WINDOW_US}
+)
+SELECT touch_type,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       SUM(CASE WHEN r_last = 1 THEN 1.0 ELSE 0.0 END)
+         AS last_touch_credit,
+       SUM(CASE WHEN r_first = 1 THEN 1.0 ELSE 0.0 END)
+         AS first_touch_credit,
+       ROUND(SUM(1.0 / n_touches), 6) AS linear_credit
+FROM j
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+
+#: PageRank free parameters for the brand graph query
+_PR_DAMPING, _PR_ITERS = 0.85, 10
+
+
+def _brand_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric weighted brand graph: an edge per ordered pair of
+    brands co-occurring in an order, weight = number of such orders
+    (the ``brand_cooccurrence_top`` pair relation, both directions —
+    so every node has out-edges and dangling mass is structurally
+    zero, which the SQL oracle relies on)."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("src"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("dst"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    return pairs
+
+
+def q_brand_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted PageRank over the brand co-occurrence graph
+    (``operators.pagerank``): which brands sit at the center of
+    shared baskets.  The graph is tiny here (|brands|²) but the
+    operator is the point — the same power iteration ranks source
+    domains in a duplication/link graph at corpus scale.  Oracle:
+    the DuckDB twin unrolls all 10 iterations as generated CTEs over
+    the identical edge relation."""
+    from ..operators.pagerank import pagerank
+
+    pr = pagerank(
+        _brand_edges(spark, sf),
+        weight="w",
+        damping=_PR_DAMPING,
+        iters=_PR_ITERS,
+    )
+    return pr.select(
+        F.col("node").alias("brand"), F.round("rank", 6).alias("rank")
+    ).orderBy(F.col("rank").desc(), "brand")
+
+
+def sql_brand_pagerank() -> str:
+    """Unrolled power iteration (DuckDB 1.0 has no grouping in
+    recursive CTEs): pr0 = 1/n, pr{k} = (1-d)/n + d·Σ incoming
+    rank·frac.  The brand graph is symmetric, so the operator's
+    dangling-mass term is identically zero and the SQL omits it
+    (asymmetric-graph behavior is pinned by the numpy cross-check in
+    tests/test_pagerank.py instead)."""
+    d, iters = _PR_DAMPING, _PR_ITERS
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""pr{k} AS (
+  SELECT nd.node,
+         (1 - {d}) / nn.n + {d} * COALESCE(c.s, 0) AS rank
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.rank * e.frac) AS s
+    FROM pr{k - 1} p JOIN edges e ON e.src = p.node
+    GROUP BY e.dst
+  ) c USING (node)
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pairs AS (
+  SELECT a.p_brand AS src, b.p_brand AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst, w / SUM(w) OVER (PARTITION BY src) AS frac
+  FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM pairs
+  UNION SELECT DISTINCT dst FROM pairs
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), pr0 AS (
+  SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+),
+{chain}
+SELECT node AS brand, ROUND(rank, 6) AS rank
+FROM pr{iters}
+ORDER BY rank DESC, brand
+"""
+
+
 SPARK_QUERIES = {
     "brand_supplier_hhi": q_brand_supplier_hhi,
+    "purchase_attribution": q_purchase_attribution,
+    "brand_pagerank": q_brand_pagerank,
     "brand_cooccurrence_top": q_brand_cooccurrence_top,
     "order_backlog_daily": q_order_backlog_daily,
     "user_retention_cohorts": q_user_retention_cohorts,
@@ -977,6 +1174,8 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "brand_supplier_hhi": SQL_BRAND_SUPPLIER_HHI,
+    "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
+    "brand_pagerank": sql_brand_pagerank(),
     "brand_cooccurrence_top": SQL_BRAND_COOCCURRENCE_TOP,
     "order_backlog_daily": SQL_ORDER_BACKLOG_DAILY,
     "user_retention_cohorts": SQL_USER_RETENTION_COHORTS,

@@ -575,8 +575,72 @@ GROUP BY source, split
 """
 
 
+#: weighted-sample size (A-ES exact-k without replacement)
+AES_K = 100
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement over the corpus
+    (Efraimidis–Spirakis A-ES): every doc draws key = ln(u) / w with
+    u ~ U(0,1) and weight w = n_chars, and the k largest keys are the
+    sample — each doc's inclusion probability is proportional to its
+    weight, the classic "sample long documents preferentially"
+    curation step.
+
+    Determinism: u derives from md5(doc_id) (first 8 hex digits as an
+    exact 32-bit integer, the ``doc_classifier_score`` construction)
+    — no RNG state, identical across engines, runs and reshards.
+
+    Scale: one narrow pass computes keys, then ``orderBy().limit(k)``
+    compiles to TakeOrderedAndProject — per-partition top-k + driver
+    merge of k rows, never a global sort (plan-gated for the top-k
+    family in tests/test_plans.py)."""
+    d = load(spark, sf, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.round(key, 9).alias("aes_key"),
+        )
+        .orderBy(F.col("aes_key").desc(), "doc_id")
+        .limit(AES_K)
+    )
+
+
+SQL_DOC_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST(n_chars AS BIGINT) AS weight,
+         ln((list_sum(list_transform(range(1, 9),
+              p -> (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)),
+                                  CAST(p AS INT), 1)) - 1)
+                   * pow(16.0, 8 - CAST(p AS INT)))) + 0.5)
+            / 4294967296.0) / n_chars AS k
+  FROM documents
+)
+SELECT doc_id, source, weight, ROUND(k, 9) AS aes_key
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT {AES_K}
+"""
+
+
 SPARK_QUERIES = {
     "corpus_train_val_split": q_corpus_train_val_split,
+    "doc_weighted_sample": q_doc_weighted_sample,
     "doc_pack_chunks": q_doc_pack_chunks,
     "domain_mix_sample": q_domain_mix_sample,
     "doc_repetition_filter": q_doc_repetition_filter,
@@ -586,6 +650,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "corpus_train_val_split": SQL_CORPUS_TRAIN_VAL_SPLIT,
+    "doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
     "doc_pack_chunks": SQL_DOC_PACK_CHUNKS,
     "domain_mix_sample": SQL_DOMAIN_MIX_SAMPLE,
     "doc_repetition_filter": SQL_DOC_REPETITION_FILTER,

@@ -1179,6 +1179,97 @@ LIMIT 20
 """
 
 
+#: classifier vocabulary size (top terms by document frequency)
+_CLF_VOCAB = 20
+
+
+def q_doc_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear text-classifier INFERENCE over the corpus — the
+    quality-filter stage of CCNet/DCLM-style pipelines, where a small
+    trained model scores every document.  The shape that must scale:
+    model weights live in a tiny relation BROADCAST to every
+    executor, scoring is one narrow postings join + per-doc
+    aggregate + sigmoid — no UDF, no per-row Python.
+
+    Weights here are derived deterministically from md5(term)
+    (a seeded stand-in for trained parameters: the container has no
+    training stack, and the engine-side contract — weight-table
+    broadcast, join, dot product, logistic link — is identical and
+    value-checkable cross-engine).  Vocabulary = top-20 terms by
+    document frequency, ties by term."""
+    tf, lens = _doc_terms(spark, sf)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # md5 -> uniform in (0,1): first 8 hex digits as an exact 32-bit
+    # integer (the DuckDB twin rebuilds the same value digit-by-digit)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("term").cast("binary")), 1, 8), 16, 10
+        ).cast("bigint")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    vocab = (
+        dfreq.orderBy(F.col("df").desc(), "term")
+        .limit(_CLF_VOCAB)
+        .select("term", (u - 0.5).alias("w"))
+    )
+    scored = (
+        tf.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("w")).alias("dot"),
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+        )
+    )
+    raw = 10.0 * F.col("dot") / F.col("dl")
+    return (
+        scored.join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "n_terms_matched",
+            F.round(raw, 6).alias("margin"),
+            F.round(1.0 / (1.0 + F.exp(-raw)), 6).alias("score"),
+            (raw > 0).alias("flagged"),
+        )
+    )
+
+
+SQL_DOC_CLASSIFIER_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, t FROM toks WHERE len(t) > 0
+), tf AS (
+  SELECT doc_id, u.term, COUNT(*) AS tf
+  FROM nonempty, UNNEST(t) AS u(term)
+  GROUP BY 1, 2
+), lens AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), vocab AS (
+  SELECT term,
+         (list_sum(list_transform(range(1, 9),
+            p -> (strpos('0123456789abcdef',
+                         substr(md5(term), CAST(p AS INT), 1)) - 1)
+                 * pow(16.0, 8 - CAST(p AS INT)))) + 0.5)
+           / 4294967296.0 - 0.5 AS w
+  FROM dfreq ORDER BY df DESC, term LIMIT {_CLF_VOCAB}
+), scored AS (
+  SELECT tf.doc_id, SUM(tf.tf * v.w) AS dot,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+  FROM tf JOIN vocab v USING (term) GROUP BY 1
+)
+SELECT s.doc_id, s.n_terms_matched,
+       ROUND(10.0 * s.dot / l.dl, 6) AS margin,
+       ROUND(1.0 / (1.0 + exp(-(10.0 * s.dot / l.dl))), 6) AS score,
+       (10.0 * s.dot / l.dl) > 0 AS flagged
+FROM scored s JOIN lens l USING (doc_id)
+"""
+
+
 def q_vocab_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary building: global term frequencies, min-count floor,
     contiguous token ids by (count desc, term).  The global rank runs
@@ -1775,6 +1866,7 @@ SPARK_QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "vocab_top_terms": q_vocab_top_terms,
+    "doc_classifier_score": q_doc_classifier_score,
     "eval_contamination": q_eval_contamination,
     "embedding_quantize_int8": q_embedding_quantize_int8,
     "terms_heavy_hitters": q_terms_heavy_hitters,
@@ -1799,6 +1891,7 @@ ORACLE_SQL = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "bm25_search": SQL_BM25_SEARCH,
     "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
+    "doc_classifier_score": SQL_DOC_CLASSIFIER_SCORE,
     "eval_contamination": SQL_EVAL_CONTAMINATION,
     "embedding_quantize_int8": SQL_EMBEDDING_QUANTIZE_INT8,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
