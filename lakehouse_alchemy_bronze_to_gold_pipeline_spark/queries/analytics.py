@@ -1146,10 +1146,117 @@ ORDER BY rank DESC, brand
 """
 
 
+def q_events_value_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-type outlier profile — modified z-score
+    |0.6745·(x − median)| / MAD with the Iglewicz–Hoaglin 3.5 cut:
+    the data-quality screen that survives heavy tails where
+    mean/stddev z-scores drown.
+
+    Scale: two grouped EXACT percentile aggregates (median, then MAD
+    over residuals) on a persisted 2-column projection — the
+    projection is read twice but scanned from cache, and both
+    join-backs broadcast a |event_type|-row aggregate.  At 100 TB the
+    exact percentiles swap for the mergeable GK sketch exactly as in
+    ``price_percentiles`` vs ``price_percentiles_approx``."""
+    v = load(spark, sf, "events").select("event_type", "value").persist()
+    med = v.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    r = v.join(F.broadcast(med), "event_type").withColumn(
+        "absr", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = r.groupBy("event_type").agg(
+        F.percentile("absr", F.lit(0.5)).alias("mad")
+    )
+    z = r.join(F.broadcast(mad), "event_type").withColumn(
+        "z",
+        0.6745
+        * (F.col("value") - F.col("med"))
+        / F.greatest(F.col("mad"), F.lit(1e-9)),
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("med"), 6).alias("median"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum((F.abs(F.col("z")) > 3.5).cast("bigint"))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.max(F.abs(F.col("z"))), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_VALUE_OUTLIERS = """
+WITH v AS (
+  SELECT event_type, value FROM events
+), med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM v GROUP BY 1
+), r AS (
+  SELECT v.event_type, v.value, m.med, ABS(v.value - m.med) AS absr
+  FROM v JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(absr, 0.5) AS mad FROM r GROUP BY 1
+), z AS (
+  SELECT r.event_type, r.med, d.mad,
+         0.6745 * (r.value - r.med) / GREATEST(d.mad, 1e-9) AS z
+  FROM r JOIN mad d USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(med), 6) AS median,
+       ROUND(MIN(mad), 6) AS mad,
+       CAST(SUM(CASE WHEN ABS(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       ROUND(MAX(ABS(z)), 6) AS max_abs_z
+FROM z
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_user_reach_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count sketches — the 100 TB formulation of
+    "unique users per event type": per-(type, day) Datasketches HLL
+    sketches built in ONE partial-aggregating pass, then UNIONED per
+    type (``hll_union_agg``) and estimated.  The two-level shape is
+    the point: day-grain sketch tables persist and re-aggregate to
+    any coarser grain or date range without touching raw events —
+    exact distinct would re-shuffle the full log every time.
+
+    No SQL oracle (the estimate is sketch-dependent); the error
+    bound and the union-vs-flat consistency are pytest-pinned
+    (tests/test_operators.py)."""
+    ev = load(spark, sf, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("ts_us DIV 86400000000").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("reach_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
 SPARK_QUERIES = {
     "brand_supplier_hhi": q_brand_supplier_hhi,
     "purchase_attribution": q_purchase_attribution,
     "brand_pagerank": q_brand_pagerank,
+    "events_value_outliers": q_events_value_outliers,
+    "user_reach_sketch": q_user_reach_sketch,
     "brand_cooccurrence_top": q_brand_cooccurrence_top,
     "order_backlog_daily": q_order_backlog_daily,
     "user_retention_cohorts": q_user_retention_cohorts,
@@ -1176,6 +1283,9 @@ ORACLE_SQL = {
     "brand_supplier_hhi": SQL_BRAND_SUPPLIER_HHI,
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     "brand_pagerank": sql_brand_pagerank(),
+    "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,
+    # user_reach_sketch: intentionally no oracle (HLL estimates are
+    # sketch-implementation-defined) -> rows-only + pytest bounds
     "brand_cooccurrence_top": SQL_BRAND_COOCCURRENCE_TOP,
     "order_backlog_daily": SQL_ORDER_BACKLOG_DAILY,
     "user_retention_cohorts": SQL_USER_RETENTION_COHORTS,

@@ -390,3 +390,49 @@ def test_snapshot_diff_ignores_one_sided_columns(spark):
     # schema evolution: columns present on only one side are ignored,
     # so the row is unchanged
     assert snapshot_diff(old, new, ["k"]).count() == 0
+
+
+def test_hll_reach_sketch_bounds_and_merge(spark):
+    """user_reach_sketch invariants: the HLL estimate lands within
+    the sketch's relative-error envelope of the exact distinct count,
+    and unioning per-day sketches equals sketching the flat stream
+    (merge consistency — what makes the day-grain table re-aggregable
+    to any range without touching raw events)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.analytics import (
+        q_user_reach_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: (r.n_days, r.reach_est)
+        for r in q_user_reach_sketch(spark, sf).collect()
+    }
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.data import load
+
+    ev = load(spark, sf, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for t, n in exact.items():
+        est = got[t][1]
+        # default lgConfigK=12 -> rsd ~1.04/sqrt(2^12) ~ 1.6%; allow 5x
+        assert abs(est - n) <= max(3, 0.08 * n), (t, est, n)
+    # merge consistency: union of per-day sketches == flat sketch
+    flat = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+            .cast("bigint")
+            .alias("est")
+        )
+        .collect()
+    }
+    for t in exact:
+        assert got[t][1] == flat[t], (t, got[t][1], flat[t])
