@@ -432,3 +432,48 @@ def test_unpartitioned_window_inventory(spark):
     assert set(offenders) == allowed, offenders
     # and each allowed query uses exactly one such window
     assert all(v == 1 for v in offenders.values()), offenders
+
+
+def test_classifier_broadcasts_weights_single_scan(spark):
+    plan = _formatted(spark, "doc_classifier_score")
+    tree = plan.split("\n\n")[0]
+    # model weights join by broadcast, never a shuffle of postings
+    assert "BroadcastHashJoin" in _ops(plan)
+    # one corpus scan: tf and lens both come from the persisted
+    # _doc_terms relation
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1
+
+
+def test_weighted_sample_is_takeordered(spark):
+    plan = _formatted(spark, "doc_weighted_sample")
+    ops = _ops(plan)
+    # A-ES top-k must compile to per-partition top-k + driver merge,
+    # never a global sort
+    assert "TakeOrderedAndProject" in ops
+    assert _shuffles(plan) == 0
+
+
+def test_attribution_no_cartesian_shared_window_exchange(spark):
+    plan = _formatted(spark, "purchase_attribution")
+    ops = _ops(plan)
+    # the time band is a RESIDUAL filter on the user equi-join —
+    # never a nested-loop/cartesian expansion (at this sf the tiny
+    # purchase side broadcasts; at scale the same plan becomes an
+    # SMJ on user_id)
+    assert "CartesianProduct" not in ops
+    assert "BroadcastNestedLoopJoin" not in ops
+    # both rank windows + the per-purchase count share ONE
+    # purchase_id exchange
+    assert plan.count("Arguments: hashpartitioning(purchase_id") == 1
+    assert _ops(plan).count("Window") == 3
+
+
+def test_outliers_broadcast_joinbacks(spark):
+    plan = _formatted(spark, "events_value_outliers")
+    ops = _ops(plan)
+    # every aggregate join-back broadcasts (med twice — the residual
+    # branch recomputes from the cached projection — plus mad once);
+    # no shuffle join of the event rows anywhere
+    assert ops.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in ops
+    assert "InMemoryTableScan" in plan.split("\n\n")[0]
