@@ -391,22 +391,40 @@ def test_span_coverage_single_shingle_pass(spark):
 def _unpartitioned_window_count(plan: str) -> int:
     """Number of Window nodes whose Arguments line carries no
     partition spec.  In a formatted explain a Window node's detail
-    block prints ``Arguments: [exprs], [partSpec], [orderSpec]``;
-    an unpartitioned window drops the middle list, leaving TWO
-    top-level bracket groups instead of three."""
+    block prints ``Arguments: [exprs], [partSpec], [orderSpec]`` —
+    but EMPTY specs are dropped, so two top-level bracket groups is
+    ambiguous: ``[exprs], [orderSpec]`` (unpartitioned, the case we
+    hunt) vs ``[exprs], [partSpec]`` (partitioned unordered, e.g.
+    ``count(*) OVER (PARTITION BY k)`` — fine).  Disambiguate by the
+    second group's content: order specs always carry a sort
+    direction (``ASC NULLS`` / ``DESC NULLS``), partition specs
+    never do."""
     n = 0
     for m in re.finditer(
         r"\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: ([^\n]*)", plan
     ):
-        depth = groups = 0
+        groups, depth, cur = [], 0, []
         for ch in m.group(1):
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    cur = []
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups == 2:
+                if depth == 0:
+                    groups.append("".join(cur))
+            elif depth >= 1:
+                cur.append(ch)
+        if len(groups) >= 3:
+            unpart = not groups[1].strip()
+        elif len(groups) == 2:
+            second = groups[1]
+            unpart = not second.strip() or (
+                "ASC NULLS" in second or "DESC NULLS" in second
+            )
+        else:
+            unpart = True
+        if unpart:
             n += 1
     return n
 
