@@ -1251,8 +1251,63 @@ def q_user_reach_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream:
+    for every user, pair each event with the NEXT event (lead over
+    the per-user timeline), then count and normalize transitions
+    per source state — the behavioral model behind next-action
+    prediction and funnel-drop diagnostics.
+
+    Scale: ONE shuffle on user_id for the lead window (per-user
+    sequences are bounded by a user's activity), then a partial+final
+    aggregate to at most |event_types|^2 rows; the probability
+    normalization is a window over that tiny relation, partitioned
+    by the source state.  No self-join of the event log."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = (
+        ev.select("user_id", "ts_us", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").cast("bigint").alias("n_transitions"))
+    )
+    w_src = Window.partitionBy("event_type")
+    return trans.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(w_src).cast("double"),
+            6,
+        ).alias("prob"),
+    ).orderBy("event_type", "next_type")
+
+
+SQL_EVENT_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+           AS next_type
+  FROM events
+), t AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n_transitions,
+       ROUND(n_transitions / CAST(SUM(n_transitions) OVER
+               (PARTITION BY event_type) AS DOUBLE), 6) AS prob
+FROM t
+ORDER BY event_type, next_type
+"""
+
+
 SPARK_QUERIES = {
     "brand_supplier_hhi": q_brand_supplier_hhi,
+    "event_transition_matrix": q_event_transition_matrix,
     "purchase_attribution": q_purchase_attribution,
     "brand_pagerank": q_brand_pagerank,
     "events_value_outliers": q_events_value_outliers,
@@ -1281,6 +1336,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "brand_supplier_hhi": SQL_BRAND_SUPPLIER_HHI,
+    "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     "brand_pagerank": sql_brand_pagerank(),
     "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,

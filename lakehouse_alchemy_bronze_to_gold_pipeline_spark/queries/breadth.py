@@ -590,8 +590,84 @@ GROUP BY change
 """
 
 
+# --------------------------------------- fuzzy record linkage (ER)
+
+
+def q_customer_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy matching — the
+    dirty-records staple: a sparse probe set of corrupted customer
+    names (deterministic OCR-style noise: one dropped character,
+    zeros misread as 'O') is linked back to the clean master by
+    best levenshtein distance among candidates sharing the blocking
+    key (nation).
+
+    Scale: the probe side is sparse (custkey % 97) and the join is
+    a blocked equi-join on the nation key — candidate fanout is
+    |customers| / |nations| per probe, never all-pairs.  The argmin
+    is a row_number window partitioned per probe.  At 100 TB the
+    blocking key gets finer (nation x name-prefix x phonetic key) —
+    same plan shape, smaller blocks; the edit distance runs
+    JVM-side (built-in levenshtein), no Python in the loop."""
+    c = load(spark, sf, "customer")
+    probes = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.col("c_nationkey").alias("block"),
+        F.translate(
+            F.concat(
+                F.substring("c_name", 1, 11), F.expr("substr(c_name, 13)")
+            ),
+            "0",
+            "O",
+        ).alias("dirty_name"),
+    )
+    cand = c.select(
+        F.col("c_custkey").alias("cand_key"),
+        F.col("c_nationkey").alias("block"),
+        F.col("c_name").alias("cand_name"),
+    )
+    scored = probes.join(cand, "block").withColumn(
+        "distance", F.levenshtein("dirty_name", "cand_name").cast("bigint")
+    )
+    w = Window.partitionBy("probe_key").orderBy("distance", "cand_key")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe_key",
+            F.col("cand_key").alias("matched_key"),
+            "distance",
+            (F.col("cand_key") == F.col("probe_key")).alias("is_self_match"),
+        )
+        .orderBy("probe_key")
+    )
+
+
+SQL_CUSTOMER_ENTITY_RESOLUTION = """
+WITH probes AS (
+  SELECT c_custkey AS probe_key, c_nationkey AS block,
+         replace(substr(c_name, 1, 11) || substr(c_name, 13), '0', 'O')
+           AS dirty_name
+  FROM customer WHERE c_custkey % 97 = 0
+), cand AS (
+  SELECT c_custkey AS cand_key, c_nationkey AS block, c_name AS cand_name
+  FROM customer
+), scored AS (
+  SELECT p.probe_key, c.cand_key,
+         CAST(levenshtein(p.dirty_name, c.cand_name) AS BIGINT) AS distance
+  FROM probes p JOIN cand c USING (block)
+)
+SELECT probe_key, cand_key AS matched_key, distance,
+       cand_key = probe_key AS is_self_match
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_key
+                           ORDER BY distance, cand_key) = 1
+ORDER BY probe_key
+"""
+
+
 SPARK_QUERIES = {
     "snapshot_diff_orders": q_snapshot_diff_orders,
+    "customer_entity_resolution": q_customer_entity_resolution,
     "scd2_customer_history": q_scd2_customer_history,
     "order_rank_functions": q_order_rank_functions,
     "price_histogram": q_price_histogram,
@@ -607,6 +683,7 @@ SPARK_QUERIES = {
 
 ORACLE_SQL = {
     "snapshot_diff_orders": SQL_SNAPSHOT_DIFF_ORDERS,
+    "customer_entity_resolution": SQL_CUSTOMER_ENTITY_RESOLUTION,
     "scd2_customer_history": SQL_SCD2_CUSTOMER_HISTORY,
     "order_rank_functions": SQL_ORDER_RANK_FUNCTIONS,
     "price_histogram": SQL_PRICE_HISTOGRAM,

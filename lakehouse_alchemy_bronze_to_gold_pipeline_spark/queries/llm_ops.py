@@ -1790,6 +1790,185 @@ def q_embedding_kmeans_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _kmeans_fixed_centroids():
+    """(8, 64) seeded unit-norm list heads — plan-time constants
+    shared verbatim by the Spark query and its SQL oracle.  Training
+    itself (the iterative Lloyd loop) is pinned by the planted-blob
+    pytest suite; FIXING the centroids makes the assign + cohesion
+    profile — where a wrong argmax tie-break or a normalization slip
+    would hide — value-checkable in plain SQL (the
+    ``embedding_ivf_topk_fixed`` construction)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    c = rng.standard_normal((8, 64))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def q_embedding_kmeans_profile_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster cartography over FIXED pretrained centroids — the
+    oracle-backed twin of ``embedding_kmeans_profile``: same narrow
+    argmax assign (Arrow matmul) + same one-groupBy cohesion
+    profile, minus the iterative training that has no SQL form."""
+    from ..functions.vectors import as_double_array, cosine, literal_vector
+    from ..operators.kmeans import kmeans_assign
+
+    e = load(spark, sf, "embeddings")
+    centroids = _kmeans_fixed_centroids()
+    assigned = kmeans_assign(e, centroids)
+    sim = cosine(
+        as_double_array("embedding"),
+        F.element_at(
+            F.array(*[literal_vector(c) for c in centroids]),
+            (F.col("cluster") + 1).cast("int"),
+        ),
+    )
+    return (
+        assigned.withColumn("cos_to_centroid", sim)
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.avg("cos_to_centroid"), 4).alias("avg_cohesion"),
+            F.round(F.min("cos_to_centroid"), 4).alias("min_cohesion"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def sql_embedding_kmeans_profile_fixed() -> str:
+    """DuckDB twin: fixed centroids as list literals, nearest-
+    centroid assignment as ROW_NUMBER over the dot products (ties by
+    SMALLER cluster id, matching np.argmax's first-max rule), cosine
+    cohesion with the fold formula of SQL_EMBEDDING_TOPK."""
+    cents = _kmeans_fixed_centroids()
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(cluster, cv) AS (VALUES
+  {rows}
+),
+assigned AS (
+  SELECT v.vec_id, v.v, c.cluster, c.cv
+  FROM v CROSS JOIN cents c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                             ORDER BY list_dot_product(v.v, c.cv) DESC,
+                                      c.cluster ASC) = 1
+),
+scored AS (
+  SELECT CAST(cluster AS BIGINT) AS cluster,
+         list_sum(list_transform(list_zip(v, cv), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(v, x -> x * x)))
+            * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos
+  FROM assigned
+)
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(AVG(cos), 4) AS avg_cohesion,
+       ROUND(MIN(cos), 4) AS min_cohesion
+FROM scored
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
+def q_source_weighted_median_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-WEIGHTED median quality per source — corpus curation
+    reports token mass, not document counts (a million empty docs and
+    one book are not the same corpus).  The weighted median is the
+    smallest score whose cumulative token weight reaches half the
+    source's total.
+
+    Scale: one narrow scoring pass (the ``doc_quality_score``
+    formula, zero UDFs), then ONE shuffle on source for the
+    cumulative-weight window + final aggregate.  The half-total test
+    is exact integer arithmetic (2*cum >= total) — no float
+    threshold to drift cross-engine."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents")
+    toks = TX.nonempty_tokens("text")
+    n_tokens = F.size(toks).cast("double")
+    stop_ratio = TX.stopword_count(toks).cast("double") / F.greatest(
+        n_tokens, F.lit(1.0)
+    )
+    alpha_ratio = F.length(
+        F.regexp_replace("text", "[^a-zA-Z]", "")
+    ).cast("double") / F.greatest(F.length("text").cast("double"), F.lit(1.0))
+    score = F.round(
+        0.4 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.3 * alpha_ratio,
+        4,
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        score.alias("quality_score"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("quality_score", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("source")
+    return (
+        scored.withColumn("cum", F.sum("n_tokens").over(w_cum))
+        .withColumn("tot", F.sum("n_tokens").over(w_tot))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("tot").cast("bigint").alias("total_tokens"),
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("tot"), F.col("quality_score"))
+            ).alias("weighted_median_score"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SOURCE_WEIGHTED_MEDIAN_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x != '')) AS DOUBLE) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x IN {STOPWORD_SQL})) AS DOUBLE)
+           AS n_stop,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           AS n_alpha,
+         CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents
+), s AS (
+  SELECT doc_id, source,
+         ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+               + 0.3 * LEAST(n_stop / GREATEST(n_tokens, 1.0) * 5.0, 1.0)
+               + 0.3 * n_alpha / GREATEST(n_chars, 1.0), 4) AS quality_score,
+         CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM t
+), c AS (
+  SELECT source, quality_score, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality_score, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum,
+         SUM(n_tokens) OVER (PARTITION BY source) AS tot
+  FROM s
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(tot) AS BIGINT) AS total_tokens,
+       MIN(CASE WHEN 2 * cum >= tot THEN quality_score END)
+         AS weighted_median_score
+FROM c
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_source_dup_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """Cross-source contamination matrix: near-dup pairs (the
     oracle-reproducible md5 MinHash pipeline) rolled up to
@@ -1876,6 +2055,8 @@ SPARK_QUERIES = {
     "crossdoc_span_coverage": q_crossdoc_span_coverage,
     "embedding_covariance_stats": q_embedding_covariance_stats,
     "embedding_kmeans_profile": q_embedding_kmeans_profile,
+    "embedding_kmeans_profile_fixed": q_embedding_kmeans_profile_fixed,
+    "source_weighted_median_quality": q_source_weighted_median_quality,
     "source_dup_matrix": q_source_dup_matrix,
 }
 
@@ -1909,6 +2090,8 @@ ORACLE_SQL = {
     "source_dup_matrix": SQL_SOURCE_DUP_MATRIX,
     "embedding_lsh_topk": sql_embedding_lsh_topk(),
     "embedding_ivf_topk_fixed": sql_embedding_ivf_topk_fixed(),
+    "embedding_kmeans_profile_fixed": sql_embedding_kmeans_profile_fixed(),
+    "source_weighted_median_quality": SQL_SOURCE_WEIGHTED_MEDIAN_QUALITY,
     # minhash_neardup / simhash_fingerprints / multimodal_* /
     # terms_heavy_hitters / embedding_ivf_topk / embedding_kmeans_
     # profile: intentionally no oracle (probabilistic or pandas-UDF
