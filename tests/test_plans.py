@@ -495,3 +495,43 @@ def test_outliers_broadcast_joinbacks(spark):
     assert ops.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in ops
     assert "InMemoryTableScan" in plan.split("\n\n")[0]
+
+
+def test_entity_resolution_broadcast_and_group_limit(spark):
+    plan = _formatted(spark, "customer_entity_resolution")
+    ops = _ops(plan)
+    # the sparse probe side broadcasts against the blocked candidate
+    # scan -- never a shuffle join of the master table
+    assert ops.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in ops
+    # rank-1 pushdown: WindowGroupLimit prunes per-probe candidates
+    # before (and after) the window exchange instead of sorting the
+    # full scored relation
+    assert "WindowGroupLimit" in ops
+    # probe sparsity predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+
+
+def test_transition_matrix_single_sequence_shuffle(spark):
+    plan = _formatted(spark, "event_transition_matrix")
+    ops = _ops(plan)
+    # ONE shuffle of the event log (user_id for the lead window); the
+    # remaining exchanges move only the |types|^2 aggregate
+    seq_exchanges = re.findall(
+        r"Arguments: hashpartitioning\(([^,]+)", plan
+    )
+    assert seq_exchanges and seq_exchanges[0].startswith("user_id")
+    # partial+final aggregate around the transition-count exchange
+    assert ops.count("HashAggregate") == 2
+    assert "SortMergeJoin" not in ops and "BroadcastNestedLoopJoin" not in ops
+
+
+def test_weighted_median_shares_window_partitioning(spark):
+    plan = _formatted(spark, "source_weighted_median_quality")
+    ops = _ops(plan)
+    # both windows (cumulative weight + per-source total) run on the
+    # SAME source partitioning: exactly one hashpartitioning exchange
+    # in the whole plan (the trailing rangepartitioning is the
+    # 20-row final orderBy)
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert ops.count("Window") == 2
