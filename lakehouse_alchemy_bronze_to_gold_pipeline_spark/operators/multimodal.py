@@ -6,11 +6,11 @@ metadata struct.  The Spark-side plumbing — schema, Arrow batch shape,
 two modalities now have REAL pure-stdlib decoders:
 
 - **image**: binary PPM (``P6``, the Netpbm format) is parsed with
-  ``numpy``; non-interlaced PNG (gray 1/2/4/8/16-bit, RGB/RGBA
-  8/16-bit, PLTE palette 1/2/4/8-bit) is decoded from scratch per
-  the public PNG spec — chunk walk, zlib inflate, all five scanline
-  filters including Paeth — with a matching minimal encoder for
-  round-trips; and baseline sequential JPEG (SOF0,
+  ``numpy``; PNG (gray 1/2/4/8/16-bit, RGB/RGBA 8/16-bit, PLTE
+  palette 1/2/4/8-bit, sequential AND Adam7-interlaced) is decoded
+  from scratch per the public PNG spec — chunk walk, zlib inflate,
+  all five scanline filters including Paeth, seven-pass deinterlace
+  — with a matching minimal encoder for round-trips; and baseline sequential JPEG (SOF0,
   4:4:4 / 4:2:0 / grayscale, restart markers) is decoded from the
   public T.81 spec in ``operators/jpeg.py`` (huffman entropy decode,
   dequantize, orthonormal IDCT, chroma upsample, YCbCr→RGB), again
@@ -115,10 +115,23 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def encode_png(pixels: np.ndarray, interlace: bool = False) -> bytes:
     """(h, w, 3) uint8 -> minimal PNG bytes: 8-bit truecolor,
-    filter 0 on every scanline, one IDAT.  Enough for round-trips;
-    no palette / interlace / ancillary chunks."""
+    filter 0 on every scanline, one IDAT.  ``interlace=True`` emits
+    Adam7 pass order (each pass its own filtered scanline run) —
+    the decoder-test fixture for progressive rendering support."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
 
@@ -130,8 +143,17 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(body))
         )
 
-    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            sub = pixels[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[y].tobytes() for y in range(len(sub)))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlace))
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -150,16 +172,72 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _decode_scanlines(
+    raw: bytes, offset: int, w: int, h: int, nch: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one run of ``h`` scanlines of ``w`` pixels
+    starting at ``offset`` in the inflated IDAT stream.  Returns
+    ((h, w, nch) uint8 samples — 16-bit narrowed to the high byte,
+    sub-byte depths unpacked big-endian-within-byte — and the number
+    of stream bytes consumed).  This is the shared kernel for the
+    single sequential run of a non-interlaced image and for each of
+    the seven independent Adam7 passes (filters never reference
+    across pass boundaries)."""
+    bpp = max(1, (nch * depth) // 8)
+    stride = (w * nch * depth + 7) // 8
+    need = h * (stride + 1)
+    if offset + need > len(raw):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        base = offset + y * (stride + 1)
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        ftype = raw[base]
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                row[x] = (row[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = prev = np.frombuffer(bytes(row), dtype=np.uint8)
+    if depth == 16:
+        px = (out.view(">u2") >> 8).astype(np.uint8).reshape(h, w, nch)
+    elif depth == 8:
+        px = out.reshape(h, w, nch)
+    else:  # packed 1/2/4-bit samples, big-endian within each byte
+        bits = np.unpackbits(out, axis=1)[:, : w * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        px = (
+            (bits.reshape(h, w, depth) * weights)
+            .sum(axis=2)
+            .astype(np.uint8)
+            .reshape(h, w, 1)
+        )
+    return px, need
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, 3) uint8, implemented from the public spec:
     chunk walk, zlib-inflated IDAT stream, per-scanline unfiltering
-    (None/Sub/Up/Average/Paeth).  Supports non-interlaced grayscale
-    (0, depths 1/2/4/8/16), RGB (2, 8/16), palette (3, depths
-    1/2/4/8 via the PLTE lookup), gray+alpha (4, 8/16) and RGBA
-    (6, 8/16); gray replicates to 3 channels, alpha is dropped,
-    16-bit narrows to the high byte (the spec's 16->8 reduction).
-    Interlaced (Adam7) PNGs raise — the honest gate is now only
-    interlacing."""
+    (None/Sub/Up/Average/Paeth).  Supports grayscale (0, depths
+    1/2/4/8/16), RGB (2, 8/16), palette (3, depths 1/2/4/8 via the
+    PLTE lookup), gray+alpha (4, 8/16) and RGBA (6, 8/16), each both
+    sequential and Adam7-interlaced (seven independently-filtered
+    sub-image passes scattered onto the pixel grid); gray replicates
+    to 3 channels, alpha is dropped, 16-bit narrows to the high byte
+    (the spec's 16->8 reduction)."""
     if payload[:8] != PNG_SIG:
         raise NotImplementedError(
             "image decode supports binary PPM (P6) and PNG; "
@@ -185,8 +263,8 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise ValueError(
                     f"illegal PNG depth {depth} for color type {color}"
                 )
-            if interlace:
-                raise NotImplementedError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
         elif tag == b"PLTE":
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
@@ -200,48 +278,23 @@ def decode_png(payload: bytes) -> np.ndarray:
     # Filters operate on BYTES; the left-reference offset is the pixel
     # size in whole bytes, floored to 1 for packed sub-byte rows
     # (RFC 2083 §6.2: "bpp is rounded up to one").
-    bpp = max(1, (nch * depth) // 8)
-    stride = (w * nch * depth + 7) // 8
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        ftype = raw[y * (stride + 1)]
-        if ftype == 1:  # Sub
-            for x in range(bpp, stride):
-                row[x] = (row[x] + row[x - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for x in range(stride):
-                row[x] = (row[x] + prev[x]) & 0xFF
-        elif ftype == 3:  # Average
-            for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                left = row[x - bpp] if x >= bpp else 0
-                ul = int(prev[x - bpp]) if x >= bpp else 0
-                row[x] = (row[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out[y] = prev = np.frombuffer(bytes(row), dtype=np.uint8)
-    if depth == 16:
-        px = (
-            (out.view(">u2") >> 8).astype(np.uint8).reshape(h, w, nch)
-        )
-    elif depth == 8:
-        px = out.reshape(h, w, nch)
-    else:  # packed 1/2/4-bit samples, big-endian within each byte
-        bits = np.unpackbits(out, axis=1)[:, : w * depth]
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        px = (
-            (bits.reshape(h, w, depth) * weights)
-            .sum(axis=2)
-            .astype(np.uint8)
-            .reshape(h, w, 1)
-        )
+    if interlace:
+        px = np.zeros((h, w, nch), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:  # empty pass emits no scanlines
+                continue
+            sub, used = _decode_scanlines(raw, offset, pw, ph, nch, depth)
+            px[y0::dy, x0::dx] = sub
+            offset += used
+        if offset != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
+    else:
+        px, used = _decode_scanlines(raw, 0, w, h, nch, depth)
+        if used != len(raw):
+            raise ValueError("PNG IDAT length mismatch")
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE chunk")

@@ -253,15 +253,19 @@ def test_png_codec_roundtrip_and_filters():
     )
     assert decode_png(payload_a).tolist() == [[[10, 20, 30], [40, 50, 60]]]
 
-    # honest gate: interlaced (Adam7) raises; illegal depth/color
-    # combinations are malformed files, not unsupported features
-    bad = (
-        PNG_SIG
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
-        + chunk(b"IEND", b"")
+    # Adam7 interlace: the seven-pass scatter reassembles the exact
+    # sequential image, including odd dimensions that leave some
+    # passes empty
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        encode_png,
     )
-    with pytest.raises(NotImplementedError):
-        decode_png(bad)
+
+    rng = np.random.default_rng(3)
+    for dims in ((11, 7), (1, 1), (2, 3), (8, 8), (9, 17)):
+        img = rng.integers(0, 256, (*dims, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(img, interlace=True)) == img).all()
+        assert (decode_png(encode_png(img)) == img).all()
+
     malformed = (
         PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
@@ -679,3 +683,45 @@ def test_g711_ulaw_alaw_wav_decode():
 
     with _pytest.raises(NotImplementedError, match="format code"):
         decode_wav(g711_wav(85, b"\x00\x01"))  # 85 = MP3 in RIFF
+
+
+def test_png_interlaced_grayscale_handrolled():
+    """Adam7 with nch=1: passes packed per-scanline of the PASS
+    width (not the image width) — a hand-built gray-8 fixture pins
+    the per-pass stride arithmetic the RGB encoder round-trip can't
+    reach."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        ADAM7_PASSES,
+        PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(tag, data):
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body))
+        )
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (5, 4, 1), dtype=np.uint8)
+    raw = b""
+    for x0, y0, dx, dy in ADAM7_PASSES:
+        sub = g[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += b"".join(b"\x00" + sub[y].tobytes() for y in range(len(sub)))
+    payload = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)
+    assert out.shape == (5, 4, 3)
+    assert (out == np.repeat(g, 3, axis=2)).all()
