@@ -1874,6 +1874,119 @@ ORDER BY cluster
 """
 
 
+def _pq_fixed_codebooks():
+    """(8, 16, 8) seeded gaussian PQ codebooks — plan-time constants
+    shared verbatim by the Spark query and its SQL oracle.  Codebook
+    TRAINING is pinned by pytest (planted-structure recall floors);
+    fixing the books makes the encode-argmin + ADC-lookup + rank
+    pipeline — where an off-by-one in the table lookup or a wrong
+    tie-break would hide — value-checkable in plain SQL."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    return rng.standard_normal((8, 16, 8))
+
+
+def q_embedding_pq_topk_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN over FIXED codebooks: encode the
+    corpus to 8 codes/vector (Arrow argmin), score 5 queries by
+    asymmetric distance (built-in zip_with table lookups), top-5 per
+    query.  The oracle-backed twin of ``embedding_pq_topk``."""
+    from ..operators.pq import pq_topk
+
+    emb = load(spark, sf, "embeddings")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return pq_topk(emb, queries, _pq_fixed_codebooks(), k=5)
+
+
+def sql_embedding_pq_topk_fixed() -> str:
+    """DuckDB twin: the 128 sub-centroids as list literals; corpus
+    codes via per-(vector, subspace) argmin rank (ties by smaller
+    code, matching np.argmin); ADC as the sum of the QUERY's squared
+    subspace distances evaluated at each corpus vector's codes —
+    computed from one shared (vector, subspace, code) distance
+    relation, exactly the lookup-table factorization the Spark side
+    executes."""
+    cbs = _pq_fixed_codebooks()
+    m, k, sub = cbs.shape
+    rows = ",\n  ".join(
+        f"({s}, {j}, [{', '.join(repr(float(x)) for x in cbs[s, j])}])"
+        for s in range(m)
+        for j in range(k)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cb(sub, code, c) AS (VALUES
+  {rows}
+),
+dists AS (
+  SELECT v.vec_id, cb.sub, cb.code,
+         list_sum(list_transform(
+           list_zip(list_slice(v.v, cb.sub * {sub} + 1,
+                               cb.sub * {sub} + {sub}), cb.c),
+           x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d2
+  FROM v CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, sub, code FROM dists
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                             ORDER BY d2, code) = 1
+),
+scored AS (
+  -- list_sum over a sub-ordered list, NOT SUM(): group-row order is
+  -- nondeterministic, and a float sum in a different order breaks
+  -- low-bit ties between same-code neighbors (clustered corpora
+  -- quantize many vectors to identical codes, so exact ADC ties are
+  -- the COMMON case, and rank must tie-break on neighbor_id alone).
+  -- Spark's aggregate() folds the lookup array in subspace order;
+  -- this reproduces that order bit-for-bit.
+  SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list(qd.d2 ORDER BY qd.sub)) AS dist
+  FROM codes c
+  JOIN dists qd ON qd.sub = c.sub AND qd.code = c.code
+  WHERE qd.vec_id < 5
+  GROUP BY qd.vec_id, c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id,
+       ROUND(dist, 6) AS approx_dist,
+       CAST(rnk AS BIGINT) AS "rank"
+FROM ranked
+WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+def q_embedding_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ ANN end-to-end with TRAINED codebooks (seeded sample-based
+    per-subspace k-means): the compressed-domain scale path — the
+    corpus could drop its raw vectors and keep 8 small ints per row.
+    Iterative training has no SQL form => rows-only driver check;
+    recall floors and encode determinism are pytest-pinned
+    (tests/test_pq.py)."""
+    from ..operators.pq import pq_topk, pq_train
+
+    emb = load(spark, sf, "embeddings")
+    books = pq_train(emb, m=8, k=16, iters=8, seed=42, dim=64)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    return pq_topk(emb, queries, books, k=5)
+
+
 def q_source_weighted_median_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Token-WEIGHTED median quality per source — corpus curation
     reports token mass, not document counts (a million empty docs and
@@ -2056,6 +2169,8 @@ SPARK_QUERIES = {
     "embedding_covariance_stats": q_embedding_covariance_stats,
     "embedding_kmeans_profile": q_embedding_kmeans_profile,
     "embedding_kmeans_profile_fixed": q_embedding_kmeans_profile_fixed,
+    "embedding_pq_topk": q_embedding_pq_topk,
+    "embedding_pq_topk_fixed": q_embedding_pq_topk_fixed,
     "source_weighted_median_quality": q_source_weighted_median_quality,
     "source_dup_matrix": q_source_dup_matrix,
 }
@@ -2091,6 +2206,7 @@ ORACLE_SQL = {
     "embedding_lsh_topk": sql_embedding_lsh_topk(),
     "embedding_ivf_topk_fixed": sql_embedding_ivf_topk_fixed(),
     "embedding_kmeans_profile_fixed": sql_embedding_kmeans_profile_fixed(),
+    "embedding_pq_topk_fixed": sql_embedding_pq_topk_fixed(),
     "source_weighted_median_quality": SQL_SOURCE_WEIGHTED_MEDIAN_QUALITY,
     # minhash_neardup / simhash_fingerprints / multimodal_* /
     # terms_heavy_hitters / embedding_ivf_topk / embedding_kmeans_
