@@ -1874,6 +1874,103 @@ ORDER BY cluster
 """
 
 
+#: interpolation weight between bigram-ML and unigram probabilities
+_BIGRAM_LAMBDA = 0.7
+
+
+def q_doc_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated bigram language-model scoring — one rung up from
+    the unigram perplexity filter: score each document by its mean
+    log P(w_i | w_{i-1}) under lambda*ML-bigram + (1-lambda)*unigram,
+    trained on the corpus itself.  Repetitive/templated text scores
+    HIGH (its transitions are predictable), scrambled text scores
+    LOW — the two tails a curation pass clips.
+
+    Scale: the per-doc bigram relation is one explode + groupBy
+    (same class as ``_doc_terms``); global bigram counts, context
+    totals and the unigram LM are aggregations of that relation; the
+    score join shuffles on the (w1, w2) term dimension — corpus-
+    sized, deliberately NOT broadcast.  Scalar totals broadcast by
+    construction."""
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", TX.nonempty_tokens("text").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    pair = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    dbg = (
+        toks.select("doc_id", F.explode(pair).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    bg = dbg.groupBy("w1", "w2").agg(F.sum("c").alias("bc"))
+    ctx = bg.groupBy("w1").agg(F.sum("bc").alias("cc"))
+    tf, _lens = _doc_terms(spark, sf)
+    uni = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = uni.agg(F.sum("cnt").cast("double").alias("total"))
+    lam = _BIGRAM_LAMBDA
+    p_interp = lam * F.col("bc") / F.col("cc") + (1.0 - lam) * F.col(
+        "cnt"
+    ) / F.col("total")
+    return (
+        dbg.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(uni, F.col("w2") == F.col("term"))
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * F.log(p_interp)) / F.sum("c"), 6
+            ).alias("avg_logprob_bi"),
+        )
+    )
+
+
+SQL_DOC_BIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), uni_src AS (
+  SELECT doc_id, t FROM toks WHERE len(t) > 0
+), uni AS (
+  SELECT u.term, COUNT(*) AS cnt
+  FROM uni_src, UNNEST(t) AS u(term) GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM uni
+), pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS ord
+  FROM toks WHERE len(t) >= 2
+), dbg AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2, COUNT(*) AS c
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+  GROUP BY 1, 2, 3
+), bg AS (
+  SELECT w1, w2, SUM(c) AS bc FROM dbg GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, SUM(bc) AS cc FROM bg GROUP BY 1
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(c * ln({_BIGRAM_LAMBDA} * bc / cc
+                         + {1.0 - _BIGRAM_LAMBDA} * cnt / total))
+             / SUM(c), 6) AS avg_logprob_bi
+FROM dbg
+  JOIN bg USING (w1, w2)
+  JOIN ctx USING (w1)
+  JOIN uni ON uni.term = dbg.w2
+  CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def _pq_fixed_codebooks():
     """(8, 16, 8) seeded gaussian PQ codebooks — plan-time constants
     shared verbatim by the Spark query and its SQL oracle.  Codebook
@@ -2164,6 +2261,7 @@ SPARK_QUERIES = {
     "terms_heavy_hitters": q_terms_heavy_hitters,
     "pii_redaction_report": q_pii_redaction_report,
     "doc_unigram_logprob": q_doc_unigram_logprob,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
     "multimodal_codec_mix": q_multimodal_codec_mix,
     "crossdoc_span_coverage": q_crossdoc_span_coverage,
     "embedding_covariance_stats": q_embedding_covariance_stats,
@@ -2200,6 +2298,7 @@ ORACLE_SQL = {
     "simhash_bits_md5": SQL_SIMHASH_BITS_MD5,
     "pii_redaction_report": SQL_PII_REDACTION_REPORT,
     "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
+    "doc_bigram_logprob": SQL_DOC_BIGRAM_LOGPROB,
     "crossdoc_span_coverage": SQL_CROSSDOC_SPAN_COVERAGE,
     "embedding_covariance_stats": SQL_EMBEDDING_COVARIANCE_STATS,
     "source_dup_matrix": SQL_SOURCE_DUP_MATRIX,
