@@ -1305,9 +1305,85 @@ ORDER BY event_type, next_type
 """
 
 
+def _key_profile(df: DataFrame, key: str, rel: str) -> DataFrame:
+    """One-row skew profile of a join/groupBy key: per-key counts,
+    then a single aggregate computing cardinality, heaviest-key
+    share, tail ratio, and normalized Shannon evenness.  Entropy
+    folds into ONE pass via H = ln(total) - sum(c*ln c)/total —
+    no second scan for the total."""
+    counts = df.groupBy(key).agg(F.count("*").alias("c"))
+    total = F.sum("c").cast("double")
+    h = F.log(total) - F.sum(F.col("c") * F.log("c")) / total
+    return counts.agg(
+        F.lit(rel).alias("rel"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.round(F.max("c") / total, 6).alias("top1_share"),
+        F.round(
+            F.expr("percentile(c, 0.99)") / F.expr("percentile(c, 0.5)"), 6
+        ).alias("p99_over_median"),
+        F.round(h / F.log(F.count("*").cast("double")), 6).alias("evenness"),
+    )
+
+
+def q_key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the profile that decides
+    partitioning strategy BEFORE a 100 TB job runs: for each
+    candidate join/groupBy key, its cardinality, the heaviest key's
+    row share (the straggler bound: one task gets at least this
+    fraction), the p99/median per-key count ratio, and normalized
+    entropy (1.0 = perfectly even).  A key with top1_share >> 1/tasks
+    needs salting or AQE skew handling; this query IS that check,
+    run as data.
+
+    Scale: one groupBy per profiled key (the shuffle being measured
+    is the one you'd pay anyway), then a 1-row aggregate; the exact
+    percentiles run over the per-key count relation (|keys| rows,
+    not |rows|)."""
+    ev = load(spark, sf, "events")
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    parts = [
+        _key_profile(ev, "user_id", "events.user_id"),
+        _key_profile(li, "l_partkey", "lineitem.l_partkey"),
+        _key_profile(o, "o_custkey", "orders.o_custkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rel")
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH prof AS (
+  SELECT 'events.user_id' AS rel, user_id AS k, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+  UNION ALL
+  SELECT 'lineitem.l_partkey', l_partkey, COUNT(*)
+  FROM lineitem GROUP BY 1, 2
+  UNION ALL
+  SELECT 'orders.o_custkey', o_custkey, COUNT(*)
+  FROM orders GROUP BY 1, 2
+)
+SELECT rel,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top1_share,
+       ROUND(quantile_cont(c, 0.99) / quantile_cont(c, 0.5), 6)
+         AS p99_over_median,
+       ROUND((ln(CAST(SUM(c) AS DOUBLE))
+              - SUM(c * ln(c)) / CAST(SUM(c) AS DOUBLE))
+             / ln(CAST(COUNT(*) AS DOUBLE)), 6) AS evenness
+FROM prof
+GROUP BY rel
+ORDER BY rel
+"""
+
+
 SPARK_QUERIES = {
     "brand_supplier_hhi": q_brand_supplier_hhi,
     "event_transition_matrix": q_event_transition_matrix,
+    "key_skew_profile": q_key_skew_profile,
     "purchase_attribution": q_purchase_attribution,
     "brand_pagerank": q_brand_pagerank,
     "events_value_outliers": q_events_value_outliers,
@@ -1337,6 +1413,7 @@ SPARK_QUERIES = {
 ORACLE_SQL = {
     "brand_supplier_hhi": SQL_BRAND_SUPPLIER_HHI,
     "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
+    "key_skew_profile": SQL_KEY_SKEW_PROFILE,
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     "brand_pagerank": sql_brand_pagerank(),
     "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,
