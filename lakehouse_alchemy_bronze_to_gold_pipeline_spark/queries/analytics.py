@@ -1380,7 +1380,331 @@ ORDER BY rel
 """
 
 
+def q_nation_revenue_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation revenue trend: ordinary-least-squares slope /
+    intercept / r² of daily revenue vs day index.  The regression is
+    computed from EXACT sufficient statistics (decimal sums of y, x·y,
+    y²; bigint sums of x, x²) so the result is bit-stable across
+    engines — ``regr_slope`` accumulates doubles whose merge order an
+    engine is free to choose, which is exactly the cross-engine drift
+    an oracle can't tolerate.
+
+    Scale: two shuffles (daily rollup keyed (nation, day), then the
+    5-number sufficient-stat reduce per nation) with map-side partial
+    aggregation on both; dims broadcast.  The sufficient-stat shape is
+    the textbook mergeable-aggregate — it holds at any scale."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    day = F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", day.alias("x"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+        )
+    )
+    stats = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    nd, sx, sxx, sy, sxy, syy = (
+        F.col(k).cast("double") for k in ("n", "sx", "sxx", "sy", "sxy", "syy")
+    )
+    num = nd * sxy - sx * sy
+    den_x = nd * sxx - sx * sx
+    den_y = nd * syy - sy * sy
+    slope = num / den_x
+    return stats.select(
+        F.col("n_name").alias("nation"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / nd, 4).alias("intercept"),
+        F.round(num * num / (den_x * den_y), 6).alias("r2"),
+    ).orderBy("nation")
+
+
+SQL_NATION_REVENUE_TREND = """
+WITH daily AS (
+  SELECT n_name,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS x,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), stats AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+)
+SELECT n_name AS nation,
+       n_days,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM stats
+ORDER BY nation
+"""
+
+
+def q_ewma_monthly_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.2) of monthly
+    revenue per region — the smoothing every ops dashboard runs, and
+    a RECURSIVE definition no window frame expresses (each value
+    depends on the full prefix).  Computed as a sequential
+    ``F.aggregate`` fold over the month-sorted series, O(|months|)
+    per group, exact.
+
+    Scale: the fold runs per region over |months| elements — bounded
+    by the calendar, not the data (100 TB of orders is still ~100
+    months).  One rollup shuffle keyed (region, month) with map-side
+    partials, then a |regions|-row collect_list of bounded arrays.
+    The lambda matches the oracle's ``list_reduce`` term order
+    (0.2*x + 0.8*s) so the doubles are IEEE-identical."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf, "region").select("r_regionkey", "r_name")
+    month = F.date_format(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")), "yyyy-MM-dd"
+    )
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", month.alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rv")
+        )
+    )
+    srt = F.array_sort(F.collect_list(F.struct("month", "rv")))
+    per_region = monthly.groupBy("r_name").agg(srt.alias("s"))
+    ew = F.aggregate(
+        F.col("s"),
+        F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0, x["rv"]
+                ).otherwise(
+                    F.lit(0.2) * x["rv"]
+                    + F.lit(0.8) * F.element_at(acc, F.size(acc))
+                )
+            ),
+        ),
+    )
+    return (
+        per_region.select("r_name", F.posexplode(F.arrays_zip("s", ew.alias("e"))))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("col.s.month").alias("month"),
+            F.round(F.col("col.s.rv"), 2).alias("monthly_revenue"),
+            F.round(F.col("col.e"), 6).alias("ewma"),
+        )
+        .orderBy("region", "month")
+    )
+
+
+SQL_EWMA_MONTHLY_REVENUE = """
+WITH mo AS (
+  SELECT r_name,
+         strftime(date_trunc('month', CAST(o_orderdate AS DATE)),
+                  '%Y-%m-%d') AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rv
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name AS region,
+       month,
+       ROUND(rv, 2) AS monthly_revenue,
+       ROUND(list_reduce(
+         list(rv) OVER (PARTITION BY r_name ORDER BY month
+                        ROWS UNBOUNDED PRECEDING),
+         (s, x) -> 0.2 * x + 0.8 * s), 6) AS ewma
+FROM mo
+ORDER BY region, month
+"""
+
+
+def q_segment_spend_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Spend-concentration (Gini coefficient) per market segment via
+    the rank formula  G = 2·Σ(i·yᵢ)/(n·Σy) − (n+1)/n  over customers
+    sorted by total spend — the inequality profile that tells a
+    pipeline whether a handful of keys dominate a segment.  Ties in
+    spend are order-insensitive in the Σ(i·yᵢ) term (equal y swap
+    freely), so the result is deterministic without a tiebreak.
+
+    Scale: per-customer rollup (one shuffle), then a rank window
+    PARTITIONED by segment (no global sort), then a per-segment
+    reduce.  Spend sums are exact decimal; the formula divides exact
+    scalars in double at the end."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("y", "o_custkey")
+    ranked = spend.select(
+        "c_mktsegment", "y", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("i * y")).alias("siy"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("sy").cast("double").alias("total_spend"),
+        F.round(
+            F.lit(2.0) * F.col("siy").cast("double")
+            / (nd * F.col("sy").cast("double"))
+            - (nd + F.lit(1.0)) / nd,
+            6,
+        ).alias("gini"),
+    ).orderBy("segment")
+
+
+SQL_SEGMENT_SPEND_GINI = """
+WITH spend AS (
+  SELECT c_mktsegment, o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, y,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY y, o_custkey) AS i
+  FROM spend
+), agg AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(y) AS sy,
+         SUM(i * y) AS siy
+  FROM ranked GROUP BY 1
+)
+SELECT c_mktsegment AS segment,
+       n AS n_customers,
+       CAST(sy AS DOUBLE) AS total_spend,
+       ROUND(2.0 * CAST(siy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(sy AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+FROM agg
+ORDER BY segment
+"""
+
+
+def q_brand_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting on the brand co-purchase graph (brands
+    co-occurring in an order are adjacent) — the clustering-structure
+    primitive under community detection and spam-graph analysis.
+    Edges are canonically oriented (b1 < b2) so each triangle is
+    enumerated exactly once by the two-path + closing-edge join.
+
+    Scale: the vertex set (brands) is small by construction, but the
+    SHAPE is the standard distributed algorithm — build the oriented
+    edge list (dedup shuffle), self-join on the middle vertex, then
+    hash-join the closing edge; at web scale you'd orient by degree
+    instead of name to bound the join fan-out, which this layout
+    permits by swapping the orientation key."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    e = (
+        ob.alias("a")
+        .join(ob.alias("b"), "l_orderkey")
+        .filter(F.col("a.p_brand") < F.col("b.p_brand"))
+        .select(
+            F.col("a.p_brand").alias("b1"), F.col("b.p_brand").alias("b2")
+        )
+        .distinct()
+    )
+    tri = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"), F.col("e1.b2") == F.col("e2.b1")
+        )
+        .join(
+            e.alias("e3"),
+            (F.col("e1.b1") == F.col("e3.b1"))
+            & (F.col("e2.b2") == F.col("e3.b2")),
+        )
+        .select(
+            F.col("e1.b1").alias("x"),
+            F.col("e1.b2").alias("y"),
+            F.col("e2.b2").alias("z"),
+        )
+    )
+    return (
+        tri.select(
+            F.explode(F.array("x", "y", "z")).alias("brand")
+        )
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "brand")
+    )
+
+
+SQL_BRAND_TRIANGLES = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), e AS (
+  SELECT DISTINCT a.p_brand AS b1, b.p_brand AS b2
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+  WHERE a.p_brand < b.p_brand
+), tri AS (
+  SELECT e1.b1 AS x, e1.b2 AS y, e2.b2 AS z
+  FROM e e1
+  JOIN e e2 ON e1.b2 = e2.b1
+  JOIN e e3 ON e1.b1 = e3.b1 AND e2.b2 = e3.b2
+)
+SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT x AS brand FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY brand
+ORDER BY n_triangles DESC, brand
+"""
+
+
 SPARK_QUERIES = {
+    "nation_revenue_trend": q_nation_revenue_trend,
+    "ewma_monthly_revenue": q_ewma_monthly_revenue,
+    "segment_spend_gini": q_segment_spend_gini,
+    "brand_triangles": q_brand_triangles,
     "brand_supplier_hhi": q_brand_supplier_hhi,
     "event_transition_matrix": q_event_transition_matrix,
     "key_skew_profile": q_key_skew_profile,
@@ -1411,6 +1735,10 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "nation_revenue_trend": SQL_NATION_REVENUE_TREND,
+    "ewma_monthly_revenue": SQL_EWMA_MONTHLY_REVENUE,
+    "segment_spend_gini": SQL_SEGMENT_SPEND_GINI,
+    "brand_triangles": SQL_BRAND_TRIANGLES,
     "brand_supplier_hhi": SQL_BRAND_SUPPLIER_HHI,
     "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
     "key_skew_profile": SQL_KEY_SKEW_PROFILE,
