@@ -148,27 +148,22 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_near_duplicates_md5(
+def md5_signatures_and_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.5,
     n_hashes: int = 64,
     shingle_n: int = 2,
     n_bands: int = 16,
     max_bucket: int = 200,
     balance: bool = True,
-) -> DataFrame:
-    """Cross-engine-reproducible MinHash near-dup pairs.
-
-    Same pipeline as ``minhash_near_duplicates`` but the hash family
-    is ``md5(i || '|' || shingle)`` compared LEXICOGRAPHICALLY as hex
-    strings, and band bucket keys are plain string concatenations —
-    every step is byte-identical in any engine with md5 (the DuckDB
-    oracle reproduces the whole pipeline), which upgrades fuzzy dedup
-    from a rows-only check to a value-checked query.  ~2-3x slower
-    than the xxhash64 family; use that one when no oracle is needed.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """The cross-engine-reproducible (md5 hash family) MinHash core:
+    returns (sigs, pairs) where sigs = (id, shingles, sig) is
+    persisted and pairs = distinct candidate (id_a < id_b) from the
+    capped band buckets.  Shared by the near-dup query and the
+    sketch-accuracy report so both run the IDENTICAL pipeline the
+    DuckDB oracle reproduces."""
     band_rows = n_hashes // n_bands
     toks = nonempty_tokens(text_col)
     shingles = word_shingles(toks, shingle_n)
@@ -227,6 +222,34 @@ def minhash_near_duplicates_md5(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+    return sigs, pairs
+
+
+def minhash_near_duplicates_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    shingle_n: int = 2,
+    n_bands: int = 16,
+    max_bucket: int = 200,
+    balance: bool = True,
+) -> DataFrame:
+    """Cross-engine-reproducible MinHash near-dup pairs.
+
+    Same pipeline as ``minhash_near_duplicates`` but the hash family
+    is ``md5(i || '|' || shingle)`` compared LEXICOGRAPHICALLY as hex
+    strings, and band bucket keys are plain string concatenations —
+    every step is byte-identical in any engine with md5 (the DuckDB
+    oracle reproduces the whole pipeline), which upgrades fuzzy dedup
+    from a rows-only check to a value-checked query.  ~2-3x slower
+    than the xxhash64 family; use that one when no oracle is needed.
+    """
+    sigs, pairs = md5_signatures_and_pairs(
+        df, id_col, text_col, n_hashes, shingle_n, n_bands, max_bucket,
+        balance,
+    )
     shl = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     shr = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -235,6 +258,57 @@ def minhash_near_duplicates_md5(
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_accuracy_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    shingle_n: int = 2,
+    n_bands: int = 16,
+    max_bucket: int = 200,
+    balance: bool = True,
+) -> DataFrame:
+    """Sketch-accuracy report over every LSH candidate pair: the
+    signature-agreement MinHash ESTIMATE of Jaccard next to the exact
+    shingle-set Jaccard and their absolute error — the calibration
+    readout that justifies (n_hashes, bands) before a 100 TB dedup
+    run spends its budget trusting the sketch.  E[est] = J and
+    Var = J(1-J)/n_hashes; the report is the empirical check."""
+    sigs, pairs = md5_signatures_and_pairs(
+        df, id_col, text_col, n_hashes, shingle_n, n_bands, max_bucket,
+        balance,
+    )
+    left = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    right = sigs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    est = F.round(agree.cast("double") / F.lit(float(n_hashes)), 6)
+    exact = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+    return (
+        pairs.join(left, "id_a")
+        .join(right, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est_jaccard"),
+            exact.alias("jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
     )
 
 

@@ -347,3 +347,54 @@ def lsh_topk(
             "rank",
         )
     )
+
+
+def cluster_blocked_pairs(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: assign every vector to
+    its nearest centroid (narrow Arrow argmax pass), then score pairs
+    ONLY within a cluster — the blocking step that turns O(n²) pair
+    mining into Σ O(|cluster|²).
+
+    Per-cluster scoring runs as ``applyInPandas``: one groupBy
+    shuffle keyed on cluster, then a single BLAS gram matrix per
+    cluster instead of |cluster|² interpreted dot products.  At scale
+    the cluster width is controlled by k (SemDeDup picks
+    k ∝ n/target_cluster_size, exactly what ``kmeans_fit`` trains);
+    a skewed cluster is the same failure mode as a hot LSH bucket and
+    gets the same remedy (cap or re-split — the IVF list machinery).
+
+    Returns (cluster, id_a < id_b, cosine_sim >= threshold).
+    """
+    from .kmeans import kmeans_assign
+
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("__id"), "cluster", as_double_array(vec_col).alias("__v")
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sim = np.round(x @ x.T, round_to)
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sim[iu] >= threshold
+        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
+        return pd.DataFrame(
+            {
+                "cluster": np.int64(pdf["cluster"].iloc[0]),
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine_sim": sim[iu][keep],
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        score, "cluster bigint, id_a bigint, id_b bigint, cosine_sim double"
+    )

@@ -371,7 +371,8 @@ def q_minhash_neardup_md5(spark: SparkSession, sf: str) -> DataFrame:
 
 def _minhash_md5_oracle_sql(
     n_hashes: int = 64, n_bands: int = 16, max_bucket: int = 200,
-    threshold: float = 0.4,
+    tail: str = "SELECT id_a, id_b, jaccard FROM scored"
+    " WHERE jaccard >= 0.4",
 ) -> str:
     band_rows = n_hashes // n_bands
     return f"""
@@ -409,18 +410,39 @@ WITH toks AS (
   WHERE a.doc_id < b.doc_id
 ), scored AS (
   SELECT id_a, id_b,
+         ROUND(len(list_filter(range(1, {n_hashes} + 1),
+                               i -> sa.sig[i] = sb.sig[i]))::DOUBLE
+               / {n_hashes}, 6) AS est_jaccard,
          ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
                / len(list_distinct(list_cat(sa.shingles, sb.shingles))), 6)
            AS jaccard
   FROM cand
-  JOIN sh sa ON sa.doc_id = id_a
-  JOIN sh sb ON sb.doc_id = id_b
+  JOIN sigt sa ON sa.doc_id = id_a
+  JOIN sigt sb ON sb.doc_id = id_b
 )
-SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+{tail}
 """
 
 
 SQL_MINHASH_NEARDUP_MD5 = _minhash_md5_oracle_sql()
+
+SQL_MINHASH_ACCURACY = _minhash_md5_oracle_sql(
+    tail="SELECT id_a, id_b, est_jaccard, jaccard,"
+    " ROUND(ABS(est_jaccard - jaccard), 6) AS abs_err FROM scored"
+)
+
+
+def q_minhash_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch calibration for the md5 MinHash family: every LSH
+    candidate pair with its signature-agreement ESTIMATE of Jaccard,
+    the exact shingle-set Jaccard, and the absolute error — run
+    before a large dedup job to validate (n_hashes, bands) against
+    the theoretical Var = J(1-J)/n_hashes.  Value-checked end to end
+    (estimator included) because the hash family is engine-agnostic."""
+    from ..operators.minhash import minhash_accuracy_md5
+
+    d = load(spark, sf, "documents")
+    return minhash_accuracy_md5(d, "doc_id", "text", shingle_n=2)
 
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -2226,6 +2248,148 @@ GROUP BY 1, 2
 """
 
 
+def q_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top adjacent-bigram collocations by pointwise mutual
+    information — PMI(x,y) = log2(p(xy) / (p(x)p(y))) — the
+    association mining behind phrase induction and tokenizer-merge
+    candidates.  Counts are exact integers; the PMI arithmetic casts
+    them to double in the SAME operation order as the oracle, so the
+    doubles are IEEE-identical before rounding.
+
+    Scale: a bigram groupBy (term-dim shuffle) and a unigram groupBy;
+    the unigram count relation is vocabulary-sized -> broadcast to
+    both join probes; corpus totals are 1-row aggregates broadcast by
+    crossJoin.  TakeOrdered cuts the ranked output."""
+    d = load(spark, sf, "documents")
+    toks = d.select(TX.nonempty_tokens("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pair = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = (
+        toks.select(F.explode(pair).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    n1 = uni.agg(F.sum("cw").cast("double").alias("n1"))
+    n2 = bi.agg(F.sum("cxy").cast("double").alias("n2"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("cw").alias("cx"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cy"))
+    pmi = F.log2(
+        (F.col("cxy").cast("double") * F.col("n1") * F.col("n1"))
+        / (F.col("n2") * F.col("cx").cast("double") * F.col("cy").cast("double"))
+    )
+    return (
+        bi.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .filter(F.col("cxy") >= 5)
+        .select(
+            "w1",
+            "w2",
+            F.col("cxy").alias("n_pair"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(40)
+    )
+
+
+SQL_PMI_COLLOCATIONS = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), toks2 AS (
+  SELECT t FROM toks WHERE len(t) >= 2
+), bi AS (
+  SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS cxy
+  FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> [t[i], t[i+1]])) AS p
+    FROM toks2
+  )
+  GROUP BY 1, 2
+), uni AS (
+  SELECT w, COUNT(*) AS cw
+  FROM (SELECT unnest(t) AS w FROM toks2)
+  GROUP BY 1
+), n1 AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n1 FROM uni),
+n2 AS (SELECT CAST(SUM(cxy) AS DOUBLE) AS n2 FROM bi)
+SELECT w1, w2, CAST(cxy AS BIGINT) AS n_pair,
+       ROUND(log2((CAST(cxy AS DOUBLE) * n1 * n1)
+                  / (n2 * CAST(ua.cw AS DOUBLE) * CAST(ub.cw AS DOUBLE))),
+             6) AS pmi
+FROM bi
+JOIN uni ua ON ua.w = bi.w1
+JOIN uni ub ON ub.w = bi.w2
+CROSS JOIN n1 CROSS JOIN n2
+WHERE cxy >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 40
+"""
+
+
+def q_semantic_dedup_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup over fixed pretrained centroids: cluster-blocked
+    near-dup pair mining (``operators.similarity.
+    cluster_blocked_pairs``) — assign each embedding to its nearest
+    list head, score cosine pairs ONLY within a cluster via one BLAS
+    gram matrix per cluster.  The centroid set is the same plan-time
+    constant as ``embedding_kmeans_profile_fixed``, so the oracle
+    reproduces assignment, blocking, and scoring value-for-value."""
+    from ..operators.similarity import cluster_blocked_pairs
+
+    e = load(spark, sf, "embeddings")
+    pairs = cluster_blocked_pairs(
+        e, _kmeans_fixed_centroids(), threshold=0.4
+    )
+    return pairs.orderBy("cluster", "id_a", "id_b")
+
+
+def sql_semantic_dedup_fixed() -> str:
+    cents = _kmeans_fixed_centroids()
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(cluster, cv) AS (VALUES
+  {rows}
+),
+assigned AS (
+  SELECT v.vec_id, v.v, c.cluster
+  FROM v CROSS JOIN cents c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                             ORDER BY list_dot_product(v.v, c.cv) DESC,
+                                      c.cluster ASC) = 1
+),
+unitv AS (
+  SELECT vec_id, cluster,
+         list_transform(v, x -> x / sqrt(list_sum(
+             list_transform(v, y -> y * y)))) AS u
+  FROM assigned
+)
+SELECT CAST(a.cluster AS BIGINT) AS cluster,
+       a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.u, b.u), 4) AS cosine_sim
+FROM unitv a
+JOIN unitv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.u, b.u), 4) >= 0.4
+ORDER BY cluster, id_a, id_b
+"""
+
+
 SPARK_QUERIES = {
     "text_token_stats": q_text_token_stats,
     "lang_id_confusion": q_lang_id_confusion,
@@ -2239,6 +2403,9 @@ SPARK_QUERIES = {
     "knn_join": q_knn_join,
     "minhash_neardup": q_minhash_neardup,
     "minhash_neardup_md5": q_minhash_neardup_md5,
+    "minhash_accuracy": q_minhash_accuracy,
+    "pmi_collocations": q_pmi_collocations,
+    "semantic_dedup_fixed": q_semantic_dedup_fixed,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -2293,6 +2460,9 @@ ORACLE_SQL = {
     "embedding_topk": SQL_EMBEDDING_TOPK,
     "knn_join": SQL_KNN_JOIN,
     "minhash_neardup_md5": SQL_MINHASH_NEARDUP_MD5,
+    "minhash_accuracy": SQL_MINHASH_ACCURACY,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "semantic_dedup_fixed": sql_semantic_dedup_fixed(),
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
     "simhash_bits_md5": SQL_SIMHASH_BITS_MD5,
