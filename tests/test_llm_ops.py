@@ -725,3 +725,56 @@ def test_png_interlaced_grayscale_handrolled():
     out = decode_png(payload)
     assert out.shape == (5, 4, 3)
     assert (out == np.repeat(g, 3, axis=2)).all()
+
+
+def test_minhash_accuracy_report(spark, docs):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.minhash import (
+        minhash_accuracy_md5,
+    )
+
+    rows = minhash_accuracy_md5(docs, "doc_id", "text").collect()
+    got = {(r.id_a, r.id_b): r for r in rows}
+    # the exact pair reports est == exact == 1.0 with zero error
+    assert got[(1, 2)].est_jaccard == 1.0
+    assert got[(1, 2)].jaccard == 1.0
+    assert got[(1, 2)].abs_err == 0.0
+    for r in rows:
+        # 64-hash estimator: sd <= 0.0625, allow 4 sigma
+        assert r.abs_err <= 0.25
+        assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) < 1e-9
+
+
+def test_cluster_blocked_pairs_subset_of_exact(spark):
+    import numpy as np
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.similarity import (
+        cluster_blocked_pairs,
+        cosine_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((4, 8))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # planted: points near each centroid plus jitter -> in-cluster dups
+    vecs, vid = [], 0
+    for c in cents:
+        for _ in range(6):
+            v = c + 0.05 * rng.standard_normal(8)
+            vecs.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(vecs)
+    blocked = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in cluster_blocked_pairs(df, cents, threshold=0.9).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in cosine_pairs(df, threshold=0.9).collect()
+    }
+    # blocking only ever DROPS cross-cluster pairs, never invents one
+    assert set(blocked) <= set(exact)
+    for k, v in blocked.items():
+        assert abs(v - exact[k]) < 1e-3
+    # planted same-cluster dups are recovered (each cluster of 6 tight
+    # points yields at least one >=0.9 pair)
+    assert len(blocked) >= 4
