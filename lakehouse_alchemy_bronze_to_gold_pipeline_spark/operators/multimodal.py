@@ -322,6 +322,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gifbmp import decode_gif
+
+        return decode_gif(payload)
+    if payload[:2] == b"BM":
+        from .gifbmp import decode_bmp
+
+        return decode_bmp(payload)
     return decode_ppm(payload)
 
 
@@ -527,8 +535,11 @@ def synthesize_mixed_images(
     df: DataFrame, id_col: str = "doc_id", source_col: str = "text"
 ) -> DataFrame:
     """Like ``synthesize_ppm`` but rotating the container per row
-    (doc_id % 3: PPM, PNG, JPEG) — the corpus shape a real ingest
-    sees, exercising every decoder through the same binary column."""
+    (doc_id % 5: PPM, PNG, JPEG, GIF, BMP) — the corpus shape a real
+    ingest sees, exercising every decoder through one binary column.
+    GIF is safe without quantization here because the synthetic
+    images have < 256 distinct colors by construction (w*h <= 224)."""
+    from .gifbmp import encode_bmp, encode_gif
     from .jpeg import encode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -537,16 +548,22 @@ def synthesize_mixed_images(
             for i, t in zip(pdf[id_col], pdf[source_col]):
                 w, h = 8 + int(i) % 9, 8 + int(i) % 7
                 px = _cycled_bytes(t, w * h * 3).reshape(h, w, 3)
-                k = int(i) % 3
+                k = int(i) % 5
                 if k == 0:
                     payloads.append(encode_ppm(px))
                     codecs.append("ppm")
                 elif k == 1:
                     payloads.append(encode_png(px))
                     codecs.append("png")
-                else:
+                elif k == 2:
                     payloads.append(encode_jpeg(px, quality=90))
                     codecs.append("jpeg")
+                elif k == 3:
+                    payloads.append(encode_gif(px, interlace=i % 2 == 1))
+                    codecs.append("gif")
+                else:
+                    payloads.append(encode_bmp(px))
+                    codecs.append("bmp")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

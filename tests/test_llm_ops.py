@@ -611,9 +611,9 @@ def test_lsh_pairs_recall_vs_bruteforce(spark):
 
 
 def test_multimodal_codec_mix_agreement(spark):
-    """The three image codecs produce consistent features through one
-    binary column: exact luma equality for the lossless pair
-    (PPM/PNG), bounded deviation for JPEG."""
+    """The five image codecs produce consistent features through one
+    binary column: exact luma equality for the lossless ones
+    (PPM/PNG/GIF/BMP), bounded deviation for JPEG."""
     from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
         extract_features,
         synthesize_mixed_images,
@@ -636,10 +636,10 @@ def test_multimodal_codec_mix_agreement(spark):
     for i in range(12):
         # same pixels regardless of container: dims match exactly
         assert (mixed[i].f0, mixed[i].f1) == (ppm[i].f0, ppm[i].f1)
-        if i % 3 == 1:  # png: lossless, exact luma equality
-            assert abs(mixed[i].f2 - ppm[i].f2) < 1e-12
-        elif i % 3 == 2:  # jpeg: lossy, bounded deviation
+        if i % 5 == 2:  # jpeg: lossy, bounded deviation
             assert abs(mixed[i].f2 - ppm[i].f2) < 0.02
+        else:  # ppm/png/gif/bmp: lossless, exact luma equality
+            assert abs(mixed[i].f2 - ppm[i].f2) < 1e-12
 
 
 def test_g711_ulaw_alaw_wav_decode():
@@ -778,3 +778,54 @@ def test_cluster_blocked_pairs_subset_of_exact(spark):
     # planted same-cluster dups are recovered (each cluster of 6 tight
     # points yields at least one >=0.9 pair)
     assert len(blocked) >= 4
+
+
+def test_gif_bmp_codec_roundtrips():
+    import numpy as np
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.gifbmp import (
+        decode_bmp,
+        decode_gif,
+        encode_bmp,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    px = (rng.integers(0, 5, (13, 17, 3)) * 50).astype("uint8")
+    assert (decode_gif(encode_gif(px)) == px).all()
+    assert (decode_gif(encode_gif(px, interlace=True)) == px).all()
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+    # 256-color 80x60 forces LZW code-width growth to 12 bits AND a
+    # dictionary reset mid-stream
+    big = rng.integers(0, 256, (80, 60, 1)).astype("uint8").repeat(3, 2)
+    assert (decode_gif(encode_gif(big)) == big).all()
+    assert (decode_gif(encode_gif(big, interlace=True)) == big).all()
+    with pytest.raises(NotImplementedError):
+        encode_gif(rng.integers(0, 256, (40, 40, 3)).astype("uint8"))
+    # BMP row padding at every phase
+    for w in (1, 2, 3, 5):
+        q = rng.integers(0, 256, (4, w, 3)).astype("uint8")
+        assert (decode_bmp(encode_bmp(q)) == q).all()
+
+
+def test_codec_mix_five_way(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        extract_features,
+        synthesize_mixed_images,
+    )
+
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=f"some text payload {i} " * 3) for i in range(10)]
+    )
+    imgs = synthesize_mixed_images(d, "doc_id", "text")
+    rows = imgs.collect()
+    assert sorted({r.codec for r in rows}) == [
+        "bmp", "gif", "jpeg", "png", "ppm",
+    ]
+    feats = {r.doc_id: r for r in extract_features(imgs.drop("codec")).collect()}
+    # lossless codecs decode the identical pixels -> identical luma for
+    # the same doc would require same image; instead check all decode
+    # without error and produce sane dimensions
+    for r in feats.values():
+        assert r.f0 >= 8 and r.f1 >= 8  # width, height
+        assert 0.0 <= r.f2 <= 1.0
