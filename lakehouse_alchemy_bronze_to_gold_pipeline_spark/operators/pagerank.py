@@ -60,9 +60,12 @@ def pagerank(
         .select("src", "dst", (F.col("w") / F.col("wout")).alias("frac"))
         .persist()
     )
+    # nodes derive from the PERSISTED frac relation (frac preserves
+    # every (src, dst) of e), so the expensive upstream edge build
+    # materializes once instead of once per setup action
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        frac.select(F.col("src").alias("node"))
+        .union(frac.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
@@ -74,6 +77,18 @@ def pagerank(
     has_dangling = (
         nodes.join(src_nodes, "node", "left_anti").limit(1).count() > 0
     )
+    # zero-weight self-loops guarantee every node receives >= 1
+    # contribution row, collapsing the per-iteration plan from
+    # (join + groupBy + left-join-back-to-nodes) to (join + groupBy)
+    # — one shuffle fewer per iteration; adding 0.0 to a float sum is
+    # exact, so ranks are unchanged
+    frac_all = frac.unionByName(
+        nodes.select(
+            F.col("node").alias("src"),
+            F.col("node").alias("dst"),
+            F.lit(0.0).alias("frac"),
+        )
+    ).persist()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     if has_dangling:
         ranks = ranks.localCheckpoint()
@@ -89,21 +104,18 @@ def pagerank(
             )
         else:
             dangling = 0.0
-        contribs = (
-            frac.join(ranks, frac["src"] == ranks["node"])
+        ranks = (
+            frac_all.join(ranks, frac_all["src"] == ranks["node"])
             .select("dst", (F.col("rank") * F.col("frac")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
-        )
-        ranks = nodes.join(
-            contribs, nodes["node"] == contribs["dst"], "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + damping
-                * (F.coalesce(F.col("c"), F.lit(0.0)) + dangling / n)
-            ).alias("rank"),
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(base)
+                    + damping * (F.col("c") + dangling / n)
+                ).alias("rank"),
+            )
         )
         if has_dangling:
             ranks = ranks.localCheckpoint()  # eager: actions follow
