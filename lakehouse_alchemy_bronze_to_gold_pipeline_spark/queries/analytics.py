@@ -1700,7 +1700,189 @@ ORDER BY n_triangles DESC, brand
 """
 
 
+def q_rolling_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day DISTINCT user reach per event type — the windowed
+    count-distinct no window frame computes natively in Spark:
+    distinct user SETS roll up at day grain (one groupBy), then a
+    RANGE frame unions the last 7 days' sets per type
+    (flatten + array_distinct) — set-union semantics as array algebra.
+
+    Scale: the window runs over the (event_type, day) relation —
+    calendar-bounded, NOT event-bounded — and is PARTITIONED by
+    event_type.  Per-day sets are |daily audience|-sized; at extreme
+    audience scale the same query swaps collect_set for an HLL sketch
+    column (``user_reach_sketch``'s path) with identical shape."""
+    ev = load(spark, sf, "events")
+    day = F.expr("ts_us DIV 86400000000").alias("day")
+    daily = ev.groupBy("event_type", day).agg(
+        F.collect_set("user_id").alias("us")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.size("us").cast("bigint").alias("n_daily"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("us").over(w))))
+        .cast("bigint")
+        .alias("n_7d"),
+    ).orderBy("event_type", "day")
+
+
+SQL_ROLLING_DISTINCT_USERS = """
+WITH base AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         user_id
+  FROM events
+), win AS (
+  SELECT DISTINCT event_type, day,
+         CAST(COUNT(DISTINCT user_id) OVER (
+           PARTITION BY event_type ORDER BY day
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+  FROM base
+), daily AS (
+  SELECT event_type, day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_daily
+  FROM base GROUP BY 1, 2
+)
+SELECT daily.event_type, daily.day, n_daily, n_7d
+FROM daily JOIN win USING (event_type, day)
+ORDER BY event_type, day
+"""
+
+
+def q_gap_fill_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap fill with linear interpolation: per-nation
+    daily revenue is SPARSE (not every nation orders every day), so
+    the series is completed over a full day spine and holes are
+    filled by lerp between the neighboring observed days (edges
+    extend the nearest observation) — the regularization step before
+    any rolling-window model touches the series.
+
+    Scale: the spine is |nations| x |days| (calendar-bounded, built
+    by sequence+explode — no driver loop); observed revenue joins on
+    (nation, day); the prev/next scaffolding is two IGNORE-NULLS
+    window passes PARTITIONED by nation over that bounded spine."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    day = F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint")
+    obs = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", day.alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    lim = obs.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = (
+        n.select("n_name")
+        .crossJoin(F.broadcast(lim))
+        .select(
+            "n_name",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    g = spine.join(obs, ["n_name", "day"], "left")
+    # Both scaffolds use GROWING (unbounded-preceding) frames, which
+    # WindowExec maintains incrementally in O(1)/row — the "next"
+    # side simply sorts DESCENDING.  The naive current-row ->
+    # unbounded-FOLLOWING frame re-scans to the partition end per row
+    # (O(n²)/partition: measured 14 s vs 1.5 s on this very query).
+    wp = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("n_name")
+        .orderBy(F.desc("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_rev = F.last("rev", ignorenulls=True).over(wp)
+    next_rev = F.last("rev", ignorenulls=True).over(wn)
+    prev_day = F.last(
+        F.when(F.col("rev").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(wp)
+    next_day = F.last(
+        F.when(F.col("rev").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(wn)
+    lerp = F.when(
+        F.col("rev").isNotNull(), F.col("rev")
+    ).otherwise(
+        F.when(prev_rev.isNull(), next_rev)
+        .when(next_rev.isNull(), prev_rev)
+        .otherwise(
+            prev_rev
+            + (next_rev - prev_rev)
+            * (F.col("day") - prev_day).cast("double")
+            / (next_day - prev_day).cast("double")
+        )
+    )
+    return g.select(
+        F.col("n_name").alias("nation"),
+        "day",
+        F.round(lerp, 4).alias("rev_filled"),
+        F.col("rev").isNotNull().alias("observed"),
+    ).orderBy("nation", "day")
+
+
+SQL_GAP_FILL_INTERPOLATE = """
+WITH obs AS (
+  SELECT n_name,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), lim AS (
+  SELECT MIN(day) AS d0, MAX(day) AS d1 FROM obs
+), spine AS (
+  SELECT n_name, CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day
+  FROM nation CROSS JOIN lim
+), g AS (
+  SELECT spine.n_name, spine.day, obs.rev,
+         last_value(obs.rev IGNORE NULLS) OVER wp AS prev_rev,
+         first_value(obs.rev IGNORE NULLS) OVER wn AS next_rev,
+         last_value(CASE WHEN obs.rev IS NOT NULL THEN spine.day END
+                    IGNORE NULLS) OVER wp AS prev_day,
+         first_value(CASE WHEN obs.rev IS NOT NULL THEN spine.day END
+                     IGNORE NULLS) OVER wn AS next_day
+  FROM spine LEFT JOIN obs USING (n_name, day)
+  WINDOW wp AS (PARTITION BY spine.n_name ORDER BY spine.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY spine.n_name ORDER BY spine.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT n_name AS nation, day,
+       ROUND(CASE
+         WHEN rev IS NOT NULL THEN rev
+         WHEN prev_rev IS NULL THEN next_rev
+         WHEN next_rev IS NULL THEN prev_rev
+         ELSE prev_rev + (next_rev - prev_rev)
+              * CAST(day - prev_day AS DOUBLE)
+              / CAST(next_day - prev_day AS DOUBLE)
+       END, 4) AS rev_filled,
+       rev IS NOT NULL AS observed
+FROM g
+ORDER BY nation, day
+"""
+
+
 SPARK_QUERIES = {
+    "rolling_distinct_users": q_rolling_distinct_users,
+    "gap_fill_interpolate": q_gap_fill_interpolate,
     "nation_revenue_trend": q_nation_revenue_trend,
     "ewma_monthly_revenue": q_ewma_monthly_revenue,
     "segment_spend_gini": q_segment_spend_gini,
@@ -1735,6 +1917,8 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "rolling_distinct_users": SQL_ROLLING_DISTINCT_USERS,
+    "gap_fill_interpolate": SQL_GAP_FILL_INTERPOLATE,
     "nation_revenue_trend": SQL_NATION_REVENUE_TREND,
     "ewma_monthly_revenue": SQL_EWMA_MONTHLY_REVENUE,
     "segment_spend_gini": SQL_SEGMENT_SPEND_GINI,
