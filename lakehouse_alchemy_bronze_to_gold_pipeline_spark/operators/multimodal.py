@@ -532,21 +532,31 @@ def synthesize_ppm(
 
 
 def synthesize_mixed_images(
-    df: DataFrame, id_col: str = "doc_id", source_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "text",
+    pixel_id_col: str | None = None,
 ) -> DataFrame:
     """Like ``synthesize_ppm`` but rotating the container per row
     (doc_id % 5: PPM, PNG, JPEG, GIF, BMP) — the corpus shape a real
     ingest sees, exercising every decoder through one binary column.
     GIF is safe without quantization here because the synthetic
-    images have < 256 distinct colors by construction (w*h <= 224)."""
+    images have < 256 distinct colors by construction (w*h <= 224).
+
+    ``pixel_id_col`` decouples WHAT the image is (dims + pixel seed)
+    from WHICH row carries it: rows sharing a pixel id render the
+    same image in (usually) different containers — the planted-
+    duplicate fixture for cross-codec perceptual dedup."""
     from .gifbmp import encode_bmp, encode_gif
     from .jpeg import encode_jpeg
+
+    pix_col = pixel_id_col or id_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, codecs = [], []
-            for i, t in zip(pdf[id_col], pdf[source_col]):
-                w, h = 8 + int(i) % 9, 8 + int(i) % 7
+            for i, pix, t in zip(pdf[id_col], pdf[pix_col], pdf[source_col]):
+                w, h = 8 + int(pix) % 9, 8 + int(pix) % 7
                 px = _cycled_bytes(t, w * h * 3).reshape(h, w, 3)
                 k = int(i) % 5
                 if k == 0:
@@ -747,3 +757,58 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield out
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------- perceptual hashing
+
+
+def average_hash(px: np.ndarray) -> int:
+    """64-bit aHash: luma -> 8x8 nearest-neighbor downsample -> bit
+    per cell above the mean.  Identical pixels hash identically; mild
+    re-encoding noise (JPEG) flips few bits — which is the point."""
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    small = resize_nearest(
+        np.repeat(luma[..., None], 3, axis=2).astype(np.float64), 8, 8
+    )[..., 0]
+    bits = (small > small.mean()).reshape(-1)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def dhash(px: np.ndarray) -> int:
+    """64-bit dHash: 9x8 luma downsample, bit = left<right gradient —
+    more robust than aHash to global brightness shifts."""
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    small = resize_nearest(
+        np.repeat(luma[..., None], 3, axis=2).astype(np.float64), 9, 8
+    )[..., 0]
+    bits = (small[:, :-1] < small[:, 1:]).reshape(-1)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+def image_hashes(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, ahash, dhash) per image payload — decode (magic dispatch)
+    + two 64-bit perceptual hashes, Arrow-batched.  The dedup join
+    downstream is a plain groupBy on the hash column: perceptual
+    near-dup at scale = exact dedup on a robust fingerprint (the
+    image-side analogue of SimHash for text)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = [decode_image(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    # int64 view keeps the column a Spark BIGINT
+                    "ahash": [
+                        np.uint64(average_hash(x)).astype(np.int64)
+                        for x in px
+                    ],
+                    "dhash": [
+                        np.uint64(dhash(x)).astype(np.int64) for x in px
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema="doc_id bigint, ahash bigint, dhash bigint")

@@ -665,7 +665,58 @@ ORDER BY probe_key
 """
 
 
+def q_quantile_binning(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency binning (the QuantileDiscretizer/feature-
+    bucketing primitive): decile bins of extended price WITHIN each
+    return flag via ntile over a fully-determined order (price +
+    rowkey tiebreak — ntile is order-sensitive on ties, so the sort
+    key must be total for a cross-engine-stable result), then bin
+    boundary/occupancy stats.
+
+    Scale: one window shuffle partitioned by l_returnflag, then one
+    groupBy; at extreme scale the same readout comes from the
+    approx_percentile sketch (``price_percentiles_approx``) instead
+    of a full sort — shape documented there."""
+    li = load(spark, sf, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    binned = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.ntile(10).over(w).cast("bigint").alias("bin"),
+    )
+    return (
+        binned.groupBy("l_returnflag", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("l_returnflag", "bin")
+    )
+
+
+SQL_QUANTILE_BINNING = """
+WITH binned AS (
+  SELECT l_returnflag, l_extendedprice,
+         ntile(10) OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey,
+                                  l_linenumber) AS bin
+  FROM lineitem
+)
+SELECT l_returnflag, bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(l_extendedprice), 2) AS lo,
+       ROUND(MAX(l_extendedprice), 2) AS hi
+FROM binned
+GROUP BY 1, 2
+ORDER BY l_returnflag, bin
+"""
+
+
 SPARK_QUERIES = {
+    "quantile_binning": q_quantile_binning,
     "snapshot_diff_orders": q_snapshot_diff_orders,
     "customer_entity_resolution": q_customer_entity_resolution,
     "scd2_customer_history": q_scd2_customer_history,
@@ -682,6 +733,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "quantile_binning": SQL_QUANTILE_BINNING,
     "snapshot_diff_orders": SQL_SNAPSHOT_DIFF_ORDERS,
     "customer_entity_resolution": SQL_CUSTOMER_ENTITY_RESOLUTION,
     "scd2_customer_history": SQL_SCD2_CUSTOMER_HISTORY,

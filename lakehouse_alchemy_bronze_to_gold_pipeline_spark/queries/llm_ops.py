@@ -2394,7 +2394,50 @@ ORDER BY cluster, id_a, id_b
 """
 
 
+def q_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-codec image dedup via perceptual hashing: groups of 3
+    documents render the SAME image (pixel seed = the group leader's
+    id + text) in rotating containers (PPM/PNG/JPEG/GIF/BMP), then
+    every payload is decoded and 64-bit aHash/dHash fingerprinted —
+    exact groupBy on the hash recovers the planted duplicate groups
+    ACROSS container boundaries, JPEG's lossy re-encode included
+    whenever quantization noise stays under the hash's resolution.
+
+    The readout aggregates group sizes: a perfect perceptual hash
+    puts every planted triple in one bucket (group_size=3); buckets
+    of 1-2 measure how often JPEG noise escapes aHash — the
+    image-side analogue of the MinHash accuracy report.
+
+    Scale: decode+hash is one Arrow mapInPandas pass; dedup is ONE
+    groupBy on a 64-bit key (the whole point — perceptual near-dup
+    at 100 TB collapses to exact dedup on a robust fingerprint)."""
+    from ..operators.multimodal import image_hashes, synthesize_mixed_images
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 3).alias("leader")
+    )
+    lead = load(spark, sf, "documents").select(
+        F.col("doc_id").alias("leader"), F.col("text").alias("src_text")
+    )
+    src = d.join(lead, "leader").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    imgs = synthesize_mixed_images(
+        src, "doc_id", "src_text", pixel_id_col="leader"
+    )
+    hashes = image_hashes(imgs)
+    groups = hashes.groupBy("ahash").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        groups.groupBy("group_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+        .orderBy("group_size")
+    )
+
+
 SPARK_QUERIES = {
+    "image_phash_dedup": q_image_phash_dedup,
     "text_token_stats": q_text_token_stats,
     "lang_id_confusion": q_lang_id_confusion,
     "doc_fingerprint": q_doc_fingerprint,

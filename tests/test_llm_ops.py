@@ -138,8 +138,8 @@ def test_multimodal_roundtrip_and_stub_gate(spark):
     assert feats.n_bytes == 11 and feats.modality == "text"
     assert feats.f1 == ord("h") / 255.0
     with pytest.raises(NotImplementedError):
-        # GIF is NOT decodable here (PNG, baseline JPEG and PPM are)
-        decode_stub(b"GIF89a not a supported format", "image")
+        # video is NOT decodable here (PPM/PNG/JPEG/GIF/BMP are)
+        decode_stub(b"\x00\x00\x00\x18ftypmp42 not supported", "image")
 
 
 def test_ppm_codec_roundtrip_and_comments():
@@ -829,3 +829,42 @@ def test_codec_mix_five_way(spark):
     for r in feats.values():
         assert r.f0 >= 8 and r.f1 >= 8  # width, height
         assert 0.0 <= r.f2 <= 1.0
+
+
+def test_image_phash_cross_codec(spark):
+    import numpy as np
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        average_hash,
+        dhash,
+        image_hashes,
+        synthesize_mixed_images,
+    )
+
+    # ids 3,4,5 rotate to gif/bmp/ppm — ALL lossless — with a shared
+    # pixel seed, so perceptual dedup must recover the triple exactly
+    d = spark.createDataFrame(
+        [Row(doc_id=i, leader=3, src_text="shared pixel source " * 4)
+         for i in (3, 4, 5)]
+    )
+    h = image_hashes(
+        synthesize_mixed_images(d, "doc_id", "src_text", pixel_id_col="leader")
+    ).collect()
+    assert len({r.ahash for r in h}) == 1
+    assert len({r.dhash for r in h}) == 1
+    # jpeg re-encode of the same pixels lands within a small hamming
+    # distance of the lossless hash
+    d2 = spark.createDataFrame(
+        [Row(doc_id=i, leader=3, src_text="shared pixel source " * 4)
+         for i in (2, 3)]  # 2 -> jpeg, 3 -> gif
+    )
+    h2 = {r.doc_id: r for r in image_hashes(
+        synthesize_mixed_images(d2, "doc_id", "src_text", pixel_id_col="leader")
+    ).collect()}
+    dist = bin(h2[2].ahash ^ h2[3].ahash).count("1")
+    assert dist <= 16
+    # pure-function determinism
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (10, 12, 3)).astype("uint8")
+    assert average_hash(px) == average_hash(px.copy())
+    assert dhash(px) == dhash(px.copy())
