@@ -398,3 +398,70 @@ def cluster_blocked_pairs(
     return assigned.groupBy("cluster").applyInPandas(
         score, "cluster bigint, id_a bigint, id_b bigint, cosine_sim double"
     )
+
+
+def hard_negative_mining(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """Contrastive-pair mining for metric/embedding training: per
+    anchor, the most-similar SAME-label neighbor (positive) and the
+    most-similar DIFFERENT-label neighbor (hard negative), candidates
+    blocked by nearest-centroid cluster — the standard recipe that
+    keeps mining at Σ O(|cluster|²) instead of O(n²).
+
+    Ties break to the smallest candidate id (cross-engine-stable);
+    anchors with no same-/different-label neighbor in their cluster
+    emit NULLs for that side.  Per-cluster scoring is one BLAS gram
+    matrix via ``applyInPandas`` (the ``cluster_blocked_pairs``
+    execution shape).
+    """
+    from .kmeans import kmeans_assign
+
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("bigint").alias("__lab"),
+        "cluster",
+        as_double_array(vec_col).alias("__v"),
+    )
+
+    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id"].to_numpy()
+        labs = pdf["__lab"].to_numpy()
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sim = x @ x.T
+        cl = np.int64(pdf["cluster"].iloc[0])
+        out = {
+            "anchor_id": ids,
+            "cluster": np.full(len(ids), cl),
+        }
+        for side, want_same in (("pos", True), ("neg", False)):
+            bid = np.empty(len(ids), dtype=object)
+            bsim = np.empty(len(ids), dtype=object)
+            for i in range(len(ids)):
+                m = (labs == labs[i]) if want_same else (labs != labs[i])
+                m[i] = False
+                idx = np.nonzero(m)[0]
+                if len(idx) == 0:
+                    bid[i] = None
+                    bsim[i] = None
+                    continue
+                s = sim[i, idx]
+                cand = idx[s == s.max()]
+                j = cand[np.argmin(ids[cand])]
+                bid[i] = int(ids[j])
+                bsim[i] = float(np.round(sim[i, j], round_to))
+            out[f"{side}_id"] = bid
+            out[f"{side}_sim"] = bsim
+        return pd.DataFrame(out)
+
+    return assigned.groupBy("cluster").applyInPandas(
+        mine,
+        "anchor_id bigint, cluster bigint, pos_id bigint, "
+        "pos_sim double, neg_id bigint, neg_sim double",
+    )

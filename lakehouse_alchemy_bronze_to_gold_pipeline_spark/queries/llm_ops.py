@@ -2436,7 +2436,117 @@ def q_image_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive-pair mining over fixed centroids: per anchor
+    vector, its most-similar same-label neighbor (positive) and
+    most-similar different-label neighbor (hard negative), candidates
+    blocked by nearest-centroid cluster — the training-pair prep for
+    metric learning / embedding finetunes.  Fixed centroids make the
+    whole pipeline (assign, block, argmax, tie-break) SQL-expressible
+    for the oracle."""
+    from ..operators.similarity import hard_negative_mining
+
+    e = load(spark, sf, "embeddings")
+    return hard_negative_mining(e, _kmeans_fixed_centroids()).orderBy(
+        "anchor_id"
+    )
+
+
+def sql_hard_negative_mining() -> str:
+    cents = _kmeans_fixed_centroids()
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cents(cluster, cv) AS (VALUES
+  {rows}
+),
+assigned AS (
+  SELECT v.vec_id, v.label, v.v, c.cluster
+  FROM v CROSS JOIN cents c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                             ORDER BY list_dot_product(v.v, c.cv) DESC,
+                                      c.cluster ASC) = 1
+),
+unitv AS (
+  SELECT vec_id, label, cluster,
+         list_transform(v, x -> x / sqrt(list_sum(
+             list_transform(v, y -> y * y)))) AS u
+  FROM assigned
+),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, a.cluster,
+         b.vec_id AS cand_id, b.label = a.label AS same_label,
+         list_dot_product(a.u, b.u) AS s
+  FROM unitv a
+  JOIN unitv b ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+),
+pos AS (
+  SELECT anchor_id, cand_id AS pos_id, ROUND(s, 4) AS pos_sim
+  FROM pairs WHERE same_label
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id
+                             ORDER BY s DESC, cand_id ASC) = 1
+),
+neg AS (
+  SELECT anchor_id, cand_id AS neg_id, ROUND(s, 4) AS neg_sim
+  FROM pairs WHERE NOT same_label
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY anchor_id
+                             ORDER BY s DESC, cand_id ASC) = 1
+)
+SELECT a.vec_id AS anchor_id, CAST(a.cluster AS BIGINT) AS cluster,
+       pos_id, pos_sim, neg_id, neg_sim
+FROM assigned a
+LEFT JOIN pos ON pos.anchor_id = a.vec_id
+LEFT JOIN neg ON neg.anchor_id = a.vec_id
+ORDER BY anchor_id
+"""
+
+
+def q_embedding_whitening(spark: SparkSession, sf: str) -> DataFrame:
+    """ZCA whitening fit + apply + self-audit: fit mean/covariance in
+    one distributed moment pass (bounded |partitions|·(d²+d+1) driver
+    reduce), eigh the d×d on the driver, apply the whitening matmul
+    per row, then re-measure the covariance of the WHITENED vectors —
+    the 1-row readout asserts the transform did its job (diag ≈ 1,
+    off-diag ≈ 0).  Rows-only: the eigendecomposition has no SQL
+    form; the identity-covariance invariant is the stronger check."""
+    from ..operators.whiten import covariance_stats, whiten, zca_matrix
+
+    e = load(spark, sf, "embeddings")
+    n, mean, cov = covariance_stats(e)
+    w = zca_matrix(cov)
+    white = whiten(e, mean, w)
+    n2, mean2, cov2 = covariance_stats(white, "whitened")
+    d = len(mean)
+    diag = cov2.diagonal()
+    off = cov2 - _np_diag(diag)
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(d),
+                float(round(abs(diag - 1.0).max(), 4)),
+                float(round(abs(off).max(), 4)),
+                float(round(abs(mean2).max(), 4)),
+            )
+        ],
+        "n bigint, dim bigint, max_diag_dev double, "
+        "max_offdiag double, max_mean_dev double",
+    )
+
+
+def _np_diag(v):
+    import numpy as np
+
+    return np.diag(v)
+
+
 SPARK_QUERIES = {
+    "embedding_whitening": q_embedding_whitening,
+    "hard_negative_mining": q_hard_negative_mining,
     "image_phash_dedup": q_image_phash_dedup,
     "text_token_stats": q_text_token_stats,
     "lang_id_confusion": q_lang_id_confusion,
@@ -2510,6 +2620,7 @@ ORACLE_SQL = {
     "minhash_accuracy": SQL_MINHASH_ACCURACY,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "semantic_dedup_fixed": sql_semantic_dedup_fixed(),
+    "hard_negative_mining": sql_hard_negative_mining(),
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
     "simhash_bits_md5": SQL_SIMHASH_BITS_MD5,

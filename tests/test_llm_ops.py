@@ -868,3 +868,38 @@ def test_image_phash_cross_codec(spark):
     px = rng.integers(0, 256, (10, 12, 3)).astype("uint8")
     assert average_hash(px) == average_hash(px.copy())
     assert dhash(px) == dhash(px.copy())
+
+
+def test_whitening_identity_covariance(spark):
+    import numpy as np
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.whiten import (
+        covariance_stats,
+        whiten,
+        zca_matrix,
+    )
+
+    rng = np.random.default_rng(9)
+    # correlated data: x2 = x1 + noise
+    base = rng.standard_normal((400, 4))
+    base[:, 1] = base[:, 0] + 0.1 * base[:, 1]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in base[i]])
+         for i in range(400)]
+    ).repartition(4)
+    n, mean, cov = covariance_stats(df)
+    assert n == 400
+    # matches numpy exactly up to float reduce order
+    assert np.allclose(mean, base.mean(axis=0), atol=1e-9)
+    assert np.allclose(cov, np.cov(base.T, bias=True), atol=1e-9)
+    w = zca_matrix(cov)
+    n2, mean2, cov2 = covariance_stats(whiten(df, mean, w), "whitened")
+    assert np.allclose(mean2, 0.0, atol=1e-9)
+    assert np.allclose(cov2, np.eye(4), atol=1e-3)
+    # degenerate dimension stays finite
+    degen = df.selectExpr(
+        "vec_id", "array(embedding[0], 0.0d, embedding[2], embedding[3]) AS embedding"
+    )
+    _, m3, c3 = covariance_stats(degen)
+    w3 = zca_matrix(c3)
+    assert np.isfinite(w3).all()
