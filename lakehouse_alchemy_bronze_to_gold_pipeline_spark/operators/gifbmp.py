@@ -260,3 +260,144 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if not top_down:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()
+
+
+# ------------------------------------------- container triage (probe)
+#
+# Video/MP3 DECODE genuinely needs external libraries (the honest
+# NotImplementedError gates in ``multimodal``) — but ingest pipelines
+# rarely decode at triage time: they read container METADATA (codec,
+# duration, dimensions) straight from the headers and route/filter on
+# it.  These probes implement that step from the public specs: the
+# ISO-BMFF box walk (ftyp/moov/mvhd/trak/hdlr) and the MPEG-1/2
+# audio frame header + ID3v2 skip.
+
+MP3_BITRATES = (  # kbps, MPEG-1 Layer III
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+MP3_SAMPLE_RATES = (44100, 48000, 32000)
+
+
+def encode_mp4_stub(
+    duration_ms: int, width: int, height: int, n_audio: int = 1
+) -> bytes:
+    """Minimal ISO-BMFF skeleton (ftyp + moov(mvhd + traks) + empty
+    mdat) carrying real metadata — the fixture for the probe; there
+    is no media data, which is exactly the point."""
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + tag + body
+
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3xIIII", 0, 0, 0, 1000, duration_ms) + b"\0" * 80,
+    )
+    traks = b""
+    for hdlr_type, wh in [(b"vide", (width, height))] + [
+        (b"soun", (0, 0))
+    ] * n_audio:
+        hdlr = box(b"hdlr", b"\0" * 8 + hdlr_type + b"\0" * 13)
+        tkhd = box(
+            b"tkhd",
+            b"\0" * 76 + struct.pack(">II", wh[0] << 16, wh[1] << 16),
+        )
+        traks += box(b"trak", tkhd + box(b"mdia", hdlr))
+    return (
+        box(b"ftyp", b"mp42\0\0\0\0mp42isom")
+        + box(b"moov", mvhd + traks)
+        + box(b"mdat", b"")
+    )
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """Walk top-level and moov/trak boxes: brand, duration_ms, video
+    dimensions, track type counts.  Raises on a non-BMFF payload."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise NotImplementedError("not an ISO-BMFF (ftyp) payload")
+    out = {
+        "container": "mp4",
+        "brand": payload[8:12].decode("latin1"),
+        "duration_ms": 0,
+        "width": 0,
+        "height": 0,
+        "n_video": 0,
+        "n_audio": 0,
+    }
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack_from(">I", payload, pos)[0]
+            tag = payload[pos + 4 : pos + 8]
+            if size < 8 or pos + size > hi:
+                break
+            body = pos + 8
+            if tag in (b"moov", b"trak", b"mdia"):
+                walk(body, pos + size, depth + 1)
+            elif tag == b"mvhd":
+                timescale, dur = struct.unpack_from(">II", payload, body + 12)
+                if timescale:
+                    out["duration_ms"] = dur * 1000 // timescale
+            elif tag == b"tkhd":
+                w16, h16 = struct.unpack_from(">II", payload, body + 76)
+                if w16:
+                    out["width"], out["height"] = w16 >> 16, h16 >> 16
+            elif tag == b"hdlr":
+                kind = payload[body + 8 : body + 12]
+                if kind == b"vide":
+                    out["n_video"] += 1
+                elif kind == b"soun":
+                    out["n_audio"] += 1
+            pos += size
+
+    walk(0, len(payload), 0)
+    return out
+
+
+def encode_mp3_stub(
+    n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100
+) -> bytes:
+    """ID3v2 tag + ``n_frames`` valid MPEG-1 Layer III frame headers
+    with zeroed payloads (silence-shaped CBR stream)."""
+    bidx = MP3_BITRATES.index(bitrate_kbps)
+    sidx = MP3_SAMPLE_RATES.index(sample_rate)
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    hdr = bytes(
+        [0xFF, 0xFB, (bidx << 4) | (sidx << 2), 0]
+    )
+    tag_body = b"\0" * 32
+    id3 = b"ID3\x04\x00\x00" + bytes(
+        [0, 0, (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F]
+    ) + tag_body
+    return id3 + (hdr + b"\0" * (frame_len - 4)) * n_frames
+
+
+def probe_mp3(payload: bytes) -> dict:
+    """Skip ID3v2 (syncsafe length), parse the first frame header,
+    count sync-aligned frames, estimate duration (1152 samples per
+    MPEG-1 Layer III frame).  Raises on no sync."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        sz = payload[6:10]
+        pos = 10 + (
+            (sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3]
+        )
+    if pos + 4 > len(payload) or payload[pos] != 0xFF or (
+        payload[pos + 1] & 0xE0
+    ) != 0xE0:
+        raise NotImplementedError("no MPEG audio frame sync found")
+    b2 = payload[pos + 2]
+    bitrate = MP3_BITRATES[b2 >> 4]
+    rate = MP3_SAMPLE_RATES[(b2 >> 2) & 3]
+    frame_len = 144 * bitrate * 1000 // rate
+    n_frames = 0
+    p = pos
+    while p + 4 <= len(payload) and payload[p] == 0xFF:
+        n_frames += 1
+        p += frame_len
+    return {
+        "container": "mp3",
+        "bitrate_kbps": bitrate,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1152 * 1000 // rate,
+    }

@@ -812,3 +812,94 @@ def image_hashes(
             )
 
     return df.mapInPandas(run, schema="doc_id bigint, ahash bigint, dhash bigint")
+
+
+def synthesize_media_containers(
+    df: DataFrame, id_col: str = "doc_id", source_col: str = "text"
+) -> DataFrame:
+    """Rotating audio/video CONTAINER payloads (doc_id % 2: MP4
+    skeleton, MP3 CBR stream) with metadata derived deterministically
+    from the row — the triage-stage fixture: real headers, no media
+    data (decoding them is the honest-raise gate; probing them is
+    ``media_probe``)."""
+    from .gifbmp import encode_mp3_stub, encode_mp4_stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, kinds = [], []
+            for i, t in zip(pdf[id_col], pdf[source_col]):
+                i = int(i)
+                if i % 2 == 0:
+                    payloads.append(
+                        encode_mp4_stub(
+                            1000 + (i * 37) % 600_000,
+                            320 + 16 * (i % 50),
+                            240 + 16 * (i % 30),
+                            n_audio=1 + i % 2,
+                        )
+                    )
+                    kinds.append("mp4")
+                else:
+                    payloads.append(
+                        encode_mp3_stub(
+                            1 + (len(t) + i) % 200,
+                            (128, 192, 320)[i % 3],
+                            (44100, 48000)[i % 2],
+                        )
+                    )
+                    kinds.append("mp3")
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads, "kind": kinds}
+            )
+
+    return df.mapInPandas(
+        run, schema="doc_id bigint, payload binary, kind string"
+    )
+
+
+def media_probe(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Container-metadata triage: magic-dispatch each payload to the
+    MP4 box walk / MP3 frame-header probe / image decode (dims only)
+    and emit one normalized metadata row — duration, dimensions,
+    track/frame counts — WITHOUT decoding media data.  This is the
+    routing step a 100 TB ingest runs on every object before deciding
+    which (expensive) decode fleet sees it."""
+    from .gifbmp import probe_mp3, probe_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                if len(p) >= 8 and p[4:8] == b"ftyp":
+                    m = probe_mp4(p)
+                    rows.append(
+                        (int(i), "mp4", m["duration_ms"], m["width"],
+                         m["height"], m["n_video"] + m["n_audio"])
+                    )
+                elif p[:3] == b"ID3" or (
+                    len(p) > 1 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+                ):
+                    m = probe_mp3(p)
+                    rows.append(
+                        (int(i), "mp3", m["duration_ms"],
+                         m["sample_rate"], m["bitrate_kbps"], m["n_frames"])
+                    )
+                else:
+                    px = decode_image(p)
+                    rows.append(
+                        (int(i), "image", 0, px.shape[1], px.shape[0], 1)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "container", "duration_ms", "dim0",
+                         "dim1", "n_units"],
+            )
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id bigint, container string, duration_ms bigint, "
+        "dim0 bigint, dim1 bigint, n_units bigint",
+    )

@@ -2544,7 +2544,36 @@ def _np_diag(v):
     return np.diag(v)
 
 
+def q_media_triage_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Container-metadata triage over audio/video payloads: every doc
+    carries an MP4 skeleton or MP3 CBR stream (real headers, no media
+    data), ``media_probe`` reads duration/dimensions/track counts
+    straight from the container — the routing pass a 100 TB ingest
+    runs BEFORE any decode fleet — and the readout aggregates the
+    fleet-sizing numbers per container.  Rows-only: header synthesis
+    + box/frame parsing has no SQL form; the probe parsers are pinned
+    by round-trip pytest fixtures instead."""
+    from ..operators.multimodal import media_probe, synthesize_media_containers
+
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    probed = media_probe(synthesize_media_containers(d))
+    return (
+        probed.groupBy("container")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_objects"),
+            (F.sum("duration_ms") / 1000).cast("bigint").alias("total_sec"),
+            F.round(F.avg("dim0"), 2).alias("avg_dim0"),
+            F.round(F.avg("dim1"), 2).alias("avg_dim1"),
+            F.sum("n_units").cast("bigint").alias("total_units"),
+        )
+        .orderBy("container")
+    )
+
+
 SPARK_QUERIES = {
+    "media_triage_report": q_media_triage_report,
     "embedding_whitening": q_embedding_whitening,
     "hard_negative_mining": q_hard_negative_mining,
     "image_phash_dedup": q_image_phash_dedup,

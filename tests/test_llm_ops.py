@@ -903,3 +903,43 @@ def test_whitening_identity_covariance(spark):
     _, m3, c3 = covariance_stats(degen)
     w3 = zca_matrix(c3)
     assert np.isfinite(w3).all()
+
+
+def test_media_container_probes(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.gifbmp import (
+        encode_mp3_stub,
+        encode_mp4_stub,
+        probe_mp3,
+        probe_mp4,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        media_probe,
+        synthesize_media_containers,
+    )
+
+    m = probe_mp4(encode_mp4_stub(95_500, 1920, 1080, n_audio=2))
+    assert (m["duration_ms"], m["width"], m["height"]) == (95_500, 1920, 1080)
+    assert (m["n_video"], m["n_audio"]) == (1, 2)
+    a = probe_mp3(encode_mp3_stub(38, 192, 48000))
+    assert a["n_frames"] == 38 and a["bitrate_kbps"] == 192
+    assert a["duration_ms"] == 38 * 1152 * 1000 // 48000
+    with pytest.raises(NotImplementedError):
+        probe_mp4(b"\x00\x00\x00\x08free")
+    with pytest.raises(NotImplementedError):
+        probe_mp3(b"not audio at all")
+
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=f"payload {i} " * 4) for i in range(8)]
+    )
+    rows = media_probe(synthesize_media_containers(d)).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert {r.container for r in rows} == {"mp4", "mp3"}
+    # metadata round-trips through the container headers exactly
+    for i in range(8):
+        if i % 2 == 0:
+            assert by_id[i].container == "mp4"
+            assert by_id[i].duration_ms == 1000 + (i * 37) % 600_000
+            assert by_id[i].dim0 == 320 + 16 * (i % 50)
+        else:
+            assert by_id[i].container == "mp3"
+            assert by_id[i].dim1 == (128, 192, 320)[i % 3]
