@@ -535,3 +535,71 @@ def test_weighted_median_shares_window_partitioning(spark):
     # 20-row final orderBy)
     assert plan.count("Arguments: hashpartitioning") == 1
     assert ops.count("Window") == 2
+
+
+def test_revenue_trend_broadcasts_dims_two_shuffles(spark):
+    """OLS sufficient stats: customer/nation broadcast; only the
+    daily rollup + per-nation reduce shuffle (plus the output sort)."""
+    plan = _formatted(spark, "nation_revenue_trend")
+    assert "BroadcastHashJoin" in _ops(plan)
+    assert "SortMergeJoin" not in _ops(plan)
+    assert _shuffles(plan) <= 3
+
+
+def test_pmi_broadcasts_unigrams_and_scalars(spark):
+    """Bigram relation probes broadcast unigram counts + 1-row
+    totals; ranked output is TakeOrdered, not a global sort."""
+    plan = _formatted(spark, "pmi_collocations")
+    ops = _ops(plan)
+    assert "TakeOrderedAndProject" in ops
+    assert ops.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in ops
+
+
+def test_cluster_blocked_ops_single_groupby_shuffle(spark):
+    """SemDeDup blocking and hard-negative mining: ONE shuffle (the
+    groupBy cluster feeding applyInPandas) + at most the output sort;
+    no join of the vector relation against itself outside the
+    blocked pandas stage."""
+    for name in ("semantic_dedup_fixed", "hard_negative_mining"):
+        plan = _formatted(spark, name)
+        ops = _ops(plan)
+        assert "FlatMapGroupsInPandas" in ops, name
+        assert "CartesianProduct" not in ops, name
+        assert "SortMergeJoin" not in ops, name
+        assert _shuffles(plan) <= 2, (name, _shuffles(plan))
+
+
+def test_gap_fill_no_shrinking_window_frame(spark):
+    """The next-value scaffold must use a growing frame on a DESC
+    sort — a currentrow->unboundedfollowing frame re-scans to the
+    partition end per row (O(n²)/partition; measured 14 s vs 1.5 s
+    on this query at sf0.1)."""
+    plan = _formatted(spark, "gap_fill_interpolate")
+    assert "unboundedfollowing" not in plan.lower(), (
+        "shrinking window frame reintroduced"
+    )
+
+
+def test_quantile_binning_one_window_exchange(spark):
+    """ntile + stats: one hashpartitioning exchange on l_returnflag
+    (AQE may add the output sort's range exchange)."""
+    plan = _formatted(spark, "quantile_binning")
+    assert plan.count("Arguments: hashpartitioning") <= 2
+    assert "Window" in _ops(plan)
+
+
+def test_phash_dedup_single_arrow_pass(spark):
+    """Perceptual dedup: synthesize and decode+hash are ADJACENT
+    mapInPandas stages (payloads never cross an exchange — the plan
+    pipelines them in one task); dedup is a plain groupBy on the
+    64-bit hash — no join back to payloads."""
+    plan = _formatted(spark, "image_phash_dedup")
+    ops = _ops(plan)
+    assert ops.count("MapInPandas") == 2
+    tree = plan.split("\n\n")[0]
+    lines = [ln for ln in tree.splitlines() if "MapInPandas" in ln
+             or "Exchange" in ln]
+    mip = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    assert mip[1] == mip[0] + 1, "exchange between synth and hash stages"
+    assert "CartesianProduct" not in ops
