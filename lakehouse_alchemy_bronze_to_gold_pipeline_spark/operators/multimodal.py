@@ -840,9 +840,11 @@ def synthesize_media_containers(
                     )
                     kinds.append("mp4")
                 else:
+                    # cap frames: triage reads HEADERS, so payload
+                    # size only inflates synthesis cost, not coverage
                     payloads.append(
                         encode_mp3_stub(
-                            1 + (len(t) + i) % 200,
+                            1 + (len(t) + i) % 40,
                             (128, 192, 320)[i % 3],
                             (44100, 48000)[i % 2],
                         )

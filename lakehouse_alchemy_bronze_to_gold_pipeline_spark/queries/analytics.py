@@ -1880,7 +1880,71 @@ ORDER BY nation, day
 """
 
 
+def q_temporal_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal train/test split hygiene: cut events at the midpoint
+    timestamp and report, per event type, the split sizes and the
+    USER LEAKAGE — distinct users active on both sides, the overlap
+    that silently inflates offline eval metrics.  |A∩B| computed as
+    |A|+|B|-|A∪B| from three distinct aggregates (one expand pass,
+    no self-join).
+
+    Scale: one groupBy with multi-distinct (Catalyst expands to one
+    shuffle); the cut point is a 1-row aggregate broadcast."""
+    ev = load(spark, sf, "events")
+    # integer DIV on both sides: double-divide-then-cast TRUNCATES in
+    # Spark but ROUNDS in DuckDB — off-by-one cut points on odd sums
+    lim = ev.agg(
+        F.expr("(min(ts_us) + max(ts_us)) DIV 2").alias("cut")
+    )
+    e = ev.crossJoin(F.broadcast(lim))
+    train_u = F.count_distinct(
+        F.when(F.col("ts_us") < F.col("cut"), F.col("user_id"))
+    )
+    test_u = F.count_distinct(
+        F.when(F.col("ts_us") >= F.col("cut"), F.col("user_id"))
+    )
+    all_u = F.count_distinct("user_id")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum((F.col("ts_us") < F.col("cut")).cast("bigint"))
+            .alias("n_train"),
+            F.sum((F.col("ts_us") >= F.col("cut")).cast("bigint"))
+            .alias("n_test"),
+            train_u.alias("u_train"),
+            test_u.alias("u_test"),
+            (train_u + test_u - all_u).alias("u_leaked"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_TEMPORAL_SPLIT_LEAKAGE = """
+WITH e AS (
+  SELECT event_type, user_id, epoch_us(ts) AS ts_us FROM events
+), lim AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS cut FROM e
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN ts_us < cut THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN ts_us >= cut THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test,
+       CAST(COUNT(DISTINCT CASE WHEN ts_us < cut THEN user_id END)
+            AS BIGINT) AS u_train,
+       CAST(COUNT(DISTINCT CASE WHEN ts_us >= cut THEN user_id END)
+            AS BIGINT) AS u_test,
+       CAST(COUNT(DISTINCT CASE WHEN ts_us < cut THEN user_id END)
+            + COUNT(DISTINCT CASE WHEN ts_us >= cut THEN user_id END)
+            - COUNT(DISTINCT user_id) AS BIGINT) AS u_leaked
+FROM e CROSS JOIN lim
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SPARK_QUERIES = {
+    "temporal_split_leakage": q_temporal_split_leakage,
     "rolling_distinct_users": q_rolling_distinct_users,
     "gap_fill_interpolate": q_gap_fill_interpolate,
     "nation_revenue_trend": q_nation_revenue_trend,
@@ -1917,6 +1981,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "temporal_split_leakage": SQL_TEMPORAL_SPLIT_LEAKAGE,
     "rolling_distinct_users": SQL_ROLLING_DISTINCT_USERS,
     "gap_fill_interpolate": SQL_GAP_FILL_INTERPOLATE,
     "nation_revenue_trend": SQL_NATION_REVENUE_TREND,

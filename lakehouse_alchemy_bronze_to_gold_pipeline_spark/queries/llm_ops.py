@@ -2572,7 +2572,126 @@ def q_media_triage_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in arrival (doc_id) order: the
+    fraction of a doc's distinct word 5-grams whose first corpus
+    occurrence is this doc — the marginal-contribution signal behind
+    dedup-aware data valuation (a doc of all-seen grams adds nothing
+    to a train set).  Grams are md5'd to fixed-width keys like the
+    decontamination pipeline.
+
+    Scale: one explode to (gram, doc) + one term-dim groupBy for
+    first-arrival + a join back — the TF-IDF/span-coverage shape."""
+    d = load(spark, sf, "documents")
+    grams = TX.word_shingles(TX.nonempty_tokens("text"), 5)
+    g = d.select(
+        "doc_id", F.explode(grams).alias("gram")
+    ).select("doc_id", F.md5("gram").alias("gram"))
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+            ).alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_new",
+            F.round(
+                F.col("n_new") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_NGRAM_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         md5(unnest(list_distinct(list_transform(range(1, len(t) - 3),
+               i -> array_to_string(list_slice(t, i, i + 4), ' ')))))
+           AS gram
+  FROM toks
+), first AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       ROUND(SUM(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM g JOIN first USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer induction, step one: the first BPE merge iteration —
+    adjacent character-pair frequencies WITHIN words, weighted by
+    corpus word frequency (exactly what a BPE trainer computes before
+    its first merge).  Top pairs by total weight.
+
+    Scale: the char-pair expansion runs over the WORD-FREQUENCY
+    relation (vocabulary-sized, not corpus-sized) — the same
+    compression BPE trainers rely on; only the word-count groupBy
+    touches corpus scale."""
+    d = load(spark, sf, "documents")
+    words = (
+        d.select(F.explode(TX.nonempty_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = F.expr(
+        "transform(sequence(1, length(w) - 1), "
+        "i -> struct(substring(w, i, 1) AS a, substring(w, i+1, 1) AS b))"
+    )
+    return (
+        words.select(F.explode(pairs).alias("p"), "cnt")
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("weight"))
+        .orderBy(F.col("weight").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+SQL_BPE_MERGE_CANDIDATES = """
+WITH words AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (
+    SELECT unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\\s+'),
+             x -> x != '')) AS w
+    FROM documents
+  )
+  GROUP BY 1
+), pairs AS (
+  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, cnt
+  FROM words, unnest(range(1, length(w))) AS u(i)
+  WHERE length(w) >= 2
+)
+SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS weight
+FROM pairs
+GROUP BY a, b
+ORDER BY weight DESC, a, b
+LIMIT 20
+"""
+
+
 SPARK_QUERIES = {
+    "ngram_novelty": q_ngram_novelty,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
     "media_triage_report": q_media_triage_report,
     "embedding_whitening": q_embedding_whitening,
     "hard_negative_mining": q_hard_negative_mining,
@@ -2650,6 +2769,8 @@ ORACLE_SQL = {
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "semantic_dedup_fixed": sql_semantic_dedup_fixed(),
     "hard_negative_mining": sql_hard_negative_mining(),
+    "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
     "simhash_bits_md5": SQL_SIMHASH_BITS_MD5,
