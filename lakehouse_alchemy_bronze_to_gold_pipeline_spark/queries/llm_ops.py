@@ -2689,7 +2689,61 @@ LIMIT 20
 """
 
 
+def q_ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-measuring ANN quality: recall@5 of every approximate
+    index (signature LSH, IVF, PQ-ADC) against the exact knn ground
+    truth over the SAME 20 query vectors — the "measure, don't
+    guess" readout run before trusting an index at corpus scale.
+    Recall = |approx∩exact| / k averaged over queries, per method.
+
+    Scale: ground truth is the broadcast-bounded ``knn_join`` (20
+    queries, corpus-side scan); each index runs its own documented
+    scale path; the compare is a tiny join on (query, neighbor)."""
+    from ..operators.ivf import ivf_topk
+    from ..operators.pq import pq_topk, pq_train
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    k = 5
+    exact = knn_join(queries, emb, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    books = pq_train(emb, m=8, k=16, iters=8, seed=42, dim=64)
+    qlist = [
+        (r["vec_id"], r["embedding"])
+        for r in queries.select("vec_id", "embedding").collect()
+    ]
+    methods = {
+        "lsh": lsh_topk(emb, queries, k=k, n_bits=6),
+        "ivf": ivf_topk(emb, queries, k=k, n_lists=16, n_probe=4),
+        "pq": pq_topk(emb, qlist, books, k=k),
+    }
+    out = None
+    for name, approx in methods.items():
+        hits = (
+            exact.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        rep = exact.select("query_id").distinct().join(
+            hits, "query_id", "left"
+        ).agg(
+            F.lit(name).alias("method"),
+            F.round(
+                F.avg(F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))),
+                4,
+            ).alias("recall_at_5"),
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("method")
+
+
 SPARK_QUERIES = {
+    "ann_recall_report": q_ann_recall_report,
     "ngram_novelty": q_ngram_novelty,
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "media_triage_report": q_media_triage_report,

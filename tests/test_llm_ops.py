@@ -943,3 +943,18 @@ def test_media_container_probes(spark):
         else:
             assert by_id[i].container == "mp3"
             assert by_id[i].dim1 == (128, 192, 320)[i % 3]
+
+
+def test_ann_recall_report_floors(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.llm_ops import (
+        q_ann_recall_report,
+    )
+
+    rows = {r.method: r for r in
+            q_ann_recall_report(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"lsh", "ivf", "pq"}
+    for r in rows.values():
+        # every method finds at least the query itself (rank-1 exact
+        # neighbor is always the query vector) -> recall@5 >= 0.2
+        assert 0.2 <= r.recall_at_5 <= 1.0, r
+        assert r.n_queries > 0
