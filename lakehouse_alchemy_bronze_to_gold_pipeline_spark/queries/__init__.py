@@ -16,17 +16,51 @@ from .core import SPARK_QUERIES as _CORE_Q, ORACLE_SQL as _CORE_SQL
 from .corpus import SPARK_QUERIES as _CP_Q, ORACLE_SQL as _CP_SQL
 from .llm_ops import SPARK_QUERIES as _LLM_Q, ORACLE_SQL as _LLM_SQL
 
-# The external correctness harness checks the first 50 entries in dict
-# order (of len(SPARK_QUERIES) total — see the computed count below).
-# Rather than tuning which 50 the harness sees, we (a) run ALL queries
+_ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q}
+
+# The external correctness harness checks the FIRST 50 entries in
+# dict order (of len(SPARK_QUERIES) total).  We (a) run ALL queries
 # against their oracles locally every round and commit the result
 # (tools/check_correctness.py -> LOCAL_CORRECTNESS_r{N}.md), and
-# (b) rotate family order on a fixed two-round schedule so every
-# family gets an independent driver certification at least every two
-# rounds: r3 led with llm_ops/corpus, r4 led with core/analytics/
-# breadth, r5 leads with llm_ops/corpus again (the 48 entries with no
-# r4 driver row).
-SPARK_QUERIES = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q}
+# (b) order the registry so the driver's independent certification
+# lands where it is most valuable: every entry with NO driver row in
+# ANY prior round (union of CORRECTNESS_r01..r04 keys) comes first,
+# then llm_ops/corpus entries whose last row is two rounds old (r3),
+# then the rest in family order.  tools/window_audit.py recomputes
+# the never-certified set for the next rotation.
+_PRIORITY = (
+    # never driver-certified (r5 additions + r4 llm_ops/corpus
+    # additions + analytics entries the r4 window cut off)
+    "ann_recall_report", "ngram_novelty", "bpe_merge_candidates",
+    "media_triage_report", "embedding_whitening",
+    "hard_negative_mining", "image_phash_dedup", "minhash_accuracy",
+    "pmi_collocations", "semantic_dedup_fixed",
+    "embedding_ivf_topk_fixed", "doc_classifier_score",
+    "pii_redaction_report", "doc_unigram_logprob",
+    "doc_bigram_logprob", "multimodal_codec_mix",
+    "crossdoc_span_coverage", "embedding_covariance_stats",
+    "embedding_kmeans_profile", "embedding_kmeans_profile_fixed",
+    "embedding_pq_topk", "embedding_pq_topk_fixed",
+    "source_weighted_median_quality", "source_dup_matrix",
+    "corpus_train_val_split", "doc_weighted_sample",
+    "temporal_split_leakage", "rolling_distinct_users",
+    "gap_fill_interpolate", "nation_revenue_trend",
+    "ewma_monthly_revenue", "segment_spend_gini", "brand_triangles",
+    "event_transition_matrix", "key_skew_profile",
+    "purchase_attribution", "brand_pagerank", "events_value_outliers",
+    "user_reach_sketch", "quantile_binning",
+    "customer_entity_resolution",
+    # last certified in r3 (llm_ops/corpus rotation, due again)
+    "minhash_neardup_md5", "dedup_clusters", "dedup_keep_canonical",
+    "embedding_lsh_topk", "domain_mix_sample", "doc_pack_chunks",
+    "doc_repetition_filter", "filter_attrition_report",
+    "embedding_dim_stats",
+)
+assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))
+
+SPARK_QUERIES = {k: _ALL[k] for k in _PRIORITY}
+SPARK_QUERIES.update({k: v for k, v in _ALL.items() if k not in SPARK_QUERIES})
+
 ORACLE_SQL = {**_LLM_SQL, **_CP_SQL, **_CORE_SQL, **_AN_SQL, **_BR_SQL}
 
 #: O(n^2) correctness baselines kept ONLY as small-sf oracle
