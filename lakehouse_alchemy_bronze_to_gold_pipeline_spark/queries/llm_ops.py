@@ -429,6 +429,10 @@ SQL_MINHASH_NEARDUP_MD5 = _minhash_md5_oracle_sql()
 SQL_MINHASH_ACCURACY = _minhash_md5_oracle_sql(
     tail="SELECT id_a, id_b, est_jaccard, jaccard,"
     " ROUND(ABS(est_jaccard - jaccard), 6) AS abs_err FROM scored"
+).replace(
+    "FROM documents",
+    "FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '80'",
+    1,
 )
 
 
@@ -437,11 +441,18 @@ def q_minhash_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     candidate pair with its signature-agreement ESTIMATE of Jaccard,
     the exact shingle-set Jaccard, and the absolute error — run
     before a large dedup job to validate (n_hashes, bands) against
-    the theoretical Var = J(1-J)/n_hashes.  Value-checked end to end
-    (estimator included) because the hash family is engine-agnostic."""
+    the theoretical Var = J(1-J)/n_hashes.  Calibration is a SAMPLE
+    property, so the pipeline runs on a deterministic ~50% md5
+    hash-sample of the corpus (the full-corpus pass is the dedup job
+    itself, ``minhash_neardup_md5`` — benching the estimator over the
+    whole corpus would just re-measure that query).  Value-checked
+    end to end (estimator included): the hash family and the sample
+    predicate are engine-agnostic."""
     from ..operators.minhash import minhash_accuracy_md5
 
-    d = load(spark, sf, "documents")
+    d = load(spark, sf, "documents").filter(
+        F.md5(F.col("doc_id").cast("string").cast("binary")) < "80"
+    )
     return minhash_accuracy_md5(d, "doc_id", "text", shingle_n=2)
 
 
