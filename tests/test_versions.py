@@ -1,0 +1,54 @@
+"""VersionedTable: manifest-based time travel / rollback on parquet
+(the portable stand-in for the Delta history this environment can't
+run — see sources/versions.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.versions import (
+    VersionedTable,
+)
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    with pytest.raises(FileNotFoundError):
+        vt.read()
+    v1 = vt.write(spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]))
+    v2 = vt.write(
+        spark.createDataFrame([Row(k=3, v="c")]), mode="append"
+    )
+    v3 = vt.write(spark.createDataFrame([Row(k=9, v="z")]))  # overwrite
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert vt.read(1).count() == 2
+    assert sorted(r.k for r in vt.read(2).collect()) == [1, 2, 3]
+    assert [r.k for r in vt.read(3).collect()] == [9]
+    # latest == v3
+    assert [r.k for r in vt.read().collect()] == [9]
+    # rollback to v2 without rewriting data
+    v4 = vt.restore(2)
+    assert v4 == 4
+    assert sorted(r.k for r in vt.read().collect()) == [1, 2, 3]
+    ops = [h["op"] for h in vt.history()]
+    assert ops == ["overwrite", "append", "overwrite", "restore(v2)"]
+    with pytest.raises(FileNotFoundError):
+        vt.read(99)
+
+
+def test_versioned_table_append_is_delta_only(spark, tmp_path):
+    import os
+
+    vt = VersionedTable(spark, str(tmp_path / "t2"))
+    vt.write(spark.range(100).selectExpr("id AS k"))
+    vt.write(spark.range(5).selectExpr("id + 100 AS k"), mode="append")
+    # append wrote only the 5-row delta directory
+    dirs = vt._manifest(2)["dirs"]
+    assert len(dirs) == 2
+    assert vt.read(2).count() == 105
+    # data dirs are immutable across restore
+    before = {d: sorted(os.listdir(d)) for d in dirs}
+    vt.restore(1)
+    after = {d: sorted(os.listdir(d)) for d in dirs}
+    assert before == after
