@@ -204,3 +204,82 @@ def test_ulaw_roundtrip_error_bound(n, seed):
     # the coarsest segment (exp=7) quantizes in steps of 8<<7 = 1024,
     # so the worst-case round-trip error is the half-step, 512
     assert err.max() <= 512
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=20),
+    interlace=st.booleans(),
+    ncolors=st.integers(min_value=1, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_roundtrip_any_shape(h, w, interlace, ncolors, seed):
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.gifbmp import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    px = palette[rng.integers(0, ncolors, size=(h, w))]
+    assert (decode_gif(encode_gif(px, interlace=interlace)) == px).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=16),
+    w=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_any_shape(h, w, seed):
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.gifbmp import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ewma_fold_matches_reference(spark, vals):
+    """The registered EWMA fold (array aggregate) against the direct
+    python recursion on arbitrary series."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i int, x double"
+    )
+    srt = F.array_sort(F.collect_list(F.struct("i", "x")))
+    ew = F.aggregate(
+        srt,
+        F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+        lambda acc, s: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, s["x"]).otherwise(
+                    F.lit(0.2) * s["x"]
+                    + F.lit(0.8) * F.element_at(acc, F.size(acc))
+                )
+            ),
+        ),
+    )
+    got = df.agg(ew.alias("e")).collect()[0]["e"]
+    ref = []
+    for v in vals:
+        ref.append(v if not ref else 0.2 * v + 0.8 * ref[-1])
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert abs(g - r) < 1e-9 * max(1.0, abs(r))
