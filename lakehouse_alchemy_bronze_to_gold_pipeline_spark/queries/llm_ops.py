@@ -2753,7 +2753,49 @@ def q_ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     return out.orderBy("method")
 
 
+def q_bpe_train_report(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL BPE training on the corpus (operators.bpe): 8 iterative
+    merge rounds over the word-frequency relation — count adjacent
+    symbol pairs on the CURRENT segmentation, merge the global
+    argmax, recount — then the trained tokenizer re-applied to
+    measure symbols-per-word compression.  One step beyond
+    ``bpe_merge_candidates`` (which is exactly round 1 of this
+    loop).  Rows-only: the training loop is iterative with per-round
+    argmax; the trainer is pinned against a direct python reference
+    implementation in tests/test_bpe.py instead.
+
+    Scale: the corpus collapses to (word, count) once — the same
+    vocabulary-relation leverage every BPE trainer uses; each round
+    is one aggregation over it plus a 1-row driver argmax."""
+    from ..operators.bpe import bpe_apply, bpe_train
+
+    d = load(spark, sf, "documents")
+    words = (
+        d.select(F.explode(TX.nonempty_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    ).persist()
+    merges = bpe_train(words, n_merges=8)
+    seg = bpe_apply(words, merges)
+    comp = seg.agg(
+        (
+            F.sum(F.length("w") * F.col("cnt"))
+            / F.sum(F.size("toks") * F.col("cnt"))
+        ).alias("r")
+    ).collect()[0]["r"]
+    rows = [
+        (i + 1, a, b, w, float(round(comp, 4)))
+        for i, (a, b, w) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round bigint, a string, b string, weight bigint, "
+        "chars_per_token double",
+    )
+
+
 SPARK_QUERIES = {
+    "bpe_train_report": q_bpe_train_report,
     "ann_recall_report": q_ann_recall_report,
     "ngram_novelty": q_ngram_novelty,
     "bpe_merge_candidates": q_bpe_merge_candidates,
