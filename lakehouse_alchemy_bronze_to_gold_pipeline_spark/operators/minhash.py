@@ -38,6 +38,8 @@ b bands of r rows: 1 - (1 - j^r)^b (tune b, r to the threshold).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -148,6 +150,39 @@ def lsh_candidate_pairs(
     )
 
 
+#: Carter-Wegman field: p = 2^31 - 1 (prime).  Base shingle hash x
+#: and per-index parameters a_i, b_i all live in [0, p); a_i*x + b_i
+#: < 2^62 — no int64 overflow — and the mod WRAPS for every i, which
+#: is what makes the 64 derived hashes behave independently (a
+#: non-wrapping linear family h1 + i*h2 keeps the same argmin shingle
+#: for every i: near-constant signatures, quadratic candidate
+#: blowup — measured 1261 candidate pairs vs the expected ~28).
+CW_PRIME = 2147483647
+
+
+def _cw_signature_udf(n_hashes: int):
+    """Arrow-vectorized Carter-Wegman signatures: array<bigint> of
+    per-shingle base hashes -> array<bigint> of ``n_hashes`` minima
+    of (a_i*x + b_i) mod p.  Exact int64 arithmetic — bit-identical
+    to the JVM/DuckDB expression form, just evaluated as one numpy
+    grid per row instead of n_hashes*|shingles| interpreted lambdas.
+    """
+    idx = np.arange(1, n_hashes + 1, dtype=np.int64)
+    a = (1103515245 * idx + 12345) % CW_PRIME
+    b = (69069 * idx + 1) % CW_PRIME
+
+    @F.pandas_udf("array<bigint>")
+    def sigs(hx: pd.Series) -> pd.Series:
+        out = []
+        for v in hx:
+            x = np.asarray(v, dtype=np.int64)
+            grid = (a[:, None] * x[None, :] + b[:, None]) % CW_PRIME
+            out.append(grid.min(axis=1))
+        return pd.Series(out)
+
+    return sigs
+
+
 def md5_signatures_and_pairs(
     df: DataFrame,
     id_col: str,
@@ -158,34 +193,50 @@ def md5_signatures_and_pairs(
     max_bucket: int = 200,
     balance: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """The cross-engine-reproducible (md5 hash family) MinHash core:
-    returns (sigs, pairs) where sigs = (id, shingles, sig) is
-    persisted and pairs = distinct candidate (id_a < id_b) from the
-    capped band buckets.  Shared by the near-dup query and the
-    sketch-accuracy report so both run the IDENTICAL pipeline the
-    DuckDB oracle reproduces."""
+    """The cross-engine-reproducible MinHash core: returns
+    (sigs, pairs) where sigs = (id, shingles, sig) is persisted and
+    pairs = distinct candidate (id_a < id_b) from the capped band
+    buckets.  Shared by the near-dup query and the sketch-accuracy
+    report so both run the IDENTICAL pipeline the DuckDB oracle
+    reproduces.
+
+    Hash family: Carter-Wegman over ONE md5 per shingle —
+    ``sig_i = min over shingles of (a_i * x + b_i) mod (2^31-1)``
+    with x the shingle md5's top 52 bits folded into the field and
+    a_i = (1103515245*(i+1) + 12345) mod p, b_i = (69069*(i+1) + 1)
+    mod p (LCG-spread per-index constants, computed arithmetically
+    so no literal-array rebuild cost in the HOF interpreter).  Same
+    engine-agnostic determinism as hashing md5(i||shingle) per
+    (i, shingle) — DuckDB reproduces the integer arithmetic exactly
+    — at 1/64th the digest cost, which is what made the oracle
+    family ~3x slower than the xxhash64 fast path before."""
     band_rows = n_hashes // n_bands
     toks = nonempty_tokens(text_col)
     shingles = word_shingles(toks, shingle_n)
-    sh = df.select(F.col(id_col), shingles.alias("shingles")).filter(
-        F.size("shingles") > 0
+    xcol = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 13), 16, 10)
+        .cast("bigint")
+        % F.lit(CW_PRIME),
     )
+    sh = df.select(
+        F.col(id_col), shingles.alias("shingles"), xcol.alias("hx")
+    ).filter(F.size("shingles") > 0)
     if balance:
         sh = sh.repartition(
             df.sparkSession.sparkContext.defaultParallelism, id_col
         )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(
-                    F.concat(i.cast("string"), F.lit("|"), s).cast("binary")
-                ),
-            )
-        ),
+    # signatures via ONE Arrow batch matmul-style pass: the
+    # (n_hashes x |shingles|) affine grid is pure int64 numpy — the
+    # interpreted-HOF form of the same arithmetic costs ~40M lambda
+    # evaluations at sf0.1 (measured 3.5 s; this path ~1 s), and
+    # integer results are bit-identical to the SQL oracle's, so the
+    # Arrow hop loses no verifiability (unlike float kernels)
+    sigs = (
+        sh.withColumn("sig", _cw_signature_udf(n_hashes)(F.col("hx")))
+        .drop("hx")
+        .persist()
     )
-    sigs = sh.withColumn("sig", sig).persist()
 
     bucket = F.explode(
         F.transform(
@@ -193,8 +244,12 @@ def md5_signatures_and_pairs(
             lambda b: F.concat(
                 b.cast("string"),
                 F.lit(":"),
-                F.concat_ws(
-                    "", F.slice(F.col("sig"), b * band_rows + 1, band_rows)
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * band_rows + 1, band_rows),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
                 ),
             ),
         )

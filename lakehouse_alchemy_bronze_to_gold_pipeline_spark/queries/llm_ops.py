@@ -386,17 +386,25 @@ WITH toks AS (
          list_distinct(list_transform(range(1, len(t)),
                                       i -> t[i] || ' ' || t[i+1])) AS shingles
   FROM toks
+), hsh AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+           s -> CAST(('0x' || substr(md5(s), 1, 13)) AS BIGINT)
+                % 2147483647) AS hx
+  FROM sh WHERE len(shingles) > 0
 ), sigt AS (
   SELECT doc_id, shingles,
          list_transform(range(0, {n_hashes}),
-           i -> list_min(list_transform(shingles,
-                  s -> md5(i::VARCHAR || '|' || s)))) AS sig
-  FROM sh WHERE len(shingles) > 0
+           i -> list_min(list_transform(hx,
+                  x -> (((1103515245 * (i + 1) + 12345) % 2147483647) * x
+                        + (69069 * (i + 1) + 1) % 2147483647)
+                       % 2147483647))) AS sig
+  FROM hsh
 ), band AS (
   SELECT doc_id,
          b::VARCHAR || ':' ||
            array_to_string(list_slice(sig, b*{band_rows}+1,
-                                      b*{band_rows}+{band_rows}), '')
+                                      b*{band_rows}+{band_rows}), ',')
            AS bucket
   FROM sigt CROSS JOIN UNNEST(range(0, {n_bands})) AS u(b)
 ), ok_buckets AS (
