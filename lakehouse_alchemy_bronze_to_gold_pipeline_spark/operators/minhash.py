@@ -294,12 +294,14 @@ def minhash_near_duplicates_md5(
     """Cross-engine-reproducible MinHash near-dup pairs.
 
     Same pipeline as ``minhash_near_duplicates`` but the hash family
-    is ``md5(i || '|' || shingle)`` compared LEXICOGRAPHICALLY as hex
-    strings, and band bucket keys are plain string concatenations —
-    every step is byte-identical in any engine with md5 (the DuckDB
-    oracle reproduces the whole pipeline), which upgrades fuzzy dedup
-    from a rows-only check to a value-checked query.  ~2-3x slower
-    than the xxhash64 family; use that one when no oracle is needed.
+    is md5-seeded Carter-Wegman (``md5_signatures_and_pairs``) and
+    band bucket keys are plain string concatenations — every step is
+    value-identical in any engine with md5 + int64 arithmetic (the
+    DuckDB oracle reproduces the whole pipeline), which upgrades
+    fuzzy dedup from a rows-only check to a value-checked query at
+    essentially fast-path cost (one digest per shingle + one Arrow
+    integer kernel); the xxhash64 family remains for symmetry and
+    engine-internal use.
     """
     sigs, pairs = md5_signatures_and_pairs(
         df, id_col, text_col, n_hashes, shingle_n, n_bands, max_bucket,

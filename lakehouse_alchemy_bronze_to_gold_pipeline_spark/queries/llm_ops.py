@@ -3,8 +3,8 @@
 Deduplication, similarity search, text analysis, and multimodal
 plumbing (BASELINE.json north star).  SQL-expressible ops carry a
 DuckDB oracle — including the FULL MinHash+LSH pipeline via the
-md5-string hash family (``minhash_neardup_md5``), which DuckDB
-reproduces value-for-value.  The xxhash64/simhash/ANN/mapInPandas
+md5-seeded Carter-Wegman hash family (``minhash_neardup_md5``),
+which DuckDB reproduces value-for-value.  The xxhash64/simhash/ANN/mapInPandas
 variants stay oracle-free (engine-specific hashing or pandas UDFs):
 the driver records rows-only checks for those and tests/ verify them
 against exact ground truth instead.
@@ -357,8 +357,9 @@ def q_minhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_minhash_neardup_md5(spark: SparkSession, sf: str) -> DataFrame:
-    """Oracle-checked MinHash+LSH near-dup pairs: the md5-string hash
-    family is engine-agnostic, so DuckDB reproduces the ENTIRE
+    """Oracle-checked MinHash+LSH near-dup pairs: the md5-seeded
+    Carter-Wegman family is engine-agnostic (one digest per shingle,
+    64 affine integer hashes), so DuckDB reproduces the ENTIRE
     pipeline (shingle -> 64 minhashes -> 16 band buckets -> candidate
     pairs -> exact-Jaccard verify) value-for-value."""
     from ..operators.minhash import minhash_near_duplicates_md5
