@@ -55,6 +55,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     if table not in TABLES:
         raise ValueError(f"unknown table {table!r}")
+    return _load(spark, sf_dir, table)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every synthetic table as a temp view so users can hit
+    the engine through ``spark.sql`` — the SQL half of the surface
+    (same loaders, so ``events`` carries the normalized ``ts_us``).
+    """
+    for t in TABLES:
+        _load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{table}.parquet")
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
