@@ -465,3 +465,65 @@ def hard_negative_mining(
         "anchor_id bigint, cluster bigint, pos_id bigint, "
         "pos_sim double, neg_id bigint, neg_sim double",
     )
+
+
+def knn_label_agreement(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Cleanlab-style label-noise scan: per vector, the fraction of
+    its k nearest within-cluster neighbors sharing its label.  Same
+    blocked ``applyInPandas`` shape as ``hard_negative_mining``;
+    similarity ties break to the smaller candidate id so the ranking
+    is cross-engine-stable.  Vectors alone in their cluster emit no
+    row (no neighbors to agree with)."""
+    from .kmeans import kmeans_assign
+
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).cast("bigint").alias("__lab"),
+        "cluster",
+        as_double_array(vec_col).alias("__v"),
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "label": [], "n_neighbors": [],
+                 "label_agreement": []}
+            )
+        ids = pdf["__id"].to_numpy()
+        labs = pdf["__lab"].to_numpy()
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sim = x @ x.T
+        rows = []
+        for i in range(n):
+            order = sorted(
+                (j for j in range(n) if j != i),
+                key=lambda j: (-sim[i, j], ids[j]),
+            )[:k]
+            agree = sum(1 for j in order if labs[j] == labs[i])
+            rows.append(
+                (
+                    int(ids[i]),
+                    int(labs[i]),
+                    len(order),
+                    round(agree / len(order), 4),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["vec_id", "label", "n_neighbors", "label_agreement"],
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        scan,
+        "vec_id bigint, label bigint, n_neighbors bigint, "
+        "label_agreement double",
+    )

@@ -2803,7 +2803,172 @@ def q_bpe_train_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_event_sequence_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral-sequence dataset prep: each user's event types in
+    exact time order, chunked into fixed-length (8) training windows
+    with a per-chunk manifest — the event-log-to-sequence-model step
+    (session2vec / next-event prediction).  Order is total
+    ((ts_us, event_id) tiebreak) so chunk contents are deterministic.
+
+    Scale: one groupBy(user) with a sorted-array build (per-user
+    sequences are session-bounded in practice; the pack is a narrow
+    1->N expansion, the ``doc_pack_chunks`` shape)."""
+    ev = load(spark, sf, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+            ).alias("s")
+        )
+        .select(
+            "user_id", F.transform("s", lambda x: x["event_type"]).alias("s")
+        )
+    )
+    n_chunks = F.ceil(F.size("s") / F.lit(8)).cast("int")
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("s"), i * 8 + 1, 8),
+    )
+    return (
+        seq.select("user_id", F.posexplode(chunk).alias("chunk_idx", "seq"))
+        .select(
+            "user_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.concat_ws(">", "seq").alias("seq"),
+            F.size("seq").cast("bigint").alias("seq_len"),
+        )
+        .orderBy("user_id", "chunk_idx")
+    )
+
+
+SQL_EVENT_SEQUENCE_PREP = """
+WITH seq AS (
+  SELECT user_id,
+         list(event_type ORDER BY epoch_us(ts), event_id) AS s
+  FROM events GROUP BY user_id
+), chunks AS (
+  SELECT user_id,
+         CAST(i AS BIGINT) AS chunk_idx,
+         list_slice(s, i * 8 + 1, i * 8 + 8) AS seq
+  FROM seq,
+       unnest(range(0, CAST(ceil(len(s) / 8.0) AS BIGINT))) AS u(i)
+)
+SELECT user_id, chunk_idx,
+       array_to_string(seq, '>') AS seq,
+       CAST(len(seq) AS BIGINT) AS seq_len
+FROM chunks
+ORDER BY user_id, chunk_idx
+"""
+
+
+def q_label_noise_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN label-agreement scan (the Cleanlab-style mislabel
+    detector): per vector, the fraction of its 5 nearest
+    within-cluster neighbors sharing its label — low agreement flags
+    likely label noise before a classifier ever trains on it.
+    Candidates are blocked by fixed pretrained centroids, so the
+    whole pipeline (assign, block, rank, agree) is SQL-expressible
+    for the oracle; ties in similarity break to the smaller
+    candidate id."""
+    from ..operators.similarity import knn_label_agreement
+
+    e = load(spark, sf, "embeddings")
+    return knn_label_agreement(
+        e, _kmeans_fixed_centroids(), k=5
+    ).orderBy("vec_id")
+
+
+def sql_label_noise_scan() -> str:
+    cents = _kmeans_fixed_centroids()
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+cents(cluster, cv) AS (VALUES
+  {rows}
+),
+assigned AS (
+  SELECT v.vec_id, v.label, v.v, c.cluster
+  FROM v CROSS JOIN cents c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                             ORDER BY list_dot_product(v.v, c.cv) DESC,
+                                      c.cluster ASC) = 1
+),
+unitv AS (
+  SELECT vec_id, label, cluster,
+         list_transform(v, x -> x / sqrt(list_sum(
+             list_transform(v, y -> y * y)))) AS u
+  FROM assigned
+),
+nn AS (
+  SELECT a.vec_id, a.label,
+         b.label = a.label AS agree,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_dot_product(a.u, b.u) DESC,
+                                     b.vec_id ASC) AS rk
+  FROM unitv a
+  JOIN unitv b ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       ROUND(SUM(CASE WHEN agree THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS label_agreement
+FROM nn WHERE rk <= 5
+GROUP BY vec_id, label
+ORDER BY vec_id
+"""
+
+
+def q_context_budget_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window truncation planning: for candidate window
+    sizes, how many documents fit whole, how many need chunking, and
+    the token volume lost to truncate-vs-chunk policies — the
+    capacity planning run before committing a packing layout.
+    Token counts are the whitespace tokenizer's (exact, no UDF)."""
+    d = load(spark, sf, "documents")
+    n = TX.token_count("text")
+    toks = d.select(n.alias("n"))
+    out = None
+    for ctx in (64, 128, 256):
+        rep = toks.agg(
+            F.lit(ctx).cast("bigint").alias("ctx"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n") <= ctx).cast("bigint")).alias("fit_whole"),
+            F.sum((F.col("n") > ctx).cast("bigint")).alias("need_chunking"),
+            F.sum(F.least(F.col("n"), F.lit(ctx))).alias("tokens_if_truncate"),
+            F.sum("n").alias("tokens_if_chunk"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("ctx")
+
+
+SQL_CONTEXT_BUDGET_REPORT = """
+WITH toks AS (
+  SELECT len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents
+), ctxs AS (SELECT unnest([64, 128, 256]) AS ctx)
+SELECT CAST(ctx AS BIGINT) AS ctx,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n <= ctx THEN 1 ELSE 0 END) AS BIGINT)
+         AS fit_whole,
+       CAST(SUM(CASE WHEN n > ctx THEN 1 ELSE 0 END) AS BIGINT)
+         AS need_chunking,
+       CAST(SUM(LEAST(n, ctx)) AS BIGINT) AS tokens_if_truncate,
+       CAST(SUM(n) AS BIGINT) AS tokens_if_chunk
+FROM toks CROSS JOIN ctxs
+GROUP BY ctx
+ORDER BY ctx
+"""
+
+
 SPARK_QUERIES = {
+    "event_sequence_prep": q_event_sequence_prep,
+    "label_noise_scan": q_label_noise_scan,
+    "context_budget_report": q_context_budget_report,
     "bpe_train_report": q_bpe_train_report,
     "ann_recall_report": q_ann_recall_report,
     "ngram_novelty": q_ngram_novelty,
@@ -2886,6 +3051,9 @@ ORACLE_SQL = {
     "semantic_dedup_fixed": sql_semantic_dedup_fixed(),
     "hard_negative_mining": sql_hard_negative_mining(),
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "event_sequence_prep": SQL_EVENT_SEQUENCE_PREP,
+    "label_noise_scan": sql_label_noise_scan(),
+    "context_budget_report": SQL_CONTEXT_BUDGET_REPORT,
     "bpe_merge_candidates": SQL_BPE_MERGE_CANDIDATES,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
