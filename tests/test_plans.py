@@ -603,3 +603,34 @@ def test_phash_dedup_single_arrow_pass(spark):
     mip = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
     assert mip[1] == mip[0] + 1, "exchange between synth and hash stages"
     assert "CartesianProduct" not in ops
+
+
+def test_minhash_oracle_family_single_arrow_pass(spark):
+    """The Carter-Wegman signature kernel is ONE ArrowEvalPython node
+    fed by the balanced exchange; md5 stays JVM-side (one digest per
+    shingle, inside the scan-side projection), and candidate pairs
+    come from ONE bucket groupBy — no self-join of the banded
+    relation."""
+    plan = _formatted(spark, "minhash_neardup_md5")
+    tree = plan.split("\n\n")[0]
+    ops = _ops(plan)
+    # the signature relation is persisted: every ArrowEvalPython in
+    # the printed tree is inside an InMemoryTableScan reference (the
+    # cached subtree prints once per consumer but runs once)
+    assert tree.count("ArrowEvalPython") == tree.count("InMemoryTableScan")
+    assert tree.count("InMemoryTableScan") >= 2  # banding + verify sides
+    assert "CartesianProduct" not in ops
+    # banding + pair generation: bucket groupBy exchanges only
+    assert plan.count("Arguments: hashpartitioning") <= 4
+
+
+def test_label_noise_and_sequence_prep_shapes(spark):
+    plan = _formatted(spark, "label_noise_scan")
+    ops = _ops(plan)
+    assert "FlatMapGroupsInPandas" in ops
+    assert "SortMergeJoin" not in ops
+    assert "CartesianProduct" not in ops
+    plan2 = _formatted(spark, "event_sequence_prep")
+    assert "CartesianProduct" not in _ops(plan2)
+    # one user-key aggregation exchange (+ output sort)
+    assert plan2.count("Arguments: hashpartitioning") <= 1
