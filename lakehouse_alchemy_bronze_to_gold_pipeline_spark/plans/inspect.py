@@ -42,17 +42,37 @@ def shuffles(plan: str) -> int:
 def unpartitioned_windows(plan: str) -> int:
     """Window nodes with no PARTITION BY — single-task funnels.
     A Window node's detail block prints ``Arguments: [exprs],
-    [partSpec], [orderSpec]`` with EMPTY specs dropped; a two-group
-    form is unpartitioned only when the second group is an ORDER
-    spec (always carries a sort direction)."""
+    [partSpec], [orderSpec]`` but EMPTY specs are dropped, so a
+    two-group form is ambiguous: it is unpartitioned only when the
+    second group is an ORDER spec (always carries a sort direction);
+    bracket nesting inside expressions means the top-level groups
+    must be scanned, not regexed."""
     n = 0
     for m in re.finditer(
-        r"^\(\d+\) Window[\s\S]*?Arguments: (.*)$", plan, re.M
+        r"\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: ([^\n]*)", plan
     ):
-        groups = re.findall(r"\[[^\[\]]*\]", m.group(1))
-        if len(groups) == 2 and (
-            "ASC NULLS" in groups[1] or "DESC NULLS" in groups[1]
-        ):
+        groups, depth, cur = [], 0, []
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    cur = []
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+            elif depth >= 1:
+                cur.append(ch)
+        if len(groups) >= 3:
+            unpart = not groups[1].strip()
+        elif len(groups) == 2:
+            second = groups[1]
+            unpart = not second.strip() or (
+                "ASC NULLS" in second or "DESC NULLS" in second
+            )
+        else:
+            unpart = True
+        if unpart:
             n += 1
     return n
 
@@ -101,7 +121,14 @@ def lint(
     plan = formatted(df)
     o = ops(plan)
     findings = []
-    if "CartesianProduct" in o or "BroadcastNestedLoopJoin" in o:
+    # a BroadcastNestedLoopJoin against a KEYLESS (scalar) aggregate
+    # is the standard 1-row-constant broadcast (totals, cut points,
+    # min/max limits) — O(|L|), not a cartesian blowup.  Each scalar
+    # aggregate prints two nodes (partial + final), each with
+    # ``Keys [0]: []`` in its detail block.
+    bnlj = o.count("BroadcastNestedLoopJoin")
+    scalar_aggs = plan.count("Keys: []") + plan.count("Keys [0]: []") // 2
+    if "CartesianProduct" in o or bnlj > scalar_aggs:
         findings.append(f"cartesian: {_RULES['cartesian']}")
     if not allow_unpartitioned_window and unpartitioned_windows(plan):
         findings.append(

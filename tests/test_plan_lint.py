@@ -43,3 +43,43 @@ def test_lint_clean_on_partitioned_window(spark):
     w = Window.partitionBy("k").orderBy("x")
     ok = df.withColumn("rn", F.row_number().over(w))
     assert lint(ok) == []
+
+
+#: bounded-by-construction unpartitioned windows (see
+#: test_plans.test_unpartitioned_window_inventory for the rationale)
+_WINDOW_OK = {"order_backlog_daily", "vocab_top_terms"}
+#: small-sf oracle baselines for the LSH twins: cartesian BY DESIGN,
+#: excluded from the bench for the same reason
+_CARTESIAN_OK = {"embedding_top_pairs", "embedding_neardup", "knn_join",
+                 "embedding_topk", "ann_recall_report",
+                 "ngram_jaccard_query",
+                 # date spine x distinct types: |days|*|types| by
+                 # construction (calendar-bounded broadcast generator)
+                 "event_date_spine"}
+#: iterative operators (O(rounds) shuffle chains are the algorithm)
+#: and deliberately multi-stage composites (three ANN indexes + exact
+#: ground truth; triangle enumeration = 2 joins over 2 dedup passes)
+_DEEP_OK = {"brand_pagerank", "dedup_clusters", "dedup_keep_canonical",
+            "embedding_kmeans_profile", "bpe_train_report",
+            "training_corpus_prep", "source_dup_matrix",
+            "ann_recall_report", "brand_triangles"}
+
+
+def test_whole_registry_lints_clean(spark):
+    """Every registry query passes the anti-pattern linter, modulo
+    the three documented exception classes — the registry-wide
+    pre-flight that catches a scale-hostile plan at review time
+    instead of at 100 TB."""
+    bad = {}
+    for name, fn in SPARK_QUERIES.items():
+        df = fn(spark, SF)
+        findings = lint(
+            df,
+            allow_unpartitioned_window=name in _WINDOW_OK,
+            max_shuffles=999 if name in _DEEP_OK else 12,
+        )
+        if name in _CARTESIAN_OK:
+            findings = [f for f in findings if not f.startswith("cartesian")]
+        if findings:
+            bad[name] = findings
+    assert bad == {}, bad
