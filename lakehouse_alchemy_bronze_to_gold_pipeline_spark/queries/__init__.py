@@ -31,6 +31,7 @@ _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q}
 _PRIORITY = (
     # never driver-certified (r5 additions + r4 llm_ops/corpus
     # additions + analytics entries the r4 window cut off)
+    "feature_hash_embed", "join_size_estimate",
     "event_sequence_prep", "label_noise_scan",
     "context_budget_report",
     "bpe_train_report", "ann_recall_report", "ngram_novelty",

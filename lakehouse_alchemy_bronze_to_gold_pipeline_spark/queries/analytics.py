@@ -1943,7 +1943,99 @@ ORDER BY event_type
 """
 
 
+def q_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality estimation by correlated key sampling — the
+    optimizer diagnostic next to ``key_skew_profile``: estimate
+    |orders ⋈ lineitem| (on orderkey) and |orders ⋈ customer| (on
+    custkey) from a p=1/16 HASH sample OF THE KEY (both sides keep
+    the same keys — correlated sampling — so E[|sample join|] =
+    p·|join| for FK joins, vs p² for independent row sampling).
+    The estimate is a deterministic function of md5, so the oracle
+    checks the ESTIMATOR itself, exact-vs-estimate error included.
+
+    Scale: two scans with the sample predicate pushed down + small
+    joins of the samples; the exact sizes here are the ground truth
+    column (at 100 TB you'd skip them — that's the point)."""
+    li = load(spark, sf, "lineitem").select("l_orderkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey")
+
+    def keep(col):
+        return F.md5(F.col(col).cast("string").cast("binary")) < "10"
+
+    p = 16.0 / 256.0
+    est_ol = (
+        o.filter(keep("o_orderkey"))
+        .join(li.filter(keep("l_orderkey")), o.o_orderkey == li.l_orderkey)
+        .count()
+    )
+    est_oc = (
+        o.filter(keep("o_custkey"))
+        .join(c.filter(keep("c_custkey")), o.o_custkey == c.c_custkey)
+        .count()
+    )
+    exact_ol = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    exact_oc = o.join(c, o.o_custkey == c.c_custkey).count()
+    rows = [
+        ("orders_x_lineitem", exact_ol, int(round(est_ol / p))),
+        ("orders_x_customer", exact_oc, int(round(est_oc / p))),
+    ]
+    return spark.createDataFrame(
+        [
+            (
+                name,
+                ex,
+                est,
+                float(round(abs(est - ex) / ex, 4)) if ex else None,
+            )
+            for name, ex, est in rows
+        ],
+        "join_name string, exact_rows bigint, est_rows bigint, "
+        "rel_err double",
+    ).orderBy("join_name")
+
+
+SQL_JOIN_SIZE_ESTIMATE = """
+WITH est_ol AS (
+  SELECT COUNT(*) AS n
+  FROM (SELECT o_orderkey FROM orders
+        WHERE md5(CAST(o_orderkey AS VARCHAR)) < '10') o
+  JOIN (SELECT l_orderkey FROM lineitem
+        WHERE md5(CAST(l_orderkey AS VARCHAR)) < '10') l
+    ON o.o_orderkey = l.l_orderkey
+), est_oc AS (
+  SELECT COUNT(*) AS n
+  FROM (SELECT o_custkey FROM orders
+        WHERE md5(CAST(o_custkey AS VARCHAR)) < '10') o
+  JOIN (SELECT c_custkey FROM customer
+        WHERE md5(CAST(c_custkey AS VARCHAR)) < '10') c
+    ON o.o_custkey = c.c_custkey
+), exact_ol AS (
+  SELECT COUNT(*) AS n FROM orders JOIN lineitem
+    ON o_orderkey = l_orderkey
+), exact_oc AS (
+  SELECT COUNT(*) AS n FROM orders JOIN customer
+    ON o_custkey = c_custkey
+), rows_out AS (
+  SELECT 'orders_x_lineitem' AS join_name,
+         (SELECT n FROM exact_ol) AS exact_rows,
+         CAST(ROUND((SELECT n FROM est_ol) / (16.0/256.0))
+              AS BIGINT) AS est_rows
+  UNION ALL
+  SELECT 'orders_x_customer',
+         (SELECT n FROM exact_oc),
+         CAST(ROUND((SELECT n FROM est_oc) / (16.0/256.0)) AS BIGINT)
+)
+SELECT join_name, exact_rows, est_rows,
+       ROUND(ABS(est_rows - exact_rows)
+             / CAST(exact_rows AS DOUBLE), 4) AS rel_err
+FROM rows_out
+ORDER BY join_name
+"""
+
+
 SPARK_QUERIES = {
+    "join_size_estimate": q_join_size_estimate,
     "temporal_split_leakage": q_temporal_split_leakage,
     "rolling_distinct_users": q_rolling_distinct_users,
     "gap_fill_interpolate": q_gap_fill_interpolate,
@@ -1981,6 +2073,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "temporal_split_leakage": SQL_TEMPORAL_SPLIT_LEAKAGE,
     "rolling_distinct_users": SQL_ROLLING_DISTINCT_USERS,
     "gap_fill_interpolate": SQL_GAP_FILL_INTERPOLATE,

@@ -2965,7 +2965,139 @@ ORDER BY ctx
 """
 
 
+#: feature-hashing dimensionality (vowpal-style hashing trick)
+_FH_DIM = 64
+
+
+def _fh_py(tokens) -> list[int]:
+    """Driver-side twin of the hashed-BoW embedder (for the fixed
+    query vector): bucket = md5 top-52-bits mod dim, sign = next bit
+    — the same function the distributed side and the SQL oracle
+    compute."""
+    import hashlib
+
+    v = [0] * _FH_DIM
+    for t in tokens:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:13], 16)
+        v[h % _FH_DIM] += 1 if (h // _FH_DIM) % 2 == 0 else -1
+    return v
+
+
+def q_feature_hash_embed(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick text vectors without a vocabulary: every doc
+    maps to a signed 64-dim hashed bag-of-words (bucket = md5 mod
+    dim, sign = md5 parity), scored against a fixed query text by
+    cosine — retrieval with ZERO training and zero global state, the
+    baseline every learned embedding should beat.  Deterministic end
+    to end, so the oracle value-checks the EMBEDDER, not just the
+    plumbing.
+
+    Scale: tokens explode to (doc, bucket, sign) and aggregate
+    sparsely — ONE shuffle keyed (doc, bucket) with map-side
+    combine, densified per doc from <= dim entries (never a
+    64x|tokens| per-dim rescan); the query vector is a plan-time
+    literal; TakeOrdered cuts the ranked output."""
+    d = load(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(TX.nonempty_tokens("text")).alias("t")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("t").cast("binary")), 1, 13), 16, 10
+    ).cast("bigint")
+    sparse = (
+        tok.select(
+            "doc_id",
+            (h % _FH_DIM).alias("b"),
+            F.when((h / F.lit(_FH_DIM)).cast("bigint") % 2 == 0, 1)
+            .otherwise(-1)
+            .alias("s"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("s").alias("val"))
+    )
+    dense = sparse.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("b", "val"))
+        ).alias("m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("bigint")), F.lit(0)
+        ),
+    )
+    qv = _fh_py(QUERY_TEXT.split(" "))
+    qnorm = sum(x * x for x in qv) ** 0.5
+    qarr = F.array(*[F.lit(int(x)) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), qarr, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("v"), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+        ).cast("double")
+    )
+    return (
+        dense.select("doc_id", vec.alias("v"))
+        .select(
+            "doc_id",
+            F.size(F.filter("v", lambda x: x != 0))
+            .cast("bigint")
+            .alias("nnz"),
+            F.round(norm, 4).alias("l2_norm"),
+            F.round(dot / (norm * F.lit(float(qnorm))), 6)
+            .alias("cos_to_query"),
+        )
+        .orderBy(F.col("cos_to_query").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+def sql_feature_hash_embed() -> str:
+    q = QUERY_TEXT.replace("'", "''")
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t FROM docs WHERE len(t) > 0
+  UNION ALL
+  SELECT -1, string_split('{q}', ' ')
+), vecs AS (
+  SELECT doc_id,
+         list_transform(range(0, {_FH_DIM}), d ->
+           list_sum(list_transform(t, tok ->
+             CASE WHEN CAST(('0x' || substr(md5(tok), 1, 13)) AS BIGINT)
+                       % {_FH_DIM} = d
+                  THEN CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 13))
+                                       AS BIGINT) // {_FH_DIM}) % 2 = 0
+                            THEN 1 ELSE -1 END
+                  ELSE 0 END))) AS v
+  FROM base
+), qv AS (SELECT v FROM vecs WHERE doc_id = -1)
+SELECT d.doc_id,
+       CAST(len(list_filter(d.v, x -> x != 0)) AS BIGINT) AS nnz,
+       ROUND(sqrt(CAST(list_sum(list_transform(d.v, x -> x * x))
+                       AS DOUBLE)), 4) AS l2_norm,
+       ROUND(CAST(list_sum(list_transform(list_zip(d.v, qv.v),
+                                          p -> p[1] * p[2])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(d.v, x -> x * x))
+                          AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(qv.v, x -> x * x))
+                            AS DOUBLE))), 6) AS cos_to_query
+FROM vecs d CROSS JOIN qv
+WHERE d.doc_id != -1
+ORDER BY cos_to_query DESC, doc_id
+LIMIT 50
+"""
+
+
 SPARK_QUERIES = {
+    "feature_hash_embed": q_feature_hash_embed,
     "event_sequence_prep": q_event_sequence_prep,
     "label_noise_scan": q_label_noise_scan,
     "context_budget_report": q_context_budget_report,
@@ -3051,6 +3183,7 @@ ORACLE_SQL = {
     "semantic_dedup_fixed": sql_semantic_dedup_fixed(),
     "hard_negative_mining": sql_hard_negative_mining(),
     "ngram_novelty": SQL_NGRAM_NOVELTY,
+    "feature_hash_embed": sql_feature_hash_embed(),
     "event_sequence_prep": SQL_EVENT_SEQUENCE_PREP,
     "label_noise_scan": sql_label_noise_scan(),
     "context_budget_report": SQL_CONTEXT_BUDGET_REPORT,
