@@ -213,3 +213,59 @@ def pq_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def pq_topk_refined(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    codebooks: np.ndarray,
+    k: int = 5,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str | None = None,
+) -> DataFrame:
+    """PQ with a REFINE stage (the standard ADC+rerank deployment):
+    the compressed-domain scan shortlists ``k * refine_factor``
+    candidates per query, then ONLY those rows' raw vectors are
+    fetched and reranked by exact squared distance — quantization
+    error stops costing recall while the full corpus still never
+    leaves the compressed representation.  Returns
+    (query_id, neighbor_id, exact_dist, rank)."""
+    shortlist = pq_topk(
+        corpus, queries, codebooks, k=k * refine_factor,
+        id_col=id_col, vec_col=vec_col, codes_col=codes_col,
+    ).select("query_id", "neighbor_id")
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("__cv"),
+    )
+    joined = shortlist.join(vecs, "neighbor_id")
+    expr = None
+    for qid, qvec in queries:
+        lit = F.array(*[F.lit(float(x)) for x in qvec])
+        d = F.aggregate(
+            F.zip_with(F.col("__cv"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        expr = (
+            F.when(F.col("query_id") == int(qid), d)
+            if expr is None
+            else expr.when(F.col("query_id") == int(qid), d)
+        )
+    from pyspark.sql import Window
+
+    scored = joined.withColumn("__d", expr)
+    w = Window.partitionBy("query_id").orderBy("__d", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__d", 6).alias("exact_dist"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -2744,7 +2744,7 @@ def q_ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
     queries, corpus-side scan); each index runs its own documented
     scale path; the compare is a tiny join on (query, neighbor)."""
     from ..operators.ivf import ivf_topk
-    from ..operators.pq import pq_topk, pq_train
+    from ..operators.pq import pq_topk, pq_topk_refined, pq_train
 
     emb = load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
@@ -2763,6 +2763,9 @@ def q_ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
         "lsh": lsh_topk_banded(emb, queries, k=k, **_LSH_TOPK),
         "ivf": ivf_topk(emb, queries, k=k, n_lists=16, n_probe=6),
         "pq": pq_topk(emb, qlist, books, k=k),
+        "pq_refined": pq_topk_refined(
+            emb, qlist, books, k=k, refine_factor=8
+        ),
     }
     out = None
     for name, approx in methods.items():

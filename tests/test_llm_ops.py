@@ -952,7 +952,7 @@ def test_ann_recall_report_floors(spark):
 
     rows = {r.method: r for r in
             q_ann_recall_report(spark, "/root/testdata/sf0.001").collect()}
-    assert set(rows) == {"lsh", "ivf", "pq"}
+    assert set(rows) == {"lsh", "ivf", "pq", "pq_refined"}
     for r in rows.values():
         # every method finds at least the query itself (rank-1 exact
         # neighbor is always the query vector) -> recall@5 >= 0.2
