@@ -68,3 +68,61 @@ def continuous_aggregate(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def continuous_aggregate_versioned(
+    events: DataFrame,
+    versioned,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    keys: Sequence[str] = (),
+    checkpoint: str = "",
+):
+    """Continuous aggregate with HISTORY: every micro-batch commits
+    the refreshed rollup as a new ``VersionedTable`` snapshot, so the
+    materialized view supports as-of reads ("what did the hourly
+    rollup say before this batch landed?") and O(manifest) rollback —
+    the Delta-history behavior (``sources.versions``) composed with
+    incremental maintenance.
+
+    Merge semantics match ``continuous_aggregate`` (newest window
+    emission wins via n_events monotonicity); the difference is only
+    the sink: read-latest + merge + commit, data immutable per
+    version."""
+    from ..sources.versions import VersionedTable
+
+    assert isinstance(versioned, VersionedTable)
+    agg = tumbling_agg(events, ts_col, window, watermark, keys=keys)
+    merge_keys = ["window_start", *keys]
+    spark = events.sparkSession
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        try:
+            current = versioned.read()
+        except FileNotFoundError:
+            current = None
+        if current is None:
+            merged = batch
+        else:
+            from pyspark.sql import Window as W
+
+            union = current.unionByName(batch)
+            w = W.partitionBy(*merge_keys).orderBy(
+                F.col("n_events").desc()
+            )
+            merged = (
+                union.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        versioned.write(merged, mode="overwrite")
+
+    return (
+        agg.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -328,3 +328,48 @@ def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
     ])
     run2 = {(r.user_id, r.imp_v, r.click_v) for r in run()}
     assert ("u2", 2.0, None) in run2  # watermark-released outer row
+
+
+def test_continuous_aggregate_versioned_history(spark, tmp_path):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.versions import (
+        VersionedTable,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.rollup import (
+        continuous_aggregate_versioned,
+    )
+
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+    vt = VersionedTable(spark, str(tmp_path / "rollup_hist"))
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(src)
+        q = continuous_aggregate_versioned(
+            stream, vt, ts_col="ts", window="15 minutes",
+            watermark="30 minutes", checkpoint=cp,
+        ).start()
+        q.awaitTermination()
+
+    _write(src, "a.json", [
+        {"user_id": "u1", "ts": "2024-01-01 10:05:00", "value": 1.0},
+        {"user_id": "u1", "ts": "2024-01-01 10:20:00", "value": 2.0},
+    ])
+    run()
+    assert vt.versions() == [1]
+    v1 = {r.window_start.strftime("%H:%M"): r.n_events
+          for r in vt.read(1).collect()}
+    assert v1 == {"10:00": 1, "10:15": 1}
+
+    _write(src, "b.json", [
+        {"user_id": "u1", "ts": "2024-01-01 10:06:00", "value": 5.0},
+        {"user_id": "u1", "ts": "2024-01-01 11:00:00", "value": 3.0},
+    ])
+    run()
+    assert vt.versions() == [1, 2]
+    # latest reflects the refreshed live window + the new one...
+    v2 = {r.window_start.strftime("%H:%M"): (r.n_events, r.sum_value)
+          for r in vt.read().collect()}
+    assert v2 == {"10:00": (2, 6.0), "10:15": (1, 2.0), "11:00": (1, 3.0)}
+    # ...and the AS-OF read still answers with the pre-batch state
+    v1_again = {r.window_start.strftime("%H:%M"): r.n_events
+                for r in vt.read(1).collect()}
+    assert v1_again == {"10:00": 1, "10:15": 1}
