@@ -2034,7 +2034,66 @@ ORDER BY join_name
 """
 
 
+#: random-walk parameters shared by query + oracle
+_WALKS = {"n_walks": 4, "length": 8}
+
+
+def q_brand_random_walks(spark: SparkSession, sf: str) -> DataFrame:
+    """DeepWalk-style corpus generation over the brand co-occurrence
+    graph (``operators.walks``): 4 walks of length 8 from every
+    node, next-hop chosen by ``md5(walk:step:node) mod degree`` —
+    deterministic "randomness", so the walk CORPUS (the input a
+    graph-embedding trainer consumes) is value-checked end to end by
+    an unrolled 8-step SQL twin."""
+    from ..operators.walks import deterministic_walks
+
+    e = _brand_edges(spark, sf)
+    return deterministic_walks(e, **_WALKS).orderBy("walk_id")
+
+
+def sql_brand_random_walks() -> str:
+    steps = []
+    for s in range(_WALKS["length"]):
+        steps.append(f"""f{s + 1} AS (
+  SELECT f.walk_id, f.start, r.nxt AS cur, f.seq || '>' || r.nxt AS seq
+  FROM (
+    SELECT f0.walk_id, f0.start, f0.cur, f0.seq,
+           CAST(CAST(('0x' || substr(md5(f0.walk_id || ':' || {s}
+                        || ':' || f0.cur), 1, 13)) AS BIGINT)
+                % d.deg + 1 AS INT) AS pr
+    FROM f{s} f0 JOIN deg d ON d.node = f0.cur
+  ) f
+  JOIN ranked r ON r.node = f.cur AND r.rn = f.pr
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), e AS (
+  SELECT DISTINCT a.p_brand AS src, b.p_brand AS dst
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+), ranked AS (
+  SELECT src AS node, dst AS nxt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+              AS INT) AS rn
+  FROM e
+), deg AS (
+  SELECT node, MAX(rn) AS deg FROM ranked GROUP BY node
+), f0 AS (
+  SELECT node || '#' || w AS walk_id, node AS start,
+         node AS cur, node AS seq
+  FROM deg CROSS JOIN (SELECT unnest(range(0, {_WALKS["n_walks"]})) AS w)
+),
+{chain}
+SELECT walk_id, start, seq FROM f{_WALKS["length"]}
+ORDER BY walk_id
+"""
+
+
 SPARK_QUERIES = {
+    "brand_random_walks": q_brand_random_walks,
     "join_size_estimate": q_join_size_estimate,
     "temporal_split_leakage": q_temporal_split_leakage,
     "rolling_distinct_users": q_rolling_distinct_users,
@@ -2073,6 +2132,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "brand_random_walks": sql_brand_random_walks(),
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "temporal_split_leakage": SQL_TEMPORAL_SPLIT_LEAKAGE,
     "rolling_distinct_users": SQL_ROLLING_DISTINCT_USERS,
