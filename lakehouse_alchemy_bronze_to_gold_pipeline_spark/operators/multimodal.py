@@ -860,40 +860,52 @@ def synthesize_media_containers(
 
 
 def media_probe(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Container-metadata triage: magic-dispatch each payload to the
     MP4 box walk / MP3 frame-header probe / image decode (dims only)
     and emit one normalized metadata row — duration, dimensions,
     track/frame counts — WITHOUT decoding media data.  This is the
     routing step a 100 TB ingest runs on every object before deciding
-    which (expensive) decode fleet sees it."""
+    which (expensive) decode fleet sees it.
+
+    ``on_error="quarantine"`` routes malformed/unknown payloads to a
+    ``container='corrupt'`` row instead of failing the batch — the
+    badRecordsPath behavior real scrapes need (one rotten object must
+    not kill a million-object task); ``"raise"`` (default) keeps the
+    strict contract for curated inputs."""
     from .gifbmp import probe_mp3, probe_mp4
+
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine: {on_error!r}")
+
+    def probe_one(i: int, p: bytes):
+        if len(p) >= 8 and p[4:8] == b"ftyp":
+            m = probe_mp4(p)
+            return (i, "mp4", m["duration_ms"], m["width"],
+                    m["height"], m["n_video"] + m["n_audio"])
+        if p[:3] == b"ID3" or (
+            len(p) > 1 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+        ):
+            m = probe_mp3(p)
+            return (i, "mp3", m["duration_ms"],
+                    m["sample_rate"], m["bitrate_kbps"], m["n_frames"])
+        px = decode_image(p)
+        return (i, "image", 0, px.shape[1], px.shape[0], 1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                p = bytes(p)
-                if len(p) >= 8 and p[4:8] == b"ftyp":
-                    m = probe_mp4(p)
-                    rows.append(
-                        (int(i), "mp4", m["duration_ms"], m["width"],
-                         m["height"], m["n_video"] + m["n_audio"])
-                    )
-                elif p[:3] == b"ID3" or (
-                    len(p) > 1 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
-                ):
-                    m = probe_mp3(p)
-                    rows.append(
-                        (int(i), "mp3", m["duration_ms"],
-                         m["sample_rate"], m["bitrate_kbps"], m["n_frames"])
-                    )
-                else:
-                    px = decode_image(p)
-                    rows.append(
-                        (int(i), "image", 0, px.shape[1], px.shape[0], 1)
-                    )
+                try:
+                    rows.append(probe_one(int(i), bytes(p)))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    rows.append((int(i), "corrupt", 0, 0, 0, 0))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "container", "duration_ms", "dim0",

@@ -958,3 +958,27 @@ def test_ann_recall_report_floors(spark):
         # neighbor is always the query vector) -> recall@5 >= 0.2
         assert 0.2 <= r.recall_at_5 <= 1.0, r
         assert r.n_queries > 0
+
+
+def test_media_probe_quarantine(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.gifbmp import (
+        encode_mp3_stub,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.multimodal import (
+        media_probe,
+    )
+
+    rows = [
+        Row(doc_id=1, payload=bytearray(encode_mp3_stub(3))),
+        Row(doc_id=2, payload=bytearray(b"\xff\xfbgarbage-truncated")),
+        Row(doc_id=3, payload=bytearray(b"not media at all")),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.doc_id: r.container
+           for r in media_probe(df, on_error="quarantine").collect()}
+    assert got[1] == "mp3"
+    assert got[2] == "corrupt" or got[2] == "mp3"  # truncated sync
+    assert got[3] == "corrupt"
+    # strict mode still raises on the rotten object
+    with pytest.raises(Exception):
+        media_probe(df, on_error="raise").collect()
