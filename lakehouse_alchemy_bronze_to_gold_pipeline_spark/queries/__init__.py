@@ -32,7 +32,7 @@ _PRIORITY = (
     # never driver-certified (r5 additions + r4 llm_ops/corpus
     # additions + analytics entries the r4 window cut off)
     "feature_hash_embed", "join_size_estimate",
-    "brand_random_walks",
+    "brand_random_walks", "conversion_latency", "rfm_segmentation",
     "event_sequence_prep", "label_noise_scan",
     "context_budget_report",
     "bpe_train_report", "ann_recall_report", "ngram_novelty",

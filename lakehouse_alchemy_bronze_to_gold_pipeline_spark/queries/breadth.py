@@ -715,7 +715,167 @@ ORDER BY l_returnflag, bin
 """
 
 
+def q_conversion_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first 'signup' and
+    the FIRST 'purchase' after it; exact p50/p90/max latency (in
+    minutes) plus conversion counts — the product-analytics readout
+    next to the funnel's volume counts.
+
+    Shape: two filtered partial+final aggregates + ONE equi-join on
+    user_id (band as residual filter, same discipline as the
+    funnel), then a single global aggregate of per-user scalars."""
+    ev = load(spark, sf, "events")
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s_us"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_us")
+    )
+    lat = (
+        first_signup.join(purchases, "user_id")
+        .filter(F.col("p_us") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("p_us") - F.col("s_us")).alias("lat_us"))
+        .select((F.col("lat_us") / 60_000_000.0).alias("lat_min"))
+    )
+    p = lambda q: F.round(F.percentile(F.col("lat_min"), F.lit(q)), 4)
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        p(0.5).alias("p50_min"),
+        p(0.9).alias("p90_min"),
+        F.round(F.max("lat_min"), 4).alias("max_min"),
+    )
+
+
+SQL_CONVERSION_LATENCY = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), lat AS (
+  SELECT e.user_id,
+         MIN(epoch_us(e.ts) - s.s_us) / 60000000.0 AS lat_min
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.s_us
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(lat_min, 0.5), 4) AS p50_min,
+       ROUND(quantile_cont(lat_min, 0.9), 4) AS p90_min,
+       ROUND(MAX(lat_min), 4) AS max_min
+FROM lat
+"""
+
+
+def q_rfm_segmentation(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order),
+    frequency (order count), monetary (total spend) quintiles via
+    ntile over TOTAL orders (rowkey tiebreaks for cross-engine rank
+    stability), composed into the classic champion/loyal/at-risk
+    labels — the segmentation every CRM pipeline materializes.
+
+    Shape: one per-customer rollup, then quintile CUT POINTS from a
+    scalar percentile aggregate (broadcast) and bucket assignment as
+    a narrow CASE — deliberately NOT ntile, whose global window
+    would single-task the customer relation; boundary-bucketing
+    keeps the whole query partial+final aggregates.  (Boundary ties
+    bucket by value, not by equal counts — the scalable trade,
+    identical in both engines.)"""
+    o = load(spark, sf, "orders")
+    day = F.unix_date(F.col("o_orderdate").cast("date")).cast("bigint")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend"),
+    )
+    anchor = per_cust.agg(F.max("last_day").alias("d1"))
+    base = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        (F.col("d1") - F.col("last_day"))
+        .cast("double")
+        .alias("recency_days"),
+        F.col("freq").cast("double").alias("freq"),
+        "spend",
+    )
+    qs = F.array(F.lit(0.2), F.lit(0.4), F.lit(0.6), F.lit(0.8))
+    cuts = base.agg(
+        F.percentile(F.col("recency_days"), qs).alias("rc"),
+        F.percentile(F.col("freq"), qs).alias("fc"),
+        F.percentile(F.col("spend"), qs).alias("mc"),
+    )
+
+    def bucket(v, cut_col):
+        b = F.lit(1)
+        for i in range(4):
+            b = b + (v > F.element_at(F.col(cut_col), i + 1)).cast("int")
+        return b
+
+    scored = base.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        bucket(F.col("recency_days"), "rc").alias("r"),
+        (F.lit(6) - bucket(F.col("freq"), "fc")).alias("f"),
+        (F.lit(6) - bucket(F.col("spend"), "mc")).alias("m"),
+    )
+    seg = (
+        F.when((F.col("r") <= 2) & (F.col("f") <= 2), "champion")
+        .when(F.col("f") <= 2, "loyal")
+        .when(F.col("r") >= 4, "at_risk")
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", seg)
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+SQL_RFM_SEGMENTATION = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+           AS last_day,
+         CAST(COUNT(*) AS DOUBLE) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+), anchor AS (SELECT MAX(last_day) AS d1 FROM per_cust),
+base AS (
+  SELECT o_custkey, CAST(d1 - last_day AS DOUBLE) AS recency_days,
+         freq, spend
+  FROM per_cust CROSS JOIN anchor
+), cuts AS (
+  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+         quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fc,
+         quantile_cont(spend, [0.2, 0.4, 0.6, 0.8]) AS mc
+  FROM base
+), scored AS (
+  SELECT o_custkey,
+         1 + (recency_days > rc[1])::INT + (recency_days > rc[2])::INT
+           + (recency_days > rc[3])::INT + (recency_days > rc[4])::INT
+           AS r,
+         6 - (1 + (freq > fc[1])::INT + (freq > fc[2])::INT
+                + (freq > fc[3])::INT + (freq > fc[4])::INT) AS f,
+         6 - (1 + (spend > mc[1])::INT + (spend > mc[2])::INT
+                + (spend > mc[3])::INT + (spend > mc[4])::INT) AS m
+  FROM base CROSS JOIN cuts
+)
+SELECT CASE WHEN r <= 2 AND f <= 2 THEN 'champion'
+            WHEN f <= 2 THEN 'loyal'
+            WHEN r >= 4 THEN 'at_risk'
+            ELSE 'regular' END AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored
+GROUP BY 1
+ORDER BY segment
+"""
+
+
 SPARK_QUERIES = {
+    "conversion_latency": q_conversion_latency,
+    "rfm_segmentation": q_rfm_segmentation,
     "quantile_binning": q_quantile_binning,
     "snapshot_diff_orders": q_snapshot_diff_orders,
     "customer_entity_resolution": q_customer_entity_resolution,
@@ -733,6 +893,8 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "conversion_latency": SQL_CONVERSION_LATENCY,
+    "rfm_segmentation": SQL_RFM_SEGMENTATION,
     "quantile_binning": SQL_QUANTILE_BINNING,
     "snapshot_diff_orders": SQL_SNAPSHOT_DIFF_ORDERS,
     "customer_entity_resolution": SQL_CUSTOMER_ENTITY_RESOLUTION,
