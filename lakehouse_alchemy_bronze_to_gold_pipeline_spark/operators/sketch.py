@@ -72,3 +72,66 @@ def heavy_hitters(
         .orderBy(F.col("est").desc(), "value")
         .limit(k)
     )
+
+
+# --------------------------------------------------------------- CMS
+
+
+def cms_cells(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch build: (row, cell, cnt) — ``depth * width``
+    cells TOTAL, independent of item cardinality.
+
+    The complement to Misra-Gries above: MG answers "which values are
+    heavy", CMS answers "how often does value X occur" for ANY probe
+    with a one-sided error (never underestimates; overestimate
+    bounded by e*n/width at e^-depth probability — Cormode &
+    Muthukrishnan, public literature).  The build is one explode to
+    ``depth`` hashed rows + ONE groupBy over the fixed cell grid —
+    map-side combine collapses each partition to <= depth*width
+    partial rows, so the exchange is bounded no matter the corpus.
+
+    Hash rows use the repo's md5 idiom (``md5(r ':' item)`` top 52
+    bits mod width) so a DuckDB oracle replays build + probe
+    value-for-value — unlike xxhash64 or a library sketch.
+    """
+    r = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    rows = df.select(F.col(item_col).alias("__item"), r)
+    cell = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', "
+        "CAST(__item AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+        f" % {width}"
+    )
+    return (
+        rows.select("r", cell.alias("cell"))
+        .groupBy("r", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    cells: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point estimates for probe items: min over the ``depth`` hashed
+    cells.  The cell grid is <= depth*width rows — broadcast to the
+    probe side; the min collapses in one small groupBy."""
+    r = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    p = probes.select(F.col(item_col).alias("__item"), r)
+    cell = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', "
+        "CAST(__item AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+        f" % {width}"
+    )
+    joined = p.select("__item", "r", cell.alias("cell")).join(
+        F.broadcast(cells), ["r", "cell"], "left"
+    )
+    return (
+        joined.groupBy("__item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+        .select(F.col("__item").alias(item_col), "cms_est")
+    )

@@ -34,7 +34,8 @@ _PRIORITY = (
     # additions + analytics entries the r4 window cut off)
     "sole_late_supplier", "pair_containment", "zipf_fit_report",
     "tokenizer_fertility", "ann_hubness_report_sampled",
-    "weekly_stickiness",
+    "weekly_stickiness", "bloom_semijoin_prune",
+    "cms_bigram_accuracy", "weighted_reservoir_sample",
     "feature_hash_embed", "join_size_estimate",
     "brand_random_walks", "conversion_latency", "rfm_segmentation",
     "event_sequence_prep", "label_noise_scan",

@@ -500,20 +500,273 @@ ORDER BY week
 """
 
 
-SPARK_QUERIES = {
-    "sole_late_supplier": q_sole_late_supplier,
-    "pair_containment": q_pair_containment,
-    "zipf_fit_report": q_zipf_fit_report,
-    "tokenizer_fertility": q_tokenizer_fertility,
-    "ann_hubness_report_sampled": q_ann_hubness_report,
-    "weekly_stickiness": q_weekly_stickiness,
-}
+def _register() -> tuple[dict, dict]:
+    q = {
+        "sole_late_supplier": q_sole_late_supplier,
+        "pair_containment": q_pair_containment,
+        "zipf_fit_report": q_zipf_fit_report,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "ann_hubness_report_sampled": q_ann_hubness_report,
+        "weekly_stickiness": q_weekly_stickiness,
+        "bloom_semijoin_prune": q_bloom_semijoin_prune,
+        "cms_bigram_accuracy": q_cms_bigram_accuracy,
+        "weighted_reservoir_sample": q_weighted_reservoir_sample,
+    }
+    sql = {
+        "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
+        "pair_containment": _sql_pair_containment(),
+        "zipf_fit_report": SQL_ZIPF_FIT_REPORT,
+        "tokenizer_fertility": _sql_tokenizer_fertility(),
+        "ann_hubness_report_sampled": SQL_ANN_HUBNESS_REPORT,
+        "weekly_stickiness": SQL_WEEKLY_STICKINESS,
+        "bloom_semijoin_prune": SQL_BLOOM_SEMIJOIN_PRUNE,
+        "cms_bigram_accuracy": SQL_CMS_BIGRAM_ACCURACY,
+        "weighted_reservoir_sample": SQL_WEIGHTED_RESERVOIR_SAMPLE,
+    }
+    return q, sql
 
-ORACLE_SQL = {
-    "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
-    "pair_containment": _sql_pair_containment(),
-    "zipf_fit_report": SQL_ZIPF_FIT_REPORT,
-    "tokenizer_fertility": _sql_tokenizer_fertility(),
-    "ann_hubness_report_sampled": SQL_ANN_HUBNESS_REPORT,
-    "weekly_stickiness": SQL_WEEKLY_STICKINESS,
-}
+
+# ---------------------------------------------------------------------
+# bloom-filter semi-join reduction (runtime filter, self-measuring)
+# ---------------------------------------------------------------------
+
+_BLOOM_M = 1 << 13
+_BLOOM_K = 5
+
+
+def q_bloom_semijoin_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime-filter report: build a bloom filter over high-balance
+    customers' keys, prune orders with it BEFORE any join, and
+    measure what the exact semi-join would have kept — pass rate,
+    false positives, and the realized false-positive rate.  The
+    explicit, steerable, cross-engine-deterministic form of Spark's
+    own bloom runtime filter (see ``operators/bloom.py``); at 100 TB
+    the pruned side never pays shuffle cost for rows the filter
+    rejects, and the filter itself is O(m) bits regardless of build
+    cardinality."""
+    from ..operators.bloom import bloom_build, bloom_prune
+
+    cust = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select("c_custkey")
+    )
+    words = bloom_build(cust, "c_custkey", _BLOOM_M, _BLOOM_K)
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    n_pass = bloom_prune(
+        orders, "o_custkey", words, _BLOOM_M, _BLOOM_K
+    ).agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    n_true = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_true_match"))
+    n_probe = orders.agg(F.count(F.lit(1)).alias("n_probe"))
+    n_build = cust.agg(
+        F.countDistinct("c_custkey").alias("n_build_keys")
+    )
+    return (
+        n_build.crossJoin(F.broadcast(n_probe))
+        .crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_build_keys",
+            "n_probe",
+            "n_bloom_pass",
+            "n_true_match",
+            (F.col("n_bloom_pass") - F.col("n_true_match")).alias(
+                "n_false_pos"
+            ),
+            F.round(
+                (F.col("n_bloom_pass") - F.col("n_true_match")).cast(
+                    "double"
+                )
+                / (F.col("n_probe") - F.col("n_true_match")),
+                6,
+            ).alias("fpr"),
+        )
+    )
+
+
+SQL_BLOOM_SEMIJOIN_PRUNE = f"""
+WITH build AS (
+  SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal > 9500
+), bpos AS (
+  SELECT CAST(('0x' || substr(md5(i::VARCHAR || ':' || key::VARCHAR),
+                              1, 13)) AS BIGINT) % {_BLOOM_M} AS p
+  FROM build CROSS JOIN UNNEST(range(0, {_BLOOM_K})) AS u(i)
+), words AS (
+  SELECT p // 32 AS word,
+         bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM bpos GROUP BY 1
+), ppos AS (
+  SELECT o_orderkey, i,
+         CAST(('0x' || substr(md5(i::VARCHAR || ':'
+                                  || o_custkey::VARCHAR),
+                              1, 13)) AS BIGINT) % {_BLOOM_M} AS p
+  FROM orders CROSS JOIN UNNEST(range(0, {_BLOOM_K})) AS u(i)
+), passed AS (
+  SELECT o_orderkey
+  FROM ppos JOIN words ON word = p // 32
+       AND (bits & (1::BIGINT << CAST(p % 32 AS INT))) != 0
+  GROUP BY o_orderkey HAVING COUNT(*) = {_BLOOM_K}
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM build) AS n_build_keys,
+         (SELECT COUNT(*) FROM orders) AS n_probe,
+         (SELECT COUNT(*) FROM passed) AS n_bloom_pass,
+         (SELECT COUNT(*) FROM orders
+          WHERE o_custkey IN (SELECT key FROM build)) AS n_true_match
+)
+SELECT n_build_keys, n_probe, n_bloom_pass, n_true_match,
+       n_bloom_pass - n_true_match AS n_false_pos,
+       ROUND(CAST(n_bloom_pass - n_true_match AS DOUBLE)
+             / (n_probe - n_true_match), 6) AS fpr
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------
+# count-min sketch calibration over bigram frequencies
+# ---------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def q_cms_bigram_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min sketch calibration: estimate the 20 most frequent
+    adjacent word-bigrams from a depth x width cell grid and report
+    the (always >= 0) overestimate against exact counts — the
+    measure-don't-guess readout before trusting the sketch where the
+    exact bigram groupBy no longer fits (same role
+    ``minhash_accuracy`` plays for the dedup sketch).  The grid is
+    depth*width cells independent of vocabulary size; map-side
+    combine bounds the exchange (see ``operators/sketch.cms_cells``)."""
+    from ..operators.sketch import cms_cells, cms_estimate
+
+    d = load(spark, sf, "documents")
+    from ..functions.text import nonempty_tokens
+
+    toks = d.select(nonempty_tokens("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pair = F.zip_with(
+        F.slice("t", 1, F.size("t") - 1),
+        F.slice("t", 2, F.size("t") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bigrams = toks.select(F.explode(pair).alias("bigram"))
+    cells = cms_cells(bigrams, "bigram", _CMS_DEPTH, _CMS_WIDTH)
+    exact = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "bigram")
+        .limit(20)
+    )
+    est = cms_estimate(exact, cells, "bigram", _CMS_DEPTH, _CMS_WIDTH)
+    return (
+        exact.join(est, "bigram")
+        .select(
+            "bigram",
+            "exact_count",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+        )
+        .orderBy(F.col("exact_count").desc(), "bigram")
+    )
+
+
+SQL_CMS_BIGRAM_ACCURACY = f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), bigrams AS (
+  SELECT bg AS bigram
+  FROM toks,
+       UNNEST(list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1])) AS u(bg)
+  WHERE len(t) >= 2
+), cells AS (
+  SELECT r, CAST(('0x' || substr(md5(r::VARCHAR || ':' || bigram),
+                                 1, 13)) AS BIGINT) % {_CMS_WIDTH}
+              AS cell,
+         COUNT(*) AS cnt
+  FROM bigrams CROSS JOIN UNNEST(range(0, {_CMS_DEPTH})) AS u(r)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT bigram, COUNT(*) AS exact_count
+  FROM bigrams GROUP BY bigram
+  ORDER BY exact_count DESC, bigram LIMIT 20
+), est AS (
+  SELECT e.bigram,
+         MIN(COALESCE(c.cnt, 0)) AS cms_est
+  FROM exact e
+  CROSS JOIN UNNEST(range(0, {_CMS_DEPTH})) AS u(r)
+  LEFT JOIN cells c
+    ON c.r = u.r
+   AND c.cell = CAST(('0x' || substr(md5(u.r::VARCHAR || ':'
+                                         || e.bigram),
+                                     1, 13)) AS BIGINT) % {_CMS_WIDTH}
+  GROUP BY e.bigram
+)
+SELECT e.bigram, e.exact_count, est.cms_est,
+       est.cms_est - e.exact_count AS overestimate
+FROM exact e JOIN est ON est.bigram = e.bigram
+ORDER BY e.exact_count DESC, e.bigram
+"""
+
+
+# ---------------------------------------------------------------------
+# fixed-size weighted sampling without replacement (A-ES keys)
+# ---------------------------------------------------------------------
+
+_WRS_K = 25
+
+
+def q_weighted_reservoir_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement via
+    Efraimidis–Spirakis exponential keys: key = -ln(u)/w with u a
+    deterministic md5 uniform — the k smallest keys ARE a weighted
+    k-sample.  Complements ``doc_weighted_sample`` (Bernoulli, size
+    in expectation only): training-mix builders that must hit an
+    EXACT document budget need this form.  Scale: one narrow pass +
+    TakeOrdered(k) — per-partition top-k then a driver merge of k
+    rows per partition; no sort, no shuffle of the corpus.
+    Determinism: u is a pure function of doc_id, so the sample is
+    reshard/engine-independent and the DuckDB oracle reproduces it
+    value-for-value."""
+    d = load(spark, sf, "documents")
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('wrs:', "
+            "CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+        ).cast("double")
+        + 1.0
+    ) / float(1 << 52)
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("weight"),
+            F.round(key, 9).alias("es_key"),
+        )
+        .orderBy("es_key", "doc_id")
+        .limit(_WRS_K)
+    )
+
+
+SQL_WEIGHTED_RESERVOIR_SAMPLE = f"""
+SELECT doc_id, source, n_chars AS weight,
+       ROUND(-ln((CAST(('0x' || substr(md5('wrs:' || doc_id::VARCHAR),
+                                       1, 13)) AS BIGINT)::DOUBLE + 1.0)
+                 / {float(1 << 52)})
+             / n_chars::DOUBLE, 9) AS es_key
+FROM documents
+ORDER BY es_key, doc_id
+LIMIT {_WRS_K}
+"""
+
+
+SPARK_QUERIES, ORACLE_SQL = _register()
