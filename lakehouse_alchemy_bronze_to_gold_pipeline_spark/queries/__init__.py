@@ -36,6 +36,8 @@ _PRIORITY = (
     "tokenizer_fertility", "ann_hubness_report_sampled",
     "weekly_stickiness", "bloom_semijoin_prune",
     "cms_bigram_accuracy", "weighted_reservoir_sample",
+    "dow_seasonality", "ordered_funnel_3step",
+    "brand_label_propagation",
     "feature_hash_embed", "join_size_estimate",
     "brand_random_walks", "conversion_latency", "rfm_segmentation",
     "event_sequence_prep", "label_noise_scan",

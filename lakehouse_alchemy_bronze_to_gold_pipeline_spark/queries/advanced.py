@@ -500,6 +500,237 @@ ORDER BY week
 """
 
 
+
+# ---------------------------------------------------------------------
+# day-of-week seasonality index
+# ---------------------------------------------------------------------
+
+
+def q_dow_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Day-of-week seasonality index of order revenue: per-dow
+    revenue against the uniform 1/7 share — the quick seasonal
+    profile that calibrates traffic forecasts and anomaly baselines.
+    Exact decimal sums; the index divides two exact aggregates at
+    the edge.  One groupBy + a 1-row total broadcast."""
+    from .core import _dec_sum
+
+    o = load(spark, sf, "orders")
+    per = o.groupBy(
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum(F.col("o_totalprice"), 2, "revenue"),
+    )
+    total = per.agg(
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_rev")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "n_orders",
+            "revenue",
+            F.round(
+                F.col("revenue") * 7.0 / F.col("total_rev"), 6
+            ).alias("seasonality_idx"),
+        )
+        .orderBy("dow")
+    )
+
+
+SQL_DOW_SEASONALITY = """
+WITH per AS (
+  SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_rev
+  FROM per
+)
+SELECT dow, n_orders, revenue,
+       ROUND(revenue * 7.0 / total_rev, 6) AS seasonality_idx
+FROM per CROSS JOIN total
+ORDER BY dow
+"""
+
+
+# ---------------------------------------------------------------------
+# strictly-ordered three-step funnel
+# ---------------------------------------------------------------------
+
+
+def q_ordered_funnel_3step(spark: SparkSession, sf: str) -> DataFrame:
+    """Strictly-ordered signup -> click -> purchase funnel: each
+    user's first signup, first click AFTER that signup, first
+    purchase AFTER that click — per-step reach and conversion.
+
+    Decorrelated chain: three min-aggregates and two equi-joins, ALL
+    keyed on user_id — the sequential "first X after Y" predicates
+    are residual filters on co-partitioned joins, never time-range
+    join conditions (which would nested-loop).  At scale the chain
+    reuses one user_id exchange lineage end to end."""
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts_us")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts_us") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_us"))
+    )
+    ns = s.agg(F.count(F.lit(1)).alias("n_signup"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_after"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_after"))
+    return (
+        ns.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_signup",
+            "n_click_after",
+            "n_purchase_after",
+            F.round(
+                F.col("n_click_after").cast("double") / F.col("n_signup"),
+                6,
+            ).alias("rate_click"),
+            F.round(
+                F.col("n_purchase_after").cast("double")
+                / F.col("n_click_after"),
+                6,
+            ).alias("rate_purchase"),
+            F.round(
+                F.col("n_purchase_after").cast("double")
+                / F.col("n_signup"),
+                6,
+            ).alias("rate_overall"),
+        )
+    )
+
+
+SQL_ORDERED_FUNNEL_3STEP = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.s_us
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM c) AS n_click_after,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after,
+       ROUND((SELECT COUNT(*) FROM c)::DOUBLE
+             / (SELECT COUNT(*) FROM s), 6) AS rate_click,
+       ROUND((SELECT COUNT(*) FROM p)::DOUBLE
+             / (SELECT COUNT(*) FROM c), 6) AS rate_purchase,
+       ROUND((SELECT COUNT(*) FROM p)::DOUBLE
+             / (SELECT COUNT(*) FROM s), 6) AS rate_overall
+"""
+
+
+# ---------------------------------------------------------------------
+# label-propagation communities on the brand graph
+# ---------------------------------------------------------------------
+
+_LPA_ITERS = 4
+
+
+def q_brand_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Synchronous label propagation (4 rounds) on the weighted
+    brand co-occurrence graph: each round every node adopts the
+    label with the highest incident edge weight (tie -> smallest
+    label) — deterministic community detection, the fourth graph
+    primitive next to PageRank / triangles / connected components.
+
+    Scale: each round is ONE equi-join (edge dst -> label) + ONE
+    groupBy vote + a node-partitioned rank window; rounds are
+    chained lazily over the persisted edge relation, so the graph
+    builds once.  Oracle: all rounds unrolled as generated CTEs."""
+    from .analytics import _brand_edges
+
+    edges = _brand_edges(spark, sf).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct()
+    labels = labels.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("wsum").desc(), F.col("label")
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), "label"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select(
+        F.col("node").alias("brand"), F.col("label").alias("community")
+    ).orderBy("brand")
+
+
+def _sql_label_propagation() -> str:
+    prev = "l0"
+    its = []
+    for i in range(1, _LPA_ITERS + 1):
+        its.append(f"""
+v{i} AS (
+  SELECT e.src AS node, l.label, SUM(e.w) AS wsum
+  FROM edges e JOIN {prev} l ON l.node = e.dst
+  GROUP BY 1, 2
+), l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY wsum DESC, label) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    iters = ",".join(its)
+    return f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS k, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), edges AS (
+  SELECT a.p_brand AS src, b.p_brand AS dst, COUNT(*)::DOUBLE AS w
+  FROM ob a JOIN ob b USING (k)
+  WHERE a.p_brand != b.p_brand
+  GROUP BY 1, 2
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+),{iters}
+SELECT node AS brand, label AS community FROM {prev} ORDER BY brand
+"""
+
+
 def _register() -> tuple[dict, dict]:
     q = {
         "sole_late_supplier": q_sole_late_supplier,
@@ -511,6 +742,9 @@ def _register() -> tuple[dict, dict]:
         "bloom_semijoin_prune": q_bloom_semijoin_prune,
         "cms_bigram_accuracy": q_cms_bigram_accuracy,
         "weighted_reservoir_sample": q_weighted_reservoir_sample,
+        "dow_seasonality": q_dow_seasonality,
+        "ordered_funnel_3step": q_ordered_funnel_3step,
+        "brand_label_propagation": q_brand_label_propagation,
     }
     sql = {
         "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
@@ -522,6 +756,9 @@ def _register() -> tuple[dict, dict]:
         "bloom_semijoin_prune": SQL_BLOOM_SEMIJOIN_PRUNE,
         "cms_bigram_accuracy": SQL_CMS_BIGRAM_ACCURACY,
         "weighted_reservoir_sample": SQL_WEIGHTED_RESERVOIR_SAMPLE,
+        "dow_seasonality": SQL_DOW_SEASONALITY,
+        "ordered_funnel_3step": SQL_ORDERED_FUNNEL_3STEP,
+        "brand_label_propagation": _sql_label_propagation(),
     }
     return q, sql
 

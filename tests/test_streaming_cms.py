@@ -1,0 +1,86 @@
+"""Streaming CMS rollup: two incremental runs must produce EXACTLY
+the cell grid one batch build over the union produces — the additive
+mergeability that justifies maintaining a frequency sketch
+incrementally instead of re-aggregating history.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.sketch import (
+    cms_cells,
+    cms_estimate,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.tables import (
+    TableIO,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.sketch_rollup import (
+    streaming_cms,
+)
+
+SCHEMA = StructType([StructField("item", StringType())])
+DEPTH, WIDTH = 4, 32
+
+
+def _write(dirpath, name, items):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for it in items:
+            f.write(json.dumps({"item": it}) + "\n")
+
+
+def test_streaming_cms_equals_batch_union(spark, tmp_path):
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("cms_stream_cells",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    io = TableIO(spark, fmt="parquet")
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+
+    batch1 = ["a", "b", "a", "c", "d", "a"]
+    batch2 = ["b", "b", "e", "a", "f", "f", "f"]
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(src)
+        q = streaming_cms(
+            stream, io, "cms_stream_cells", "item", cp,
+            depth=DEPTH, width=WIDTH,
+        ).start()
+        q.awaitTermination(120)
+
+    _write(src, "b1.json", batch1)
+    run()
+    _write(src, "b2.json", batch2)
+    run()  # checkpoint: b1 not double-counted
+
+    union = spark.createDataFrame(
+        [(x,) for x in batch1 + batch2], SCHEMA
+    )
+    want = {
+        (r["r"], r["cell"]): r["cnt"]
+        for r in cms_cells(union, "item", DEPTH, WIDTH).collect()
+    }
+    got = {
+        (r["r"], r["cell"]): r["cnt"]
+        for r in io.read("cms_stream_cells").collect()
+    }
+    assert got == want, "streamed cells != batch cells over the union"
+
+    # and the merged sketch answers point queries with the one-sided
+    # guarantee over ALL history
+    probes = spark.createDataFrame([("a",), ("f",), ("zz",)], SCHEMA)
+    est = {
+        r["item"]: r["cms_est"]
+        for r in cms_estimate(
+            probes, io.read("cms_stream_cells"), "item", DEPTH, WIDTH
+        ).collect()
+    }
+    assert est["a"] >= 4 and est["f"] >= 3 and est["zz"] >= 0
