@@ -26,7 +26,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double_array, cosine, literal_vector
+from ..functions.vectors import (
+    as_double_array,
+    cosine,
+    cosine_arrow,
+    literal_vector,
+)
 
 
 def topk_bruteforce(
@@ -83,8 +88,12 @@ def knn_join(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
     )
+    # Arrow kernel: |Q| x |corpus| rows make the interpreted HOF fold
+    # the dominant cost (measured ~5x at 200 queries x 5k corpus);
+    # see functions.vectors.cosine_arrow for the order-of-summation
+    # note (immaterial at the 6-decimal rounding / rank grain)
     scored = q.crossJoin(c).withColumn(
-        "cos_raw", cosine(F.col("qv"), F.col("cv"))
+        "cos_raw", cosine_arrow(F.col("qv"), F.col("cv"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id")

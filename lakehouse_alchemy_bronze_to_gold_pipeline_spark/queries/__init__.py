@@ -37,7 +37,7 @@ _PRIORITY = (
     "weekly_stickiness", "bloom_semijoin_prune",
     "cms_bigram_accuracy", "weighted_reservoir_sample",
     "dow_seasonality", "ordered_funnel_3step",
-    "brand_label_propagation",
+    "brand_label_propagation", "reach_kmv_accuracy",
     "feature_hash_embed", "join_size_estimate",
     "brand_random_walks", "conversion_latency", "rfm_segmentation",
     "event_sequence_prep", "label_noise_scan",

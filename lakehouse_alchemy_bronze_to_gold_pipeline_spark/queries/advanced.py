@@ -128,19 +128,37 @@ def q_pair_containment(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    na, nb = F.size("sh_a"), F.size("sh_b")
-    scored = (
+    # materialize (inter, na, nb) ONCE per pair: the three ratios AND
+    # the filter below all reference inter — left as expressions,
+    # CollapseProject inlines the array_intersect into every use
+    # (~5 evaluations/row, measured ~4 s extra at sf0.1); the persist
+    # is pair-sized and forces single evaluation
+    base = (
         pairs.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                inter.cast("double") / (na + nb - inter), 6
-            ).alias("jaccard"),
-            F.round(inter.cast("double") / na, 6).alias("cont_a"),
-            F.round(inter.cast("double") / nb, 6).alias("cont_b"),
+            inter.alias("i"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
         )
+        .persist()
+    )
+    scored = base.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")),
+            6,
+        ).alias("jaccard"),
+        F.round(F.col("i").cast("double") / F.col("na"), 6).alias(
+            "cont_a"
+        ),
+        F.round(F.col("i").cast("double") / F.col("nb"), 6).alias(
+            "cont_b"
+        ),
     )
     rel = (
         F.when(F.col("jaccard") >= 0.5, F.lit("near_dup"))
@@ -731,6 +749,130 @@ SELECT node AS brand, label AS community FROM {prev} ORDER BY brand
 """
 
 
+
+# ---------------------------------------------------------------------
+# KMV distinct sketch: the oracle-checkable twin of the HLL reach
+# ---------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def q_reach_kmv_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-user reach per event type via a K-Minimum-Values
+    sketch, with exact counts and realized relative error alongside
+    — the oracle-checkable twin of ``user_reach_sketch`` (HLL is
+    library-internal and not value-reproducible; KMV is pure md5 +
+    order statistics, so DuckDB replays it bit-for-bit).
+
+    Two-level mergeable shape, same as the HLL query: per-(type,
+    day) k-smallest distinct hash arrays (a persistable day-grain
+    summary), then a per-type merge of the day arrays — distinct →
+    rank → k-th value — WITHOUT touching raw events again.  The
+    estimator is (k-1)/u_k with u_k the k-th smallest normalized
+    hash (Bar-Yossef et al., public literature); sigma ≈
+    1/sqrt(k-2).  Every step is built-ins; bounded per-group state
+    is enforced by the rank-before-collect (≤ k rows per group
+    cross the aggregate)."""
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.expr("ts_us DIV 86400000000").alias("day"),
+        "user_id",
+    )
+    h = F.expr(
+        "CAST(conv(substring(md5(concat('kmv:', "
+        "CAST(user_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    )
+    hashed = ev.select("event_type", "day", h.alias("h")).distinct()
+    wd = Window.partitionBy("event_type", "day").orderBy("h")
+    daily = (
+        hashed.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type", "day")
+        .agg(F.sort_array(F.collect_list("h")).alias("ks"))
+    )
+    # merge day summaries per type: distinct -> rank -> k-th value
+    wt = Window.partitionBy("event_type").orderBy("h")
+    merged = (
+        daily.select("event_type", F.explode("ks").alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_min"),
+            F.max("h").alias("h_k"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    est = F.when(
+        F.col("n_min") < _KMV_K, F.col("n_min").cast("double")
+    ).otherwise(
+        (_KMV_K - 1) * 4503599627370496.0 / (F.col("h_k") + 1)
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.round(est, 4).alias("kmv_est"),
+            F.round(
+                F.abs(est - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_REACH_KMV_ACCURACY = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, user_id
+  FROM events
+), hashed AS (
+  SELECT DISTINCT event_type, day,
+         CAST(('0x' || substr(md5('kmv:' || user_id::VARCHAR),
+                              1, 13)) AS BIGINT) AS h
+  FROM ev
+), ranked AS (
+  SELECT event_type, day, h,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY h) AS rn
+  FROM hashed
+), daily AS (
+  SELECT event_type, day, list_sort(list(h)) AS ks
+  FROM ranked WHERE rn <= {_KMV_K}
+  GROUP BY event_type, day
+), pool AS (
+  SELECT DISTINCT event_type, u.h
+  FROM daily, UNNEST(ks) AS u(h)
+), ranked2 AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM pool
+), merged AS (
+  SELECT event_type, COUNT(*) AS n_min, MAX(h) AS h_k
+  FROM ranked2 WHERE rn <= {_KMV_K}
+  GROUP BY event_type
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM ev GROUP BY event_type
+)
+SELECT m.event_type, e.exact_users,
+       ROUND(CASE WHEN m.n_min < {_KMV_K} THEN m.n_min::DOUBLE
+                  ELSE ({_KMV_K} - 1) * 4503599627370496.0
+                       / (m.h_k + 1) END, 4) AS kmv_est,
+       ROUND(ABS(CASE WHEN m.n_min < {_KMV_K} THEN m.n_min::DOUBLE
+                      ELSE ({_KMV_K} - 1) * 4503599627370496.0
+                           / (m.h_k + 1) END - e.exact_users)
+             / e.exact_users, 4) AS rel_err
+FROM merged m JOIN exact e USING (event_type)
+ORDER BY m.event_type
+"""
+
+
 def _register() -> tuple[dict, dict]:
     q = {
         "sole_late_supplier": q_sole_late_supplier,
@@ -745,6 +887,7 @@ def _register() -> tuple[dict, dict]:
         "dow_seasonality": q_dow_seasonality,
         "ordered_funnel_3step": q_ordered_funnel_3step,
         "brand_label_propagation": q_brand_label_propagation,
+        "reach_kmv_accuracy": q_reach_kmv_accuracy,
     }
     sql = {
         "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
@@ -759,6 +902,7 @@ def _register() -> tuple[dict, dict]:
         "dow_seasonality": SQL_DOW_SEASONALITY,
         "ordered_funnel_3step": SQL_ORDERED_FUNNEL_3STEP,
         "brand_label_propagation": _sql_label_propagation(),
+        "reach_kmv_accuracy": SQL_REACH_KMV_ACCURACY,
     }
     return q, sql
 

@@ -88,6 +88,49 @@ class VersionedTable:
             dirs = [data_dir]
         return self._commit(dirs, mode, df.schema.simpleString())
 
+    def compact(self) -> int:
+        """Rewrite the CURRENT snapshot into a single fresh data
+        directory and commit it — the log-structured compaction that
+        keeps append-heavy tables from accumulating one directory per
+        commit (Delta OPTIMIZE's role).  Old versions still resolve
+        until ``vacuum`` drops them; readers never block."""
+        nxt = (self.versions() or [0])[-1] + 1
+        data_dir = os.path.join(self.path, "data", f"v{nxt}")
+        df = self.read()
+        df.write.mode("overwrite").parquet(data_dir)
+        return self._commit(
+            [data_dir], "compact", df.schema.simpleString()
+        )
+
+    def vacuum(self, keep_last: int = 2) -> dict:
+        """Retention: drop all but the last ``keep_last`` manifests
+        and delete every data directory no RETAINED manifest
+        references (Delta VACUUM's role).  Time travel to vacuumed
+        versions raises; retained versions — including restores that
+        point at old directories — keep every directory they
+        reference, because deletion is computed from the retained
+        manifests' union, never from age."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        keep, drop = vs[-keep_last:], vs[:-keep_last]
+        referenced = set()
+        for v in keep:
+            referenced.update(self._manifest(v)["dirs"])
+        deleted_dirs = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                full = os.path.join(data_root, d)
+                if full not in referenced:
+                    shutil.rmtree(full)
+                    deleted_dirs += 1
+        for v in drop:
+            os.remove(os.path.join(self._mdir, f"v{v}.json"))
+        return {"dropped_versions": len(drop), "deleted_dirs": deleted_dirs}
+
     def restore(self, version: int) -> int:
         """Roll back: commit a new version with ``version``'s
         directory list — no data movement."""

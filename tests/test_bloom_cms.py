@@ -108,3 +108,20 @@ def test_weighted_sample_matches_reference(spark):
     want = [doc_id for _, doc_id in keyed[:25]]
     assert [r["doc_id"] for r in got] == want
     assert len(got) == 25
+
+
+def test_kmv_error_bound(spark):
+    """KMV sigma is ~1/sqrt(k-2) (~12.7% at k=64); assert the
+    realized per-type error stays inside 4 sigma on the fixture."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import (
+        SPARK_QUERIES,
+    )
+
+    rows = SPARK_QUERIES["reach_kmv_accuracy"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert r["rel_err"] <= 4 / (64 - 2) ** 0.5, (
+            r["event_type"], r["rel_err"],
+        )

@@ -65,7 +65,10 @@ _CARTESIAN_OK = {"embedding_top_pairs", "embedding_neardup", "knn_join",
 _DEEP_OK = {"brand_pagerank", "dedup_clusters", "dedup_keep_canonical",
             "embedding_kmeans_profile", "bpe_train_report",
             "training_corpus_prep", "source_dup_matrix",
-            "ann_recall_report", "brand_triangles"}
+            "ann_recall_report", "brand_triangles",
+            # 4 unrolled LPA rounds: join + vote groupBy + rank per
+            # round by construction (same class as pagerank)
+            "brand_label_propagation"}
 
 
 def test_whole_registry_lints_clean(spark):

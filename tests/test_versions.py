@@ -52,3 +52,47 @@ def test_versioned_table_append_is_delta_only(spark, tmp_path):
     vt.restore(1)
     after = {d: sorted(os.listdir(d)) for d in dirs}
     assert before == after
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.versions import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "vt"))
+    vt.write(spark.range(0, 3), "overwrite")           # v1
+    vt.write(spark.range(3, 5), "append")              # v2
+    vt.write(spark.range(5, 6), "append")              # v3
+    assert vt.read().count() == 6
+
+    v4 = vt.compact()                                  # one dir
+    m = vt._manifest(v4)
+    assert len(m["dirs"]) == 1 and m["op"] == "compact"
+    assert sorted(r["id"] for r in vt.read().collect()) == list(range(6))
+    # pre-compact versions still travel
+    assert vt.read(2).count() == 5
+
+    stats = vt.vacuum(keep_last=1)
+    assert stats["dropped_versions"] == 3
+    # v1..v3's delta dirs are gone; the compacted dir survives
+    assert stats["deleted_dirs"] == 3
+    assert vt.read().count() == 6
+    import pytest as _pt
+
+    with _pt.raises(FileNotFoundError):
+        vt.read(2)
+
+
+def test_vacuum_keeps_dirs_referenced_by_restores(spark, tmp_path):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.versions import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "vt2"))
+    vt.write(spark.range(0, 4), "overwrite")           # v1 -> data/v1
+    vt.write(spark.range(9, 10), "overwrite")          # v2 -> data/v2
+    vt.restore(1)                                      # v3 -> refs data/v1
+    stats = vt.vacuum(keep_last=1)                     # keep only v3
+    # data/v1 is referenced by the RETAINED restore manifest: kept
+    assert stats["deleted_dirs"] == 1                  # only data/v2
+    assert sorted(r["id"] for r in vt.read().collect()) == [0, 1, 2, 3]
