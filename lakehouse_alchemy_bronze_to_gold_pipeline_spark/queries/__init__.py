@@ -38,6 +38,8 @@ _PRIORITY = (
     "cms_bigram_accuracy", "weighted_reservoir_sample",
     "dow_seasonality", "ordered_funnel_3step",
     "brand_label_propagation", "reach_kmv_accuracy",
+    "top_supplier_revenue", "nation_revenue_share",
+    "doc_cleaning_report",
     "feature_hash_embed", "join_size_estimate",
     "brand_random_walks", "conversion_latency", "rfm_segmentation",
     "event_sequence_prep", "label_noise_scan",

@@ -873,6 +873,212 @@ ORDER BY m.event_type
 """
 
 
+
+# ---------------------------------------------------------------------
+# Q15-shape: scalar-subquery-equality (the max-of-aggregate filter)
+# ---------------------------------------------------------------------
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier(s) whose lineitem revenue equals the maximum over all
+    suppliers (TPC-H Q15 shape: a view-aggregate filtered by its own
+    scalar MAX subquery).  Decorrelated Spark-first: ONE per-supplier
+    aggregate, a 1-row MAX broadcast by crossJoin, and an equality
+    filter on EXACT decimal revenue (double revenue would make
+    "equals the max" engine-dependent).  Ties all surface — the
+    shape returns every argmax row, not an arbitrary first."""
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(18,4)")
+        ).alias("rev")
+    )
+    mx = rev.agg(F.max("rev").alias("max_rev"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("rev") == F.col("max_rev")
+    )
+    return (
+        top.join(s, top["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("s_name").alias("supplier_name"),
+            F.col("rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("supplier_name")
+    )
+
+
+SQL_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS rev
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_name AS supplier_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev = (SELECT MAX(rev) FROM rev)
+ORDER BY supplier_name
+"""
+
+
+# ---------------------------------------------------------------------
+# percent-of-total via window (ratio_to_report)
+# ---------------------------------------------------------------------
+
+
+def q_nation_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Each nation's share of its region's order revenue — the
+    ratio_to_report / percent-of-total window: one grouped aggregate
+    to nation grain, then a region-partitioned window SUM as the
+    denominator (no self-join, no second scan).  Shares divide two
+    exact decimal sums at the edge."""
+    from .core import _dec_sum
+
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf, "region").select("r_regionkey", "r_name")
+    nat = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(_dec_sum(F.col("o_totalprice"), 2, "revenue"))
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(
+            F.col("revenue")
+            / F.sum(F.col("revenue").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double"),
+            6,
+        ).alias("region_share"),
+    ).orderBy("region", "nation")
+
+
+SQL_NATION_REVENUE_SHARE = """
+WITH nat AS (
+  SELECT r_name AS region, n_name AS nation,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT region, nation, revenue,
+       ROUND(revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                            OVER (PARTITION BY region) AS DOUBLE), 6)
+         AS region_share
+FROM nat ORDER BY region, nation
+"""
+
+
+# ---------------------------------------------------------------------
+# encoding-hygiene cleaning pass (deterministic injection, like PII)
+# ---------------------------------------------------------------------
+
+_MOJIBAKE = "\u00c3\u00a9"  # 'e-acute' seen through a latin-1 window
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def q_doc_cleaning_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding-hygiene pass — the cleaning stage between scraping
+    and tokenization: count and strip control characters, detect
+    classic UTF-8-seen-as-latin-1 mojibake, measure the non-ASCII
+    ratio, and account for bytes removed per source.
+
+    The synthetic corpus is clean ASCII, so (the PII-report
+    precedent) every 4th document gets a deterministic doc_id-derived
+    blemish appended first — a control char and a mojibake pair —
+    giving the detectors real matches with reproducible counts while
+    untouched docs prove the no-op path.  One narrow JVM-side regex
+    pass + one per-source aggregate, no UDF."""
+    d = load(spark, sf, "documents")
+    blemish = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit("\x07 caf" + _MOJIBAKE),
+        ),
+    ).otherwise(F.col("text"))
+    t = d.select("source", "doc_id", blemish.alias("t"))
+    n_ctrl = F.size(F.regexp_extract_all("t", F.lit(_CTRL_RE), 0))
+    n_moji = F.size(
+        F.regexp_extract_all("t", F.lit(_MOJIBAKE), 0)
+    )
+    cleaned = F.regexp_replace(
+        F.regexp_replace("t", _MOJIBAKE, "\u00e9"), _CTRL_RE, ""
+    )
+    n_nonascii = F.size(
+        F.regexp_extract_all("t", F.lit(r"[^\x00-\x7f]"), 0)
+    )
+    per = t.select(
+        "source",
+        n_ctrl.alias("nc"),
+        n_moji.alias("nm"),
+        n_nonascii.alias("na"),
+        (F.length("t") - F.length(cleaned)).alias("removed"),
+        F.length("t").alias("len"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").alias("n_control_chars"),
+            F.sum("nm").alias("n_mojibake"),
+            F.round(
+                F.sum("na").cast("double") / F.sum("len"), 6
+            ).alias("nonascii_ratio"),
+            F.sum("removed").alias("chars_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOC_CLEANING_REPORT = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || chr(7) || ' caf' || chr(195) || chr(169)
+              ELSE text END AS t
+  FROM documents
+), per AS (
+  SELECT source,
+         len(regexp_extract_all(t,
+             '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS nc,
+         len(regexp_extract_all(t, chr(195) || chr(169))) AS nm,
+         len(regexp_extract_all(t, '[^\x00-\x7f]')) AS na,
+         length(t) - length(
+           regexp_replace(
+             regexp_replace(t, chr(195) || chr(169), chr(233), 'g'),
+             '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')
+         ) AS removed,
+         length(t) AS len
+  FROM t
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS n_control_chars,
+       CAST(SUM(nm) AS BIGINT) AS n_mojibake,
+       ROUND(CAST(SUM(na) AS DOUBLE) / SUM(len), 6) AS nonascii_ratio,
+       CAST(SUM(removed) AS BIGINT) AS chars_removed
+FROM per GROUP BY source ORDER BY source
+"""
+
+
 def _register() -> tuple[dict, dict]:
     q = {
         "sole_late_supplier": q_sole_late_supplier,
@@ -888,6 +1094,9 @@ def _register() -> tuple[dict, dict]:
         "ordered_funnel_3step": q_ordered_funnel_3step,
         "brand_label_propagation": q_brand_label_propagation,
         "reach_kmv_accuracy": q_reach_kmv_accuracy,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "nation_revenue_share": q_nation_revenue_share,
+        "doc_cleaning_report": q_doc_cleaning_report,
     }
     sql = {
         "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
@@ -903,6 +1112,9 @@ def _register() -> tuple[dict, dict]:
         "ordered_funnel_3step": SQL_ORDERED_FUNNEL_3STEP,
         "brand_label_propagation": _sql_label_propagation(),
         "reach_kmv_accuracy": SQL_REACH_KMV_ACCURACY,
+        "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
+        "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
+        "doc_cleaning_report": SQL_DOC_CLEANING_REPORT,
     }
     return q, sql
 

@@ -86,3 +86,78 @@ def streaming_cms(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def merge_kmv_batch(
+    batch: DataFrame,
+    io: TableIO,
+    table: str,
+    group_col: str,
+    item_col: str,
+    k: int = 64,
+) -> None:
+    """Merge one batch into a per-group KMV summary table (<= k
+    distinct minimum hashes per group): hash the batch's items,
+    union with the stored summary, keep the k smallest distinct per
+    group.  KMV merge = k-min of the union — the same additive story
+    as the CMS above, for distinct counts."""
+    from pyspark.sql import Window
+
+    spark = batch.sparkSession
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('kmv:', "
+        f"CAST({item_col} AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    )
+    fresh = batch.select(
+        F.col(group_col).alias("grp"), h.alias("h")
+    ).distinct()
+    if spark.catalog.tableExists(table):
+        fresh = io.read(table).unionByName(fresh).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    merged = (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+    tmp = f"{table}__kmv_tmp"
+    merged.write.format(io.fmt).mode("overwrite").saveAsTable(tmp)
+    io.write_overwrite(spark.read.table(tmp), table)
+    spark.sql(f"DROP TABLE {tmp}")
+    spark.catalog.refreshTable(table)
+    io.spark.catalog.refreshTable(table)
+
+
+def kmv_estimates(summary: DataFrame, k: int = 64) -> DataFrame:
+    """(grp, est_distinct) from a KMV summary table: exact count if
+    a group holds < k hashes, else (k-1)/u_k."""
+    agg = summary.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_min"), F.max("h").alias("h_k")
+    )
+    est = F.when(
+        F.col("n_min") < k, F.col("n_min").cast("double")
+    ).otherwise((k - 1) * 4503599627370496.0 / (F.col("h_k") + 1))
+    return agg.select("grp", F.round(est, 4).alias("est_distinct"))
+
+
+def streaming_kmv(
+    stream: DataFrame,
+    io: TableIO,
+    table: str,
+    group_col: str,
+    item_col: str,
+    checkpoint: str,
+    k: int = 64,
+):
+    """writeStream maintaining a per-group KMV distinct sketch of
+    every item ever streamed — state <= k rows per group forever."""
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_kmv_batch(batch, io, table, group_col, item_col, k)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

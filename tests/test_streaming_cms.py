@@ -84,3 +84,67 @@ def test_streaming_cms_equals_batch_union(spark, tmp_path):
         ).collect()
     }
     assert est["a"] >= 4 and est["f"] >= 3 and est["zz"] >= 0
+
+
+def test_streaming_kmv_equals_batch_union(spark, tmp_path):
+    from pyspark.sql.types import LongType
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.sketch_rollup import (
+        kmv_estimates,
+        merge_kmv_batch,
+        streaming_kmv,
+    )
+
+    schema = StructType(
+        [StructField("grp", StringType()), StructField("uid", LongType())]
+    )
+    for t in ("kmv_stream_sum",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    io = TableIO(spark, fmt="parquet")
+    src, cp = str(tmp_path / "ksrc"), str(tmp_path / "kcp")
+
+    b1 = [("a", i) for i in range(40)] + [("b", i) for i in range(5)]
+    b2 = [("a", i) for i in range(20, 90)] + [("b", 99)]
+
+    def _w(name, rows):
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "w") as f:
+            for g, u in rows:
+                f.write(json.dumps({"grp": g, "uid": u}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).json(src)
+        q = streaming_kmv(
+            stream, io, "kmv_stream_sum", "grp", "uid", cp, k=16
+        ).start()
+        q.awaitTermination(120)
+
+    _w("b1.json", b1)
+    run()
+    _w("b2.json", b2)
+    run()
+
+    # streamed summary == one-shot merge over the union
+    spark.sql("DROP TABLE IF EXISTS kmv_batch_sum")
+    union = spark.createDataFrame(b1 + b2, schema)
+    merge_kmv_batch(union, io, "kmv_batch_sum", "grp", "uid", k=16)
+    got = {
+        (r["grp"], r["h"]) for r in io.read("kmv_stream_sum").collect()
+    }
+    want = {
+        (r["grp"], r["h"]) for r in io.read("kmv_batch_sum").collect()
+    }
+    assert got == want
+
+    est = {
+        r["grp"]: r["est_distinct"]
+        for r in kmv_estimates(io.read("kmv_stream_sum"), k=16).collect()
+    }
+    # group b has 6 distinct (< k): exact; group a (90 distinct) is
+    # estimated within the sketch's 4-sigma band
+    assert est["b"] == 6.0
+    assert abs(est["a"] - 90) / 90 <= 4 / (16 - 2) ** 0.5
