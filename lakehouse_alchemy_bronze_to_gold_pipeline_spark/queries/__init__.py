@@ -39,7 +39,7 @@ _PRIORITY = (
     "dow_seasonality", "ordered_funnel_3step",
     "brand_label_propagation", "reach_kmv_accuracy",
     "top_supplier_revenue", "nation_revenue_share",
-    "doc_cleaning_report",
+    "doc_cleaning_report", "holt_revenue_forecast",
     "feature_hash_embed", "join_size_estimate",
     "brand_random_walks", "conversion_latency", "rfm_segmentation",
     "event_sequence_prep", "label_noise_scan",

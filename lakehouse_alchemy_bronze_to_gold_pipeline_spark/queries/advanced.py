@@ -1079,6 +1079,129 @@ FROM per GROUP BY source ORDER BY source
 """
 
 
+
+# ---------------------------------------------------------------------
+# Holt linear-trend smoothing (doubly-recursive fold)
+# ---------------------------------------------------------------------
+
+_HOLT_A, _HOLT_B = 0.3, 0.2
+
+
+def q_holt_revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt's linear exponential smoothing over monthly revenue per
+    region: level and trend evolve as COUPLED recursions (l' = a*x +
+    (1-a)(l+b); b' = g(l'-l) + (1-g)b) — strictly more state than the
+    EWMA fold, and still nothing a window frame can express.  One
+    struct-accumulator ``F.aggregate`` fold per region over the
+    month-sorted series; the one-step-ahead forecast l+b is the
+    dashboard number.
+
+    Cross-engine: the lambda's operation ORDER mirrors the DuckDB
+    ``list_reduce`` term-for-term (the trend term re-derives l'
+    inline with the identical expression), so the doubles are
+    IEEE-identical before rounding.  Scale: same contract as
+    ``ewma_monthly_revenue`` — the fold is calendar-bounded per
+    region, one rollup shuffle feeds it."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf, "region").select("r_regionkey", "r_name")
+    month = F.date_format(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")),
+        "yyyy-MM-dd",
+    )
+    monthly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", month.alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rv")
+        )
+    )
+    srt = F.array_sort(F.collect_list(F.struct("month", "rv")))
+    per_region = monthly.groupBy("r_name").agg(srt.alias("s"))
+    a, g = _HOLT_A, _HOLT_B
+    nl = lambda acc, x: (
+        F.lit(a) * x["rv"] + F.lit(1 - a) * (acc["l"] + acc["b"])
+    )
+    fold = F.aggregate(
+        F.col("s"),
+        F.expr(
+            "named_struct('l', CAST(0.0 AS DOUBLE), "
+            "'b', CAST(0.0 AS DOUBLE), 'i', 0)"
+        ),
+        lambda acc, x: F.struct(
+            F.when(acc["i"] == 0, x["rv"])
+            .otherwise(nl(acc, x))
+            .alias("l"),
+            F.when(acc["i"] == 0, F.lit(0.0))
+            .otherwise(
+                F.lit(g) * (nl(acc, x) - acc["l"])
+                + F.lit(1 - g) * acc["b"]
+            )
+            .alias("b"),
+            (acc["i"] + 1).alias("i"),
+        ),
+    )
+    folded = per_region.select(
+        F.col("r_name").alias("region"), fold.alias("f")
+    )
+    return folded.select(
+        "region",
+        F.col("f.i").alias("n_months"),
+        F.round(F.col("f.l"), 4).alias("level"),
+        F.round(F.col("f.b"), 4).alias("trend"),
+        F.round(F.col("f.l") + F.col("f.b"), 4).alias("forecast_next"),
+    ).orderBy("region")
+
+
+SQL_HOLT_REVENUE_FORECAST = f"""
+WITH mo AS (
+  SELECT r_name,
+         strftime(date_trunc('month', CAST(o_orderdate AS DATE)),
+                  '%Y-%m-%d') AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rv
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), folded AS (
+  -- accumulator is [level, trend, n]: DuckDB 1.0's list_reduce
+  -- corrupts STRUCT-typed accumulators across chained steps (a
+  -- single combine evaluates correctly, three chained do not), so
+  -- the state rides a DOUBLE list; arithmetic term order matches
+  -- the Spark lambda exactly
+  SELECT r_name,
+         list_reduce(
+           list_prepend([0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE],
+             list_transform(list(rv ORDER BY month),
+                            x -> [x, 0.0::DOUBLE, -1.0::DOUBLE])),
+           (acc, e) -> [
+             CASE WHEN acc[3] = 0.0 THEN e[1]
+                  ELSE {_HOLT_A}::DOUBLE * e[1]
+                       + {1 - _HOLT_A}::DOUBLE * (acc[1] + acc[2])
+             END,
+             CASE WHEN acc[3] = 0.0 THEN 0.0::DOUBLE
+                  ELSE {_HOLT_B}::DOUBLE
+                       * (({_HOLT_A}::DOUBLE * e[1]
+                           + {1 - _HOLT_A}::DOUBLE
+                             * (acc[1] + acc[2])) - acc[1])
+                       + {1 - _HOLT_B}::DOUBLE * acc[2]
+             END,
+             acc[3] + 1.0::DOUBLE]) AS f
+  FROM mo GROUP BY r_name
+)
+SELECT r_name AS region, CAST(f[3] AS INT) AS n_months,
+       ROUND(f[1], 4) AS level, ROUND(f[2], 4) AS trend,
+       ROUND(f[1] + f[2], 4) AS forecast_next
+FROM folded ORDER BY region
+"""
+
+
 def _register() -> tuple[dict, dict]:
     q = {
         "sole_late_supplier": q_sole_late_supplier,
@@ -1097,6 +1220,7 @@ def _register() -> tuple[dict, dict]:
         "top_supplier_revenue": q_top_supplier_revenue,
         "nation_revenue_share": q_nation_revenue_share,
         "doc_cleaning_report": q_doc_cleaning_report,
+        "holt_revenue_forecast": q_holt_revenue_forecast,
     }
     sql = {
         "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
@@ -1115,6 +1239,7 @@ def _register() -> tuple[dict, dict]:
         "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
         "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
         "doc_cleaning_report": SQL_DOC_CLEANING_REPORT,
+        "holt_revenue_forecast": SQL_HOLT_REVENUE_FORECAST,
     }
     return q, sql
 
