@@ -165,3 +165,63 @@ def test_connected_components_empty(spark):
         F.col("event_id").alias("src"), F.col("k").alias("dst")
     )
     assert connected_components(df, "src", "dst").count() == 0
+
+
+def test_bloom_empty_build_side(spark):
+    """An empty build set yields an all-zero filter that passes
+    NOTHING — the neutral element for semi-join reduction."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    empty = _empty(spark, StructType([StructField("key", LongType())]))
+    words = bloom_build(empty, "key", 1 << 10, 4)
+    assert words == [0] * (1024 // 32)
+    probe = spark.range(100).select(F.col("id").alias("key"))
+    assert bloom_prune(probe, "key", words, 1 << 10, 4).count() == 0
+
+
+def test_cms_empty_input(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.sketch import (
+        cms_cells,
+        cms_estimate,
+    )
+
+    empty = _empty(spark, StructType([StructField("item", StringType())]))
+    cells = cms_cells(empty, "item", 4, 64)
+    assert cells.count() == 0
+    probes = spark.createDataFrame([("x",)], "item string")
+    est = cms_estimate(probes, cells, "item", 4, 64).collect()
+    assert est[0]["cms_est"] == 0  # absent item estimates zero
+
+
+def test_holt_single_month_has_zero_trend(spark, tmp_path):
+    """One observation: level = the value, trend = 0, forecast =
+    level — the fold's init convention, pinned."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.advanced import (
+        q_holt_revenue_forecast,
+    )
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    src = "/root/testdata/sf0.001"
+    one_month = (
+        spark.read.parquet(f"{src}/orders.parquet")
+        .filter(SF.date_format("o_orderdate", "yyyy-MM") == "1995-01")
+    )
+    one_month.write.parquet(f"{sf_dir}/orders.parquet")
+    for t in ("customer", "nation", "region"):
+        spark.read.parquet(f"{src}/{t}.parquet").write.parquet(
+            f"{sf_dir}/{t}.parquet"
+        )
+    rows = q_holt_revenue_forecast(spark, sf_dir).collect()
+    assert rows, "expected at least one region"
+    for r in rows:
+        assert r["n_months"] == 1
+        assert r["trend"] == 0.0
+        assert r["forecast_next"] == r["level"]
