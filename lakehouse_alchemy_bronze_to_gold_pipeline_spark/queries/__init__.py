@@ -30,16 +30,10 @@ _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q, **_ADV_Q}
 # then the rest in family order.  tools/window_audit.py recomputes
 # the never-certified set for the next rotation.
 _PRIORITY = (
-    # never driver-certified (r5 additions + r4 llm_ops/corpus
-    # additions + analytics entries the r4 window cut off)
-    "sole_late_supplier", "pair_containment", "zipf_fit_report",
-    "tokenizer_fertility", "ann_hubness_report_sampled",
-    "weekly_stickiness", "bloom_semijoin_prune",
-    "cms_bigram_accuracy", "weighted_reservoir_sample",
-    "dow_seasonality", "ordered_funnel_3step",
-    "brand_label_propagation", "reach_kmv_accuracy",
-    "top_supplier_revenue", "nation_revenue_share",
-    "doc_cleaning_report", "holt_revenue_forecast",
+    # never driver-certified SINCE r4 (r4 llm_ops/corpus additions +
+    # analytics entries the r4 window cut off) — the r4 verdict's
+    # mandated certification set keeps its window slots; this
+    # session's late additions queue AFTER it (see below)
     "feature_hash_embed", "join_size_estimate",
     "brand_random_walks", "conversion_latency", "rfm_segmentation",
     "event_sequence_prep", "label_noise_scan",
@@ -64,6 +58,17 @@ _PRIORITY = (
     "purchase_attribution", "brand_pagerank", "events_value_outliers",
     "user_reach_sketch", "quantile_binning",
     "customer_entity_resolution",
+    # never driver-certified (added late in r5): all oracle-verified
+    # in the local sweep; the first few land in this round's window,
+    # the rest lead the r6 rotation
+    "sole_late_supplier", "pair_containment", "zipf_fit_report",
+    "tokenizer_fertility", "ann_hubness_report_sampled",
+    "weekly_stickiness", "bloom_semijoin_prune",
+    "cms_bigram_accuracy", "weighted_reservoir_sample",
+    "dow_seasonality", "ordered_funnel_3step",
+    "brand_label_propagation", "reach_kmv_accuracy",
+    "top_supplier_revenue", "nation_revenue_share",
+    "doc_cleaning_report", "holt_revenue_forecast",
     # last certified in r3 (llm_ops/corpus rotation, due again)
     "minhash_neardup_md5", "dedup_clusters", "dedup_keep_canonical",
     "embedding_lsh_topk", "domain_mix_sample", "doc_pack_chunks",
