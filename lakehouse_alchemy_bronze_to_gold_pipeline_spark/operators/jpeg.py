@@ -3,13 +3,19 @@
 
 Scope (honest gates, like the PNG decoder in ``multimodal.py``):
 
-- **decode**: baseline sequential DCT (SOF0), 8-bit, grayscale or
-  YCbCr 3-component, 4:4:4 / 4:2:0 / 4:2:2 chroma sampling, restart
-  markers.  Progressive (SOF2), arithmetic coding, 12-bit precision
-  and >3 components raise ``NotImplementedError``.
-- **encode**: 4:4:4 baseline with the Annex K example quantization
-  (scalable by quality) and huffman tables — enough to produce real
-  spec-conformant files for round-trip tests and synthetic corpora.
+- **decode**: baseline sequential (SOF0) AND progressive (SOF2 —
+  spectral selection, successive approximation with DC/AC
+  refinement scans, EOBRUN) DCT, 8-bit, grayscale or YCbCr
+  3-component, 4:4:4 / 4:2:0 / 4:2:2 chroma sampling, restart
+  markers.  Both paths share one coefficient store; reconstruction
+  is a single vectorized dequantize + IDCT.  Arithmetic coding,
+  12-bit precision, lossless/hierarchical SOFs and >3 components
+  raise ``NotImplementedError``.
+- **encode**: 4:4:4 baseline plus a progressive encoder
+  (``encode_jpeg_progressive``, 10-scan script) producing the SAME
+  quantized coefficients — so progressive decode must match the
+  baseline decode EXACTLY, the strongest round-trip a lossy format
+  admits (and what the tests assert).  Annex K tables throughout.
 
 JPEG is lossy: round-trips assert PSNR bounds, not equality.
 
@@ -472,9 +478,199 @@ def encode_jpeg_gray(gray: np.ndarray, quality: int = 85) -> bytes:
 # ----------------------------------------------------------- decoder
 
 
+def _block_dc(rdr, dctab, pred, ci, blk, Ah, Al):
+    """DC coefficient for one block: first scan (Ah=0) decodes a
+    huffman-coded diff at point-transform Al; refinement (Ah>0)
+    appends one bit (T.81 G.2 / F.2.2.1)."""
+    if Ah == 0:
+        sym = rdr.huff(dctab)
+        diff = _extend(rdr.bits(sym), sym) if sym else 0
+        pred[ci] += diff
+        blk[0] = pred[ci] << Al
+    else:
+        if rdr.bits(1):
+            blk[0] |= 1 << Al
+
+
+def _block_ac_first(rdr, actab, blk, Ss, Se, Al, eobrun):
+    """AC band, first pass (Ah=0): run-length + EOBRUN semantics
+    (T.81 G.1.2.2).  Returns the remaining end-of-band run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = rdr.huff(actab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += rdr.bits(r)
+            return eobrun - 1  # the run includes this block
+        k += r
+        if k > Se:
+            raise ValueError("AC index out of band")
+        blk[k] = _extend(rdr.bits(s), s) << Al
+        k += 1
+    return 0
+
+
+def _block_ac_refine(rdr, actab, blk, Ss, Se, Al, eobrun):
+    """AC band refinement (Ah>0): one correction bit per
+    already-nonzero coefficient crossed; runs count zero-history
+    positions only; newly-significant coefficients arrive as
+    (run, 1) + sign (T.81 G.1.2.3; the libjpeg-documented control
+    flow).  Returns the remaining end-of-band run."""
+    p1, m1 = 1 << Al, -1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = rdr.huff(actab)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.bits(r)
+                    break
+                # ZRL: cross 16 zero-history coefficients
+                r = 16
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan with s != 1")
+                newval = p1 if rdr.bits(1) else m1
+                r += 1  # land ON the (r+1)-th zero-history position
+            while k <= Se:
+                if blk[k] != 0:
+                    if rdr.bits(1) and (int(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    r -= 1
+                    if r == 0:
+                        break
+                k += 1
+            if newval != 0 and k <= Se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            if blk[k] != 0:
+                if rdr.bits(1) and (int(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _block_baseline(rdr, dctab, actab, pred, ci, blk):
+    """Whole-block sequential decode (SOF0): DC diff + AC run-length
+    to EOB — the original baseline path, now writing into the shared
+    coefficient store."""
+    sym = rdr.huff(dctab)
+    diff = _extend(rdr.bits(sym), sym) if sym else 0
+    pred[ci] += diff
+    blk[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = rdr.huff(actab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC index out of range")
+        blk[k] = _extend(rdr.bits(s), s)
+        k += 1
+
+
+def _decode_scan(
+    payload, pos, scan, Ss, Se, Ah, Al, comps, coef, huff,
+    restart_interval, hmax, vmax, mcux, mcuy, w, h, progressive,
+):
+    """Decode one entropy-coded scan into the coefficient store.
+
+    Interleaved scans (ns > 1, or any baseline scan) walk MCUs;
+    progressive single-component scans walk THAT component's own
+    block raster — dimensions derived from the component's sampling,
+    not the MCU grid (the classic non-interleaved-grid gotcha).
+    Returns the byte position after the scan's data."""
+    rdr = _BitReader(payload, pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    interleaved = len(scan) > 1 or not progressive
+
+    if interleaved:
+        units = mcuy * mcux
+    else:
+        ci = scan[0][0]
+        _, hs, vs, _ = comps[ci]
+        bw = -(-(-(-w * hs // hmax)) // 8)
+        bh = -(-(-(-h * vs // vmax)) // 8)
+        units = bw * bh
+
+    unit = 0
+    while unit < units:
+        if restart_interval and unit and unit % restart_interval == 0:
+            rdr.acc = rdr.n = 0
+            p = rdr.pos
+            while not (
+                payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7
+            ):
+                p += 1
+            rdr.pos = p + 2
+            pred = [0] * len(comps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for ci, tdc, tac in scan:
+                _, hs, vs, _ = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = coef[ci][my * vs + by, mx * hs + bx]
+                        if not progressive:
+                            _block_baseline(
+                                rdr, huff[(0, tdc)], huff[(1, tac)],
+                                pred, ci, blk,
+                            )
+                        elif Ss == 0:
+                            _block_dc(rdr, huff[(0, tdc)], pred, ci,
+                                      blk, Ah, Al)
+                        else:
+                            raise ValueError(
+                                "interleaved progressive AC scan"
+                            )
+        else:
+            ci, tdc, tac = scan[0]
+            by, bx = divmod(unit, bw)
+            blk = coef[ci][by, bx]
+            if Ss == 0:
+                _block_dc(rdr, huff[(0, tdc)], pred, ci, blk, Ah, Al)
+            elif Ah == 0:
+                eobrun = _block_ac_first(
+                    rdr, huff[(1, tac)], blk, Ss, Se, Al, eobrun
+                )
+            else:
+                eobrun = _block_ac_refine(
+                    rdr, huff[(1, tac)], blk, Ss, Se, Al, eobrun
+                )
+        unit += 1
+    return rdr.pos
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale
-    replicated to 3 channels)."""
+    """JFIF bytes -> (h, w, 3) uint8 RGB (grayscale replicated).
+
+    Handles baseline sequential (SOF0) and progressive (SOF2 —
+    spectral selection + successive approximation, DC and AC
+    refinement scans, EOBRUN, restart markers).  Both paths share
+    one coefficient store per component; reconstruction is a single
+    vectorized dequantize + IDCT after the last scan."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError(
             f"not a JPEG (magic {payload[:2]!r})"
@@ -483,16 +679,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     comps = None  # list of (cid, h_samp, v_samp, tq)
-    scan = None  # list of (comp_index, dc_table, ac_table)
+    progressive = False
     h = w = 0
     restart_interval = 0
+    coef = None
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
 
-    while pos < len(payload):
+    while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
             continue
         marker = payload[pos + 1]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+        if marker in (0xD8, 0x01, 0xFF) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker == 0xD9:  # EOI
@@ -511,13 +710,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 ).astype(np.int32)
                 qtables[tq] = tab
                 i += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG (SOF0) supported, "
-                f"got SOF marker 0x{marker:02X}"
+                f"only baseline (SOF0) and progressive (SOF2) JPEG "
+                f"supported, got SOF marker 0x{marker:02X}"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             if body[0] != 8:
                 raise NotImplementedError("only 8-bit precision")
             h = int.from_bytes(body[1:3])
@@ -529,6 +729,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(n):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coef = [
+                np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int32)
+                for c in comps
+            ]
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(body):
@@ -540,7 +748,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 i += 17 + nval
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: decode this scan's entropy data
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for i in range(ns):
@@ -549,76 +759,31 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     j for j, c in enumerate(comps) if c[0] == cs
                 )
                 scan.append((ci, tabs >> 4, tabs & 0x0F))
-            pos = pos + 2 + length
-            break
+            Ss, Se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            Ah, Al = a >> 4, a & 0x0F
+            pos = _decode_scan(
+                payload, pos + 2 + length, scan, Ss, Se, Ah, Al,
+                comps, coef, huff, restart_interval,
+                hmax, vmax, mcux, mcuy, w, h, progressive,
+            )
+            saw_scan = True
+            continue
         pos += 2 + length
-    if comps is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if comps is None or not saw_scan:
+        raise ValueError("JPEG missing SOF/SOS")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # per-component coefficient planes (padded to whole MCUs)
-    planes = [
-        np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64)
-        for c in comps
-    ]
-    pred = [0] * len(comps)
-    rdr = _BitReader(payload, pos)
-    idct = lambda blk: _M.T @ blk @ _M  # noqa: E731
-
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and (
-                mcu_count % restart_interval == 0
-            ):
-                # drop pad bits + any buffered bytes, seek past RSTn
-                rdr.acc = rdr.n = 0
-                p = rdr.pos
-                while not (
-                    payload[p] == 0xFF and 0xD0 <= payload[p + 1] <= 0xD7
-                ):
-                    p += 1
-                rdr.pos = p + 2
-                pred = [0] * len(comps)
-            mcu_count += 1
-            for ci, tdc, tac in scan:
-                cid, hs, vs, tq = comps[ci]
-                q = qtables[tq].reshape(8, 8)
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.float64)
-                        sym = rdr.huff(huff[(0, tdc)])
-                        diff = _extend(rdr.bits(sym), sym) if sym else 0
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = rdr.huff(huff[(1, tac)])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            zz[k] = _extend(rdr.bits(s), s)
-                            k += 1
-                        blk = np.zeros(64, dtype=np.float64)
-                        blk[ZIGZAG] = zz
-                        blk = idct(blk.reshape(8, 8) * q) + 128.0
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
-
-    # upsample subsampled components to full resolution (nearest)
+    # ------------------------------- reconstruct: dequant + IDCT
     full = []
-    for (cid, hs, vs, tq), plane in zip(comps, planes):
+    for (cid, hs, vs, tq), cf in zip(comps, coef):
+        q = qtables[tq].astype(np.float64)  # natural order
+        nby, nbx, _ = cf.shape
+        nat = np.zeros((nby, nbx, 64), dtype=np.float64)
+        nat[..., ZIGZAG] = cf
+        nat = nat.reshape(nby, nbx, 8, 8) * q.reshape(8, 8)
+        # IDCT of B is M.T @ B @ M, vectorized over all blocks
+        px = np.einsum("ji,abjk,kl->abil", _M, nat, _M) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         if hs != hmax or vs != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
@@ -638,3 +803,208 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return float(10 * np.log10(255.0 * 255.0 / mse))
+
+
+# ------------------------------------------------- progressive encoder
+
+#: default progressive scan script: DC first at Al=1 (interleaved),
+#: luma AC in two spectral bands at Al=2, chroma AC at Al=1, then
+#: DC refinement and AC refinements down to Al=0.  Exercises every
+#: decoder path: spectral selection, successive approximation first
+#: + refine, ZRL-in-refinement, and correction-bit ordering.
+PROGRESSIVE_SCANS = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((0,), 1, 63, 2, 1),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _emit_ac_first(wtr, tab, zz, Ss, Se, Al):
+    """One block of an AC first scan (Ah=0): run-length over the
+    point-transformed band, EOB per block (EOBRUN kept at 1 — valid
+    syntax; the decoder's longer-run path is covered by a crafted
+    stream in tests)."""
+    vals = [
+        (abs(int(zz[k])) >> Al) * (1 if zz[k] >= 0 else -1)
+        for k in range(Ss, Se + 1)
+    ]
+    last_nz = -1
+    for i, v in enumerate(vals):
+        if v:
+            last_nz = i
+    run = 0
+    for i, v in enumerate(vals):
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = tab[0xF0]
+            wtr.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = tab[(run << 4) | cat]
+        wtr.write(code, ln)
+        wtr.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last_nz < len(vals) - 1:
+        code, ln = tab[0x00]  # EOB
+        wtr.write(code, ln)
+
+
+def _emit_ac_refine(wtr, tab, zz, Ss, Se, Al):
+    """One block of an AC refinement scan (Ah = Al+1 -> Al),
+    mirroring the decoder's crossing POSITION-FOR-POSITION: a ZRL's
+    16-zero-history window flushes exactly the correction bits the
+    decoder reads while crossing that window (flushing the whole
+    buffer — the tempting shortcut — desyncs the stream)."""
+    band = list(range(Ss, Se + 1))
+    t = {k: abs(int(zz[k])) >> Al for k in band}
+    hist = {k: (abs(int(zz[k])) >> (Al + 1)) != 0 for k in band}
+    targets = [k for k in band if t[k] == 1 and not hist[k]]
+    for k in band:
+        if t[k] > 1 and not hist[k]:
+            raise ValueError("successive approximation step != 1")
+
+    k = Ss
+
+    def corr_bits(lo, hi):  # history correction bits in [lo, hi]
+        for j in range(lo, hi + 1):
+            if hist[j]:
+                wtr.write(t[j] & 1, 1)
+
+    for p in targets:
+        # zero-history positions strictly before p (later targets
+        # cannot sit in (k, p): targets are processed in order)
+        zeros = [j for j in range(k, p) if not hist[j] and t[j] == 0]
+        nz = len(zeros)
+        while nz > 15:
+            q = zeros[len(zeros) - nz + 15]  # 16th remaining zero
+            code, ln = tab[0xF0]
+            wtr.write(code, ln)
+            corr_bits(k, q)
+            k = q + 1
+            nz -= 16
+        code, ln = tab[(nz << 4) | 1]
+        wtr.write(code, ln)
+        wtr.write(1 if zz[p] > 0 else 0, 1)
+        corr_bits(k, p - 1)
+        k = p + 1
+    if k <= Se:
+        code, ln = tab[0x00]  # EOB, then the tail's correction bits
+        wtr.write(code, ln)
+        corr_bits(k, Se)
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray, quality: int = 85, scans=PROGRESSIVE_SCANS
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF, 4:4:4.
+
+    Same quantized coefficients as ``encode_jpeg`` at the same
+    quality, delivered over a multi-scan script — so a full decode
+    must reproduce the baseline decode EXACTLY (pixel equality, not
+    just PSNR), which is what the round-trip test asserts."""
+    h, w, c = px.shape
+    assert c == 3 and px.dtype == np.uint8
+    ql, qc = _scaled_qtables(quality)
+    ycc = rgb_to_ycbcr(px)
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    ycc = np.pad(ycc, ((0, H - h), (0, W - w), (0, 0)), mode="edge")
+    planes = [ycc[..., i] - 128.0 for i in range(3)]
+    blocks = [
+        _block_dct_quant(p, ql if i == 0 else qc)
+        for i, p in enumerate(planes)
+    ]
+    nby, nbx = H // 8, W // 8
+    zz = [b.reshape(nby, nbx, 64)[:, :, ZIGZAG] for b in blocks]
+
+    dc_tabs = (
+        _huff_encode_table(*HUFF_DC_LUMA),
+        _huff_encode_table(*HUFF_DC_CHROMA),
+    )
+    ac_tabs = (
+        _huff_encode_table(*HUFF_AC_LUMA),
+        _huff_encode_table(*HUFF_AC_CHROMA),
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2) + w.to_bytes(2) + bytes([3])
+    for cid, q in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, q])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(HUFF_DC_LUMA[0][1:])
+               + bytes(HUFF_DC_LUMA[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(HUFF_AC_LUMA[0][1:])
+               + bytes(HUFF_AC_LUMA[1]))
+    out += seg(0xC4, bytes([0x01]) + bytes(HUFF_DC_CHROMA[0][1:])
+               + bytes(HUFF_DC_CHROMA[1]))
+    out += seg(0xC4, bytes([0x11]) + bytes(HUFF_AC_CHROMA[0][1:])
+               + bytes(HUFF_AC_CHROMA[1]))
+
+    for comps_in_scan, Ss, Se, Ah, Al in scans:
+        sos = bytes([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            tdc = 0 if ci == 0 else 1
+            tac = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tdc << 4) | tac])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        out += seg(0xDA, sos)
+
+        wtr = _BitWriter()
+        if Ss == 0:  # DC scan (interleaved over the scan's comps)
+            if Ah == 0:
+                pred = {ci: 0 for ci in comps_in_scan}
+                for by in range(nby):
+                    for bx in range(nbx):
+                        for ci in comps_in_scan:
+                            t = 0 if ci == 0 else 1
+                            v = int(zz[ci][by, bx, 0]) >> Al
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            cat = _category(diff)
+                            code, ln = dc_tabs[t][cat]
+                            wtr.write(code, ln)
+                            if cat:
+                                wtr.write(
+                                    diff if diff >= 0
+                                    else diff + (1 << cat) - 1,
+                                    cat,
+                                )
+            else:
+                for by in range(nby):
+                    for bx in range(nbx):
+                        for ci in comps_in_scan:
+                            wtr.write(
+                                (int(zz[ci][by, bx, 0]) >> Al) & 1, 1
+                            )
+        else:  # AC scan: single component
+            (ci,) = comps_in_scan
+            t = 0 if ci == 0 else 1
+            for by in range(nby):
+                for bx in range(nbx):
+                    if Ah == 0:
+                        _emit_ac_first(
+                            wtr, ac_tabs[t], zz[ci][by, bx], Ss, Se, Al
+                        )
+                    else:
+                        _emit_ac_refine(
+                            wtr, ac_tabs[t], zz[ci][by, bx], Ss, Se, Al
+                        )
+        out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -22,9 +22,11 @@ two modalities now have REAL pure-stdlib decoders:
   LUTs — sample rate / channels / duration, RMS amplitude and
   zero-crossing rate over the decoded samples.
 
-Formats that genuinely need external libraries (progressive/12-bit
+Formats that genuinely need external libraries (12-bit/arithmetic
 JPEG, MP3, video containers) still raise ``NotImplementedError`` —
-an honest gate, not a fake decode.  ``synthesize_ppm`` / ``synthesize_wav`` render
+an honest gate, not a fake decode.  Progressive JPEG (SOF2) decodes
+natively as of this round (``jpeg.decode_jpeg`` handles spectral
+selection + successive approximation).  ``synthesize_ppm`` / ``synthesize_wav`` render
 deterministic payloads from a text column so driver tables without
 binary columns can exercise the full encode->decode path.
 
@@ -538,7 +540,8 @@ def synthesize_mixed_images(
     pixel_id_col: str | None = None,
 ) -> DataFrame:
     """Like ``synthesize_ppm`` but rotating the container per row
-    (doc_id % 5: PPM, PNG, JPEG, GIF, BMP) — the corpus shape a real
+    (doc_id % 6: PPM, PNG, JPEG, GIF, BMP, progressive JPEG) — the
+    corpus shape a real
     ingest sees, exercising every decoder through one binary column.
     GIF is safe without quantization here because the synthetic
     images have < 256 distinct colors by construction (w*h <= 224).
@@ -548,7 +551,7 @@ def synthesize_mixed_images(
     same image in (usually) different containers — the planted-
     duplicate fixture for cross-codec perceptual dedup."""
     from .gifbmp import encode_bmp, encode_gif
-    from .jpeg import encode_jpeg
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
 
     pix_col = pixel_id_col or id_col
 
@@ -558,7 +561,7 @@ def synthesize_mixed_images(
             for i, pix, t in zip(pdf[id_col], pdf[pix_col], pdf[source_col]):
                 w, h = 8 + int(pix) % 9, 8 + int(pix) % 7
                 px = _cycled_bytes(t, w * h * 3).reshape(h, w, 3)
-                k = int(i) % 5
+                k = int(i) % 6
                 if k == 0:
                     payloads.append(encode_ppm(px))
                     codecs.append("ppm")
@@ -571,6 +574,9 @@ def synthesize_mixed_images(
                 elif k == 3:
                     payloads.append(encode_gif(px, interlace=i % 2 == 1))
                     codecs.append("gif")
+                elif k == 5:
+                    payloads.append(encode_jpeg_progressive(px, quality=90))
+                    codecs.append("jpeg_prog")
                 else:
                     payloads.append(encode_bmp(px))
                     codecs.append("bmp")

@@ -862,10 +862,12 @@ WITH ev AS (
 )
 SELECT m.event_type, e.exact_users,
        ROUND(CASE WHEN m.n_min < {_KMV_K} THEN m.n_min::DOUBLE
-                  ELSE ({_KMV_K} - 1) * 4503599627370496.0
+                  ELSE ({_KMV_K} - 1)::DOUBLE
+                       * 4503599627370496.0::DOUBLE
                        / (m.h_k + 1) END, 4) AS kmv_est,
        ROUND(ABS(CASE WHEN m.n_min < {_KMV_K} THEN m.n_min::DOUBLE
-                      ELSE ({_KMV_K} - 1) * 4503599627370496.0
+                      ELSE ({_KMV_K} - 1)::DOUBLE
+                           * 4503599627370496.0::DOUBLE
                            / (m.h_k + 1) END - e.exact_users)
              / e.exact_users, 4) AS rel_err
 FROM merged m JOIN exact e USING (event_type)

@@ -1441,12 +1441,13 @@ def q_multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_multimodal_codec_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Every image decoder through one binary column: synthesize a
-    PPM/PNG/JPEG/GIF/BMP per document (container rotates by doc_id),
-    decode with the magic-dispatch featureizer, aggregate fidelity
-    stats per codec.  Per-codec row counts are exact fifths of the
-    corpus; the luminance means agree across codecs up to JPEG's
-    quantization loss — which is what the bounded min/max columns
-    demonstrate (PPM/PNG/GIF/BMP are lossless and agree exactly).
+    PPM/PNG/JPEG/GIF/BMP/progressive-JPEG per document (container
+    rotates by doc_id), decode with the magic-dispatch featureizer,
+    aggregate fidelity stats per codec.  Per-codec row counts are
+    exact sixths of the corpus; the luminance means agree across
+    codecs up to JPEG quantization loss (PPM/PNG/GIF/BMP are
+    lossless and agree exactly; the two JPEG modes decode the SAME
+    pixels as each other by construction).
 
     Scale: same Arrow mapInPandas plumbing as the other multimodal
     queries; decode is per-row numpy; the final agg is 5 rows."""
@@ -1456,16 +1457,16 @@ def q_multimodal_codec_mix(spark: SparkSession, sf: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     imgs = synthesize_mixed_images(d, "doc_id", "text")
-    # codec is a pure function of doc_id (id % 5) — recompute instead
+    # codec is a pure function of doc_id (id % 6) — recompute instead
     # of joining back through a second synthesis pass
     feats = extract_features(imgs.drop("codec")).withColumn(
         "codec",
         F.element_at(
             F.array(
                 F.lit("ppm"), F.lit("png"), F.lit("jpeg"),
-                F.lit("gif"), F.lit("bmp"),
+                F.lit("gif"), F.lit("bmp"), F.lit("jpeg_prog"),
             ),
-            (F.col("doc_id") % 5 + 1).cast("int"),
+            (F.col("doc_id") % 6 + 1).cast("int"),
         ),
     )
     return (

@@ -29,6 +29,27 @@ from ..operators.sketch import cms_cells
 from ..sources.tables import TableIO
 
 
+
+def _replace_table(spark, io: TableIO, tmp: str, merged: DataFrame,
+                   table: str) -> None:
+    """tmp-materialize -> overwrite -> drop-tmp, defensively clearing
+    any orphaned tmp location a previous crashed run left behind
+    (saveAsTable refuses a managed-table path that already exists)."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, tmp), ignore_errors=True)
+    merged.write.format(io.fmt).mode("overwrite").saveAsTable(tmp)
+    io.write_overwrite(spark.read.table(tmp), table)
+    spark.sql(f"DROP TABLE {tmp}")
+    spark.catalog.refreshTable(table)
+    io.spark.catalog.refreshTable(table)
+
+
 def merge_cms_batch(
     batch: DataFrame,
     io: TableIO,
@@ -49,16 +70,10 @@ def merge_cms_batch(
             .groupBy("r", "cell")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        tmp = f"{table}__cms_tmp"
-        merged.write.format(io.fmt).mode("overwrite").saveAsTable(tmp)
-        io.write_overwrite(spark.read.table(tmp), table)
-        spark.sql(f"DROP TABLE {tmp}")
-        # the overwrite replaced the files a prior read may have
-        # listed; inside foreachBatch `batch.sparkSession` is a
-        # MICRO-BATCH CLONE, so refresh through the owning session
-        # (io.spark) too or outer readers keep the stale file list
-        spark.catalog.refreshTable(table)
-        io.spark.catalog.refreshTable(table)
+        # NOTE: inside foreachBatch `batch.sparkSession` is a
+        # MICRO-BATCH CLONE — _replace_table refreshes through the
+        # owning session too, or outer readers keep stale file lists
+        _replace_table(spark, io, f"{table}__cms_tmp", merged, table)
     else:
         io.write_overwrite(cells, table)
 
@@ -119,12 +134,7 @@ def merge_kmv_batch(
         .filter(F.col("rn") <= k)
         .select("grp", "h")
     )
-    tmp = f"{table}__kmv_tmp"
-    merged.write.format(io.fmt).mode("overwrite").saveAsTable(tmp)
-    io.write_overwrite(spark.read.table(tmp), table)
-    spark.sql(f"DROP TABLE {tmp}")
-    spark.catalog.refreshTable(table)
-    io.spark.catalog.refreshTable(table)
+    _replace_table(spark, io, f"{table}__kmv_tmp", merged, table)
 
 
 def kmv_estimates(summary: DataFrame, k: int = 64) -> DataFrame:

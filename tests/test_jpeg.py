@@ -63,9 +63,11 @@ def test_jpeg_grayscale_component_path():
 def test_jpeg_honest_gates():
     px = _smooth(16, 16)
     enc = bytearray(encode_jpeg(px, quality=90))
-    # flip SOF0 -> SOF2 (progressive): must raise, not mis-decode
+    # flip SOF0 -> SOF3 (lossless): must raise, not mis-decode
+    # (SOF2/progressive is now a SUPPORTED path — see
+    # test_progressive_* below)
     i = bytes(enc).find(b"\xff\xc0")
-    enc[i + 1] = 0xC2
+    enc[i + 1] = 0xC3
     with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(enc))
     with pytest.raises(NotImplementedError):
@@ -76,3 +78,113 @@ def test_jpeg_dispatch_via_decode_image():
     px = _smooth(16, 16)
     dec = decode_image(encode_jpeg(px, quality=95))
     assert dec.shape == px.shape and psnr(px, dec) > 45.0
+
+
+# ------------------------------------------------------- progressive
+
+
+def _textured(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (127 + 90 * np.sin(x / 6) + 30 * np.cos(y / 4)).clip(0, 255),
+            (127 + 80 * np.cos(x / 9 + y / 7)).clip(0, 255),
+            rng.integers(0, 255, (h, w)).astype(float),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_progressive_decode_equals_baseline_exactly():
+    """Progressive delivery of the SAME quantized coefficients must
+    decode to EXACTLY the baseline pixels — the strongest check a
+    lossy codec admits, across sizes that exercise partial MCUs."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    for h, w, q, seed in ((40, 56, 80, 3), (17, 23, 55, 9), (8, 8, 95, 1)):
+        px = _textured(h, w, seed)
+        base = decode_jpeg(encode_jpeg(px, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(px, quality=q))
+        assert np.array_equal(base, prog), (h, w, q)
+
+
+def test_progressive_psnr_reasonable():
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    px = _smooth(32, 32)
+    dec = decode_jpeg(encode_jpeg_progressive(px, quality=90))
+    assert psnr(px, dec) > 35.0
+
+
+def test_progressive_eobrun_multi_block():
+    """Hand-crafted SOF2 stream exercising EOBRUN > 1 (the Annex K
+    tables carry no EOBn>0 symbols, so our encoder cannot emit it):
+    a custom AC table with EOB1; one AC scan sets a coefficient in
+    block 1 then covers blocks 2+3 with a single EOB1."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.jpeg import (
+        ZIGZAG,
+        _BitWriter,
+        _huff_encode_table,
+    )
+
+    # 24x8 gray image -> 3 blocks.  DC scan: all diffs 0 (cat 0).
+    bits_dc = [0, 1] + [0] * 15
+    vals_dc = [0]
+    # AC table: symbols EOB0(0x00), EOB1(0x10), (0,1)=0x01
+    bits_ac = [0, 0, 1, 2] + [0] * 13
+    vals_ac = [0x00, 0x10, 0x01]
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2) + payload
+
+    q = bytes([1] * 64)  # flat quant table of 1s
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + q)
+    out += seg(0xC2, bytes([8]) + (8).to_bytes(2) + (24).to_bytes(2)
+               + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(bits_dc[1:]) + bytes(vals_dc))
+    out += seg(0xC4, bytes([0x10]) + bytes(bits_ac[1:]) + bytes(vals_ac))
+    dctab = _huff_encode_table(bits_dc, vals_dc)
+    actab = _huff_encode_table(bits_ac, vals_ac)
+
+    # scan 1: DC first, Al=0 — three blocks, diff 0 each
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    wtr = _BitWriter()
+    for _ in range(3):
+        code, ln = dctab[0]
+        wtr.write(code, ln)
+    out += wtr.flush()
+
+    # scan 2: AC first 1..63, Al=0 — block 1: coeff zz[1] = +1 then
+    # EOB0; blocks 2,3: one EOB1 (eobrun = 2)
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    wtr = _BitWriter()
+    code, ln = actab[0x01]
+    wtr.write(code, ln)          # (run 0, size 1)
+    wtr.write(1, 1)              # +1
+    code, ln = actab[0x00]
+    wtr.write(code, ln)          # EOB0 for rest of block 1
+    code, ln = actab[0x10]
+    wtr.write(code, ln)          # EOB1 ...
+    wtr.write(0, 1)              # ... + 0 extension bits -> run of 2
+    out += wtr.flush()
+    out += b"\xff\xd9"
+
+    dec = decode_jpeg(bytes(out))
+    assert dec.shape == (8, 24, 3)
+    # expected: block 1 has coefficient 1 at zigzag index 1 (natural
+    # index 1 -> horizontal cosine), blocks 2-3 all-zero -> flat 128
+    import numpy as _np
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.jpeg import _M
+
+    blk = _np.zeros((8, 8))
+    blk[0, 1] = 1.0
+    want1 = _np.clip(_M.T @ blk @ _M + 128.0, 0, 255).astype(_np.uint8)
+    assert _np.array_equal(dec[:, :8, 0], want1)
+    assert (dec[:, 8:, :] == 128).all()

@@ -636,7 +636,7 @@ def test_multimodal_codec_mix_agreement(spark):
     for i in range(12):
         # same pixels regardless of container: dims match exactly
         assert (mixed[i].f0, mixed[i].f1) == (ppm[i].f0, ppm[i].f1)
-        if i % 5 == 2:  # jpeg: lossy, bounded deviation
+        if i % 6 in (2, 5):  # jpeg modes: lossy, bounded deviation
             assert abs(mixed[i].f2 - ppm[i].f2) < 0.02
         else:  # ppm/png/gif/bmp: lossless, exact luma equality
             assert abs(mixed[i].f2 - ppm[i].f2) < 1e-12
@@ -820,7 +820,7 @@ def test_codec_mix_five_way(spark):
     imgs = synthesize_mixed_images(d, "doc_id", "text")
     rows = imgs.collect()
     assert sorted({r.codec for r in rows}) == [
-        "bmp", "gif", "jpeg", "png", "ppm",
+        "bmp", "gif", "jpeg", "jpeg_prog", "png", "ppm",
     ]
     feats = {r.doc_id: r for r in extract_features(imgs.drop("codec")).collect()}
     # lossless codecs decode the identical pixels -> identical luma for
@@ -841,11 +841,11 @@ def test_image_phash_cross_codec(spark):
         synthesize_mixed_images,
     )
 
-    # ids 3,4,5 rotate to gif/bmp/ppm — ALL lossless — with a shared
+    # ids 3,4,6 rotate to gif/bmp/ppm — ALL lossless — with a shared
     # pixel seed, so perceptual dedup must recover the triple exactly
     d = spark.createDataFrame(
         [Row(doc_id=i, leader=3, src_text="shared pixel source " * 4)
-         for i in (3, 4, 5)]
+         for i in (3, 4, 6)]
     )
     h = image_hashes(
         synthesize_mixed_images(d, "doc_id", "src_text", pixel_id_col="leader")

@@ -98,7 +98,7 @@ def test_streaming_kmv_equals_batch_union(spark, tmp_path):
     schema = StructType(
         [StructField("grp", StringType()), StructField("uid", LongType())]
     )
-    for t in ("kmv_stream_sum",):
+    for t in ("kmv_stream_sum", "kmv_batch_sum"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         wh = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
