@@ -179,3 +179,64 @@ class QualityEngine:
             for r in self.rules
         ]
         return df.observe(obs, *aggs), obs
+
+
+def expectations_gate(
+    df: DataFrame,
+    rules: Sequence[QualityRule],
+    on_violation: str = "drop",
+) -> tuple[DataFrame, DataFrame]:
+    """DLT-expectations-style enforcement at the WRITE boundary: split
+    ``df`` into (passed, quarantined) against a rule set, with the
+    three canonical actions — ``"drop"`` routes violating rows to the
+    quarantine side, ``"warn"`` passes EVERYTHING through but still
+    returns the tagged violations for the audit sink, ``"fail"``
+    raises on the first violation (enforced lazily, inside whatever
+    action consumes the passed side — no extra eager count job).
+
+    The reference's platform (Databricks) expresses this as
+    ``@dlt.expect_or_drop`` etc.; this is the OSS Spark form.  One
+    predicate disjunction per side — both outputs are narrow filters
+    over the same scan, no shuffle; the quarantine side carries a
+    ``violated_rules`` array so one row failing several rules stays
+    ONE quarantined row (unlike ``failing_rows``' per-rule audit
+    grain).
+    """
+    if on_violation not in ("drop", "warn", "fail"):
+        raise ValueError(
+            f"on_violation must be drop|warn|fail, got {on_violation!r}"
+        )
+    rules = list(rules)
+    tags = F.filter(
+        F.array(
+            *[
+                F.when(r.predicate, F.lit(r.name)).otherwise(F.lit(None))
+                for r in rules
+            ]
+        ),
+        lambda t: t.isNotNull(),
+    )
+    bad = df.withColumn("violated_rules", tags).filter(
+        F.size("violated_rules") > 0
+    )
+    any_bad = rules[0].predicate
+    for r in rules[1:]:
+        any_bad = any_bad | r.predicate
+    if on_violation == "warn":
+        return df, bad
+    if on_violation == "drop":
+        return df.filter(~F.coalesce(any_bad, F.lit(False))), bad
+    # fail: poison the passed side lazily — the guard lives in a
+    # FILTER predicate (a dropped column would be pruned away and the
+    # raise_error dead-code-eliminated), so it fires inside whatever
+    # action consumes the frame, on the first violating row
+    guard = F.when(
+        F.coalesce(any_bad, F.lit(False)),
+        F.raise_error(
+            F.concat(
+                F.lit("expectation violated: "),
+                F.array_join(tags, ","),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    return df.filter(guard), bad

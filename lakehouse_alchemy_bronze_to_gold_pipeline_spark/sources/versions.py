@@ -147,6 +147,24 @@ class VersionedTable:
             raise FileNotFoundError(f"version {v} not in {vs}")
         return self.spark.read.parquet(*self._manifest(v)["dirs"])
 
+    def changes(
+        self, v_from: int, v_to: int | None = None, keys=("id",)
+    ) -> DataFrame:
+        """Change data feed between two versions: (keys..., change)
+        rows with change in insert/delete/update — Delta CDF's role,
+        derived by diffing the two manifest snapshots with the
+        engine's own ``operators.diff.snapshot_diff`` (one full-outer
+        key join; no change log is stored, which trades write-path
+        cost for read-path compute — the right trade for a
+        single-writer snapshot store)."""
+        from ..operators.diff import snapshot_diff
+
+        vs = self.versions()
+        v_to = vs[-1] if v_to is None else v_to
+        return snapshot_diff(
+            self.read(v_from), self.read(v_to), list(keys)
+        )
+
     def history(self) -> list[dict]:
         """Commit log, oldest first (version / op / n_dirs)."""
         return [

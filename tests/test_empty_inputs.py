@@ -225,3 +225,42 @@ def test_holt_single_month_has_zero_trend(spark, tmp_path):
         assert r["n_months"] == 1
         assert r["trend"] == 0.0
         assert r["forecast_next"] == r["level"]
+
+
+def test_expectations_gate_modes(spark):
+    import pytest as _pt
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.quality import (
+        expectations_gate,
+        null_pk_rule,
+        positive_rule,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (None, 3.0), (3, -2.0), (4, 1.0)],
+        "pk bigint, amt double",
+    )
+    rules = [null_pk_rule(["pk"]), positive_rule(["amt"])]
+
+    ok, bad = expectations_gate(df, rules, "drop")
+    assert ok.count() == 2 and bad.count() == 2
+    tags = {
+        (r["pk"], tuple(r["violated_rules"])) for r in bad.collect()
+    }
+    assert (3, ("positive_amt",)) in tags or any(
+        r[0] == 3 for r in tags
+    )
+
+    ok_w, bad_w = expectations_gate(df, rules, "warn")
+    assert ok_w.count() == 4 and bad_w.count() == 2
+
+    ok_f, _ = expectations_gate(df, rules, "fail")
+    with _pt.raises(Exception, match="expectation violated"):
+        ok_f.count()
+    # a clean frame passes the fail gate
+    clean = spark.createDataFrame([(1, 5.0)], "pk bigint, amt double")
+    ok_c, _ = expectations_gate(clean, rules, "fail")
+    assert ok_c.count() == 1
+
+    with _pt.raises(ValueError):
+        expectations_gate(df, rules, "explode")

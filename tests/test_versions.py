@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.versions import (
     VersionedTable,
@@ -96,3 +97,23 @@ def test_vacuum_keeps_dirs_referenced_by_restores(spark, tmp_path):
     # data/v1 is referenced by the RETAINED restore manifest: kept
     assert stats["deleted_dirs"] == 1                  # only data/v2
     assert sorted(r["id"] for r in vt.read().collect()) == [0, 1, 2, 3]
+
+
+def test_changes_between_versions(spark, tmp_path):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.versions import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "vt3"))
+    vt.write(spark.range(0, 4).withColumn("v", F.col("id") * 10), "overwrite")
+    vt.write(
+        spark.createDataFrame(
+            [(1, 10), (2, 99), (4, 40)], "id bigint, v bigint"
+        ),
+        "overwrite",
+    )
+    ch = {
+        r["id"]: r["change"]
+        for r in vt.changes(1, 2, keys=("id",)).collect()
+    }
+    assert ch == {0: "delete", 2: "update", 3: "delete", 4: "insert"}
