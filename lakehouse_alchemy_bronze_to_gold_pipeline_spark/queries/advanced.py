@@ -1204,6 +1204,117 @@ FROM folded ORDER BY region
 """
 
 
+
+# ---------------------------------------------------------------------
+# point-in-time (leakage-free) feature join against SCD2 history
+# ---------------------------------------------------------------------
+
+
+def q_pit_feature_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time feature attachment — the feature-store join that
+    keeps training data leakage-free: every lineitem (fact, at ship
+    time) gets its customer's cumulative spend and order count AS OF
+    the ship date, never a later value.  The dimension history is the
+    SCD2-style running version chain (one row per order event with a
+    running feature); the lookup is the engine's own ``asof_join``
+    (single-shuffle union+window, no range explosion — see
+    operators/asof.py), ties on same-day versions resolving to the
+    latest by order key, exactly like the history's own ordering.
+
+    Facts whose ship date precedes the customer's first version keep
+    NULL features (left-outer as-of) — the honest answer, not a
+    default that leaks.  Scale: one fact-dim equi-shuffle for the
+    custkey attach + the as-of's single exchange."""
+    from ..operators.asof import asof_join
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    versions = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_spend"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_orders"),
+    )
+    # the synthetic lineitem reuses line numbers within an order, so
+    # collapse to the deterministic unique fact grain first (latest
+    # ship per (order, line)) — the PIT answer is per fact KEY
+    li = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_shipdate").alias("l_shipdate"))
+    )
+    facts = li.join(
+        o.select(F.col("o_orderkey").alias("__ok"), "o_custkey"),
+        li["l_orderkey"] == F.col("__ok"),
+    ).drop("__ok")
+    j = asof_join(
+        facts,
+        versions,
+        "o_custkey",
+        "o_custkey",
+        "l_shipdate",
+        "o_orderdate",
+        ["cum_spend", "n_orders"],
+        tiebreak="o_orderkey",
+    )
+    return j.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_nr"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("l_shipdate").cast("string").alias("ship_ts"),
+        F.round("cum_spend", 2).alias("spend_asof_ship"),
+        F.col("n_orders").alias("orders_asof_ship"),
+    )
+
+
+SQL_PIT_FEATURE_JOIN = """
+WITH versions AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend,
+         CAST(row_number()
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+           AS n_orders
+  FROM orders
+), li AS (
+  SELECT l_orderkey, l_linenumber, MAX(l_shipdate) AS l_shipdate
+  FROM lineitem GROUP BY 1, 2
+), facts AS (
+  SELECT l_orderkey, l_linenumber, l_shipdate, o_custkey
+  FROM li JOIN orders ON l_orderkey = o_orderkey
+), ranked AS (
+  SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.l_shipdate,
+         v.cum_spend, v.n_orders,
+         row_number() OVER (
+           PARTITION BY f.l_orderkey, f.l_linenumber
+           ORDER BY v.o_orderdate DESC NULLS LAST,
+                    v.o_orderkey DESC NULLS LAST) AS rn
+  FROM facts f
+  LEFT JOIN versions v
+    ON v.o_custkey = f.o_custkey AND v.o_orderdate <= f.l_shipdate
+)
+SELECT l_orderkey AS order_key, l_linenumber AS line_nr,
+       o_custkey AS customer_id,
+       CAST(l_shipdate AS VARCHAR) AS ship_ts,
+       ROUND(cum_spend, 2) AS spend_asof_ship,
+       n_orders AS orders_asof_ship
+FROM ranked WHERE rn = 1
+"""
+
+
 def _register() -> tuple[dict, dict]:
     q = {
         "sole_late_supplier": q_sole_late_supplier,
@@ -1223,6 +1334,7 @@ def _register() -> tuple[dict, dict]:
         "nation_revenue_share": q_nation_revenue_share,
         "doc_cleaning_report": q_doc_cleaning_report,
         "holt_revenue_forecast": q_holt_revenue_forecast,
+        "pit_feature_join": q_pit_feature_join,
     }
     sql = {
         "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
@@ -1242,6 +1354,7 @@ def _register() -> tuple[dict, dict]:
         "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
         "doc_cleaning_report": SQL_DOC_CLEANING_REPORT,
         "holt_revenue_forecast": SQL_HOLT_REVENUE_FORECAST,
+        "pit_feature_join": SQL_PIT_FEATURE_JOIN,
     }
     return q, sql
 
