@@ -1315,6 +1315,133 @@ FROM ranked WHERE rn = 1
 """
 
 
+
+# ---------------------------------------------------------------------
+# two-proportion experiment readout
+# ---------------------------------------------------------------------
+
+
+def q_ab_test_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Experiment analysis: users split into two deterministic
+    cohorts (user_id parity — the synthetic stand-in for an
+    assignment table); conversion = a purchase within ONE HOUR of
+    the user's first signup (the same windowed definition as
+    ``signup_purchase_funnel`` — an unwindowed definition is
+    degenerate on this corpus: nearly every user purchases
+    eventually, p_pool -> 1 and the z-score's standard error
+    collapses to 0, which is exactly the division-by-zero a naive
+    dashboard hits).  Readout: pooled two-proportion z and the
+    |z| > 1.96 significance flag, NULL-guarded when a cohort is
+    empty or the pooled rate is degenerate.
+
+    All counts are exact integers; the z arithmetic mirrors the
+    oracle operation-for-operation so the doubles are
+    IEEE-identical before rounding."""
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "ts_us"
+    )
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s_us"))
+    )
+    hour = 3_600_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("p_us")
+    )
+    conv = (
+        first_signup.join(purchases, "user_id")
+        .filter(
+            (F.col("p_us") > F.col("s_us"))
+            & (F.col("p_us") <= F.col("s_us") + hour)
+        )
+        .select("user_id")
+        .distinct()
+        .select("user_id", F.lit(1).alias("converted"))
+    )
+    base = first_signup.join(conv, "user_id", "left").select(
+        "user_id",
+        (F.col("user_id") % 2).cast("int").alias("cohort"),
+        F.coalesce(F.col("converted"), F.lit(0)).alias("converted"),
+    )
+    g = base.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    a = g.filter(F.col("cohort") == 0).select(
+        F.col("n_users").alias("n_a"),
+        F.col("n_converted").alias("c_a"),
+    )
+    b = g.filter(F.col("cohort") == 1).select(
+        F.col("n_users").alias("n_b"),
+        F.col("n_converted").alias("c_b"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        p_pool
+        * (1.0 - p_pool)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    z = F.when(se > 0, (p_a - p_b) / se)
+    return j.select(
+        "n_a",
+        "c_a",
+        F.round(p_a, 6).alias("rate_a"),
+        "n_b",
+        "c_b",
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+SQL_AB_TEST_ZSCORE = """
+WITH first_signup AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT DISTINCT f.user_id
+  FROM first_signup f
+  JOIN events e ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) > f.s_us
+    AND epoch_us(e.ts) <= f.s_us + 3600000000
+), base AS (
+  SELECT f.user_id, CAST(f.user_id % 2 AS INT) AS cohort,
+         CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS converted
+  FROM first_signup f LEFT JOIN conv c ON f.user_id = c.user_id
+), g AS (
+  SELECT cohort, COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM base GROUP BY cohort
+), j AS (
+  SELECT a.n_users AS n_a, a.n_converted AS c_a,
+         b.n_users AS n_b, b.n_converted AS c_b
+  FROM (SELECT * FROM g WHERE cohort = 0) a
+  CROSS JOIN (SELECT * FROM g WHERE cohort = 1) b
+), scored AS (
+  SELECT n_a, c_a, n_b, c_b,
+         CAST(c_a AS DOUBLE) / n_a AS p_a,
+         CAST(c_b AS DOUBLE) / n_b AS p_b,
+         SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+              * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+              * (1.0 / n_a + 1.0 / n_b)) AS se
+  FROM j
+)
+SELECT n_a, c_a, ROUND(p_a, 6) AS rate_a,
+       n_b, c_b, ROUND(p_b, 6) AS rate_b,
+       ROUND(CASE WHEN se > 0 THEN (p_a - p_b) / se END, 4) AS z_score,
+       ABS(CASE WHEN se > 0 THEN (p_a - p_b) / se END) > 1.96
+         AS significant_95
+FROM scored
+"""
+
+
 def _register() -> tuple[dict, dict]:
     q = {
         "sole_late_supplier": q_sole_late_supplier,
@@ -1335,6 +1462,7 @@ def _register() -> tuple[dict, dict]:
         "doc_cleaning_report": q_doc_cleaning_report,
         "holt_revenue_forecast": q_holt_revenue_forecast,
         "pit_feature_join": q_pit_feature_join,
+        "ab_test_zscore": q_ab_test_zscore,
     }
     sql = {
         "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
@@ -1355,6 +1483,7 @@ def _register() -> tuple[dict, dict]:
         "doc_cleaning_report": SQL_DOC_CLEANING_REPORT,
         "holt_revenue_forecast": SQL_HOLT_REVENUE_FORECAST,
         "pit_feature_join": SQL_PIT_FEATURE_JOIN,
+        "ab_test_zscore": SQL_AB_TEST_ZSCORE,
     }
     return q, sql
 

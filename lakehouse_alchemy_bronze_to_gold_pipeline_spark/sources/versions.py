@@ -30,6 +30,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 
 class VersionedTable:
@@ -130,6 +131,23 @@ class VersionedTable:
         for v in drop:
             os.remove(os.path.join(self._mdir, f"v{v}.json"))
         return {"dropped_versions": len(drop), "deleted_dirs": deleted_dirs}
+
+    def forget_keys(self, key_col: str, keys) -> dict:
+        """Right-to-be-forgotten: rewrite the CURRENT snapshot
+        without the given keys as a new version, then vacuum history
+        down to it — erasure is only real once no retained manifest
+        references a directory still containing the rows (time
+        travel to pre-erasure versions must die with them; the
+        vacuum stats prove the old directories are gone)."""
+        keep = self.read().filter(~F_col(key_col).isin(list(keys)))
+        nxt = (self.versions() or [0])[-1] + 1
+        data_dir = os.path.join(self.path, "data", f"v{nxt}")
+        keep.write.mode("overwrite").parquet(data_dir)
+        v = self._commit(
+            [data_dir], f"forget({key_col})", keep.schema.simpleString()
+        )
+        stats = self.vacuum(keep_last=1)
+        return {"version": v, **stats}
 
     def restore(self, version: int) -> int:
         """Roll back: commit a new version with ``version``'s

@@ -117,3 +117,22 @@ def test_changes_between_versions(spark, tmp_path):
         for r in vt.changes(1, 2, keys=("id",)).collect()
     }
     assert ch == {0: "delete", 2: "update", 3: "delete", 4: "insert"}
+
+
+def test_forget_keys_erases_history(spark, tmp_path):
+    import os
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.versions import (
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "vt4"))
+    vt.write(spark.range(0, 5), "overwrite")
+    vt.write(spark.range(5, 8), "append")
+    stats = vt.forget_keys("id", [2, 6])
+    assert sorted(r["id"] for r in vt.read().collect()) == [0, 1, 3, 4, 5, 7]
+    # every pre-erasure version (and its data dirs) is gone
+    assert vt.versions() == [stats["version"]]
+    assert stats["deleted_dirs"] == 2
+    data_root = os.path.join(str(tmp_path / "vt4"), "data")
+    assert os.listdir(data_root) == [f"v{stats['version']}"]
