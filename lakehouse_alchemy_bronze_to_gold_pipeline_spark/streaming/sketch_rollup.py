@@ -171,3 +171,44 @@ def streaming_kmv(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def streaming_expectations(
+    stream: DataFrame,
+    io: TableIO,
+    rules,
+    pass_table: str,
+    quarantine_table: str,
+    checkpoint: str,
+):
+    """Streaming DLT-expectations sink: each micro-batch splits
+    against the rule set (``operators.quality.expectations_gate``,
+    drop mode) — passing rows append to ``pass_table``, violating
+    rows (tagged with their ``violated_rules``) append to
+    ``quarantine_table``.  Appends + checkpoint give exactly-once
+    per source file; the quarantine table IS the audit log, replayed
+    rows and all.  (Lives here with the other foreachBatch sinks;
+    the gate itself is batch-agnostic.)"""
+    from ..operators.quality import expectations_gate
+
+    def _gate(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ok, bad = expectations_gate(batch, rules, "drop")
+        io.write_append(ok, pass_table)
+        io.write_append(
+            bad.withColumn(
+                "violated_rules", F.array_join("violated_rules", ",")
+            ),
+            quarantine_table,
+        )
+        # appends ran on the micro-batch session CLONE: refresh the
+        # owning session so its cached file listings see the new files
+        for t in (pass_table, quarantine_table):
+            io.spark.catalog.refreshTable(t)
+
+    return (
+        stream.writeStream.foreachBatch(_gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

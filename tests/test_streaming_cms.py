@@ -148,3 +148,61 @@ def test_streaming_kmv_equals_batch_union(spark, tmp_path):
     # estimated within the sketch's 4-sigma band
     assert est["b"] == 6.0
     assert abs(est["a"] - 90) / 90 <= 4 / (16 - 2) ** 0.5
+
+
+def test_streaming_expectations_split(spark, tmp_path):
+    from pyspark.sql.types import DoubleType, LongType
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.quality import (
+        null_pk_rule,
+        positive_rule,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.sketch_rollup import (
+        streaming_expectations,
+    )
+
+    schema = StructType(
+        [StructField("pk", LongType()), StructField("amt", DoubleType())]
+    )
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("exp_pass", "exp_quar"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    io = TableIO(spark, fmt="parquet")
+    src, cp = str(tmp_path / "esrc"), str(tmp_path / "ecp")
+    rules = [null_pk_rule(["pk"]), positive_rule(["amt"])]
+
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for row in (
+            {"pk": 1, "amt": 5.0},
+            {"pk": None, "amt": 2.0},
+            {"pk": 3, "amt": -1.0},
+        ):
+            f.write(json.dumps(row) + "\n")
+
+    q = streaming_expectations(
+        spark.readStream.schema(schema).json(src),
+        io, rules, "exp_pass", "exp_quar", cp,
+    ).start()
+    q.awaitTermination(120)
+
+    assert [r["pk"] for r in io.read("exp_pass").collect()] == [1]
+    quar = {
+        r["pk"]: r["violated_rules"]
+        for r in io.read("exp_quar").collect()
+    }
+    assert len(quar) == 2 and "positive" in quar[3]
+
+    # second run with one more file: checkpoint means no replays
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(json.dumps({"pk": 9, "amt": 1.0}) + "\n")
+    q = streaming_expectations(
+        spark.readStream.schema(schema).json(src),
+        io, rules, "exp_pass", "exp_quar", cp,
+    ).start()
+    q.awaitTermination(120)
+    assert sorted(r["pk"] for r in io.read("exp_pass").collect()) == [1, 9]
+    assert io.read("exp_quar").count() == 2
