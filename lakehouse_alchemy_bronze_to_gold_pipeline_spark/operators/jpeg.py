@@ -905,27 +905,49 @@ def _emit_ac_refine(wtr, tab, zz, Ss, Se, Al):
 
 
 def encode_jpeg_progressive(
-    px: np.ndarray, quality: int = 85, scans=PROGRESSIVE_SCANS
+    px: np.ndarray, quality: int = 85, scans=PROGRESSIVE_SCANS,
+    subsample: bool = False,
 ) -> bytes:
-    """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF, 4:4:4.
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF, 4:4:4 or
+    4:2:0 (``subsample=True``).
 
-    Same quantized coefficients as ``encode_jpeg`` at the same
-    quality, delivered over a multi-scan script — so a full decode
-    must reproduce the baseline decode EXACTLY (pixel equality, not
-    just PSNR), which is what the round-trip test asserts."""
+    Same quantized coefficients as ``encode_jpeg`` (same subsample
+    construction) at the same quality, delivered over a multi-scan
+    script — so a full decode must reproduce the baseline decode
+    EXACTLY (pixel equality, not just PSNR), which the round-trip
+    tests assert for both samplings.  The 4:2:0 form matters for
+    decoder coverage: non-interleaved AC scans walk each component's
+    OWN block grid, which diverges from the MCU-padded grid exactly
+    when sampling factors differ (padded blocks past the component
+    grid stay zero on both sides — they are never visible)."""
     h, w, c = px.shape
     assert c == 3 and px.dtype == np.uint8
     ql, qc = _scaled_qtables(quality)
     ycc = rgb_to_ycbcr(px)
-    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    hs_l, vs_l = (2, 2) if subsample else (1, 1)
+    samp = [(hs_l, vs_l), (1, 1), (1, 1)]
+    hmax, vmax = hs_l, vs_l
+    mcu_h, mcu_w = 8 * vs_l, 8 * hs_l
+    H, W = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
     ycc = np.pad(ycc, ((0, H - h), (0, W - w), (0, 0)), mode="edge")
-    planes = [ycc[..., i] - 128.0 for i in range(3)]
+    planes = [ycc[..., 0] - 128.0]
+    if subsample:
+        for comp in (1, 2):
+            pl = ycc[..., comp]
+            planes.append(
+                pl.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3)) - 128.0
+            )
+    else:
+        planes += [ycc[..., 1] - 128.0, ycc[..., 2] - 128.0]
     blocks = [
-        _block_dct_quant(p, ql if i == 0 else qc)
-        for i, p in enumerate(planes)
+        _block_dct_quant(pl, ql if i == 0 else qc)
+        for i, pl in enumerate(planes)
     ]
-    nby, nbx = H // 8, W // 8
-    zz = [b.reshape(nby, nbx, 64)[:, :, ZIGZAG] for b in blocks]
+    zz = [
+        b.reshape(b.shape[0], b.shape[1], 64)[:, :, ZIGZAG]
+        for b in blocks
+    ]
+    mcux, mcuy = W // mcu_w, H // mcu_h
 
     dc_tabs = (
         _huff_encode_table(*HUFF_DC_LUMA),
@@ -944,8 +966,9 @@ def encode_jpeg_progressive(
     out += seg(0xDB, bytes([0]) + bytes(ql[ZIGZAG].astype(np.uint8)))
     out += seg(0xDB, bytes([1]) + bytes(qc[ZIGZAG].astype(np.uint8)))
     sof = bytes([8]) + h.to_bytes(2) + w.to_bytes(2) + bytes([3])
-    for cid, q in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, q])
+    for i, (cid, q) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hs, vs = samp[i]
+        sof += bytes([cid, (hs << 4) | vs, q])
     out += seg(0xC2, sof)  # SOF2: progressive
     out += seg(0xC4, bytes([0x00]) + bytes(HUFF_DC_LUMA[0][1:])
                + bytes(HUFF_DC_LUMA[1]))
@@ -966,37 +989,52 @@ def encode_jpeg_progressive(
         out += seg(0xDA, sos)
 
         wtr = _BitWriter()
-        if Ss == 0:  # DC scan (interleaved over the scan's comps)
+        if Ss == 0:  # DC scan: interleaved MCU walk (all samplings)
             if Ah == 0:
                 pred = {ci: 0 for ci in comps_in_scan}
-                for by in range(nby):
-                    for bx in range(nbx):
+                for my in range(mcuy):
+                    for mx in range(mcux):
                         for ci in comps_in_scan:
                             t = 0 if ci == 0 else 1
-                            v = int(zz[ci][by, bx, 0]) >> Al
-                            diff = v - pred[ci]
-                            pred[ci] = v
-                            cat = _category(diff)
-                            code, ln = dc_tabs[t][cat]
-                            wtr.write(code, ln)
-                            if cat:
-                                wtr.write(
-                                    diff if diff >= 0
-                                    else diff + (1 << cat) - 1,
-                                    cat,
-                                )
+                            hs, vs = samp[ci]
+                            for iy in range(vs):
+                                for ix in range(hs):
+                                    v = int(
+                                        zz[ci][my * vs + iy,
+                                               mx * hs + ix, 0]
+                                    ) >> Al
+                                    diff = v - pred[ci]
+                                    pred[ci] = v
+                                    cat = _category(diff)
+                                    code, ln = dc_tabs[t][cat]
+                                    wtr.write(code, ln)
+                                    if cat:
+                                        wtr.write(
+                                            diff if diff >= 0
+                                            else diff + (1 << cat) - 1,
+                                            cat,
+                                        )
             else:
-                for by in range(nby):
-                    for bx in range(nbx):
+                for my in range(mcuy):
+                    for mx in range(mcux):
                         for ci in comps_in_scan:
-                            wtr.write(
-                                (int(zz[ci][by, bx, 0]) >> Al) & 1, 1
-                            )
-        else:  # AC scan: single component
+                            hs, vs = samp[ci]
+                            for iy in range(vs):
+                                for ix in range(hs):
+                                    wtr.write(
+                                        (int(zz[ci][my * vs + iy,
+                                                    mx * hs + ix, 0])
+                                         >> Al) & 1,
+                                        1,
+                                    )
+        else:  # AC scan: single component over ITS OWN block grid
             (ci,) = comps_in_scan
             t = 0 if ci == 0 else 1
-            for by in range(nby):
-                for bx in range(nbx):
+            hs, vs = samp[ci]
+            bw = -(-(-(-w * hs // hmax)) // 8)
+            bh = -(-(-(-h * vs // vmax)) // 8)
+            for by in range(bh):
+                for bx in range(bw):
                     if Ah == 0:
                         _emit_ac_first(
                             wtr, ac_tabs[t], zz[ci][by, bx], Ss, Se, Al

@@ -188,3 +188,22 @@ def test_progressive_eobrun_multi_block():
     want1 = _np.clip(_M.T @ blk @ _M + 128.0, 0, 255).astype(_np.uint8)
     assert _np.array_equal(dec[:, :8, 0], want1)
     assert (dec[:, 8:, :] == 128).all()
+
+
+def test_progressive_420_equals_baseline_exactly():
+    """4:2:0 progressive == 4:2:0 baseline decode pixel-exactly —
+    the odd sizes force the non-interleaved AC scans' COMPONENT
+    block grid to diverge from the MCU-padded grid (the luma grid is
+    3 blocks wide at w=17 while the padded storage is 4), which is
+    precisely the decoder path a 4:4:4-only encoder never hits."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    for h, w, seed in ((17, 23, 5), (24, 40, 8), (33, 31, 2)):
+        px = _textured(h, w, seed)
+        base = decode_jpeg(encode_jpeg(px, quality=80, subsample=True))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(px, quality=80, subsample=True)
+        )
+        assert np.array_equal(base, prog), (h, w)
