@@ -1452,6 +1452,86 @@ FROM scored
 """
 
 
+
+# ---------------------------------------------------------------------
+# lag-1 autocorrelation of daily revenue (exact sufficient statistics)
+# ---------------------------------------------------------------------
+
+
+def q_daily_revenue_autocorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Serial dependence of the daily revenue series: lag-1 Pearson
+    autocorrelation over consecutive calendar days — the stationarity
+    probe run before trusting any forecasting model (EWMA/Holt above
+    assume the errors are roughly uncorrelated).
+
+    Numeric policy: Pearson from EXACT decimal sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) — the ``nation_revenue_trend`` lesson;
+    engine-ordered double accumulation (native ``corr``) would drift
+    cross-engine at this magnitude.  The lag is a CALENDAR join
+    (day+1 = next day) so no global window appears anywhere —
+    gapped days simply contribute no pair (documented, exact)."""
+    o = load(spark, sf, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    d2 = daily.select(
+        F.col("day").alias("day2"), F.col("rev").alias("rev_next")
+    )
+    pairs = daily.join(
+        d2, F.date_add(F.col("day"), 1) == F.col("day2")
+    )
+    suff = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("double").alias("sx"),
+        F.sum("rev_next").cast("double").alias("sy"),
+        F.sum(F.col("rev") * F.col("rev_next")).cast("double").alias("sxy"),
+        F.sum(F.col("rev") * F.col("rev")).cast("double").alias("sxx"),
+        F.sum(F.col("rev_next") * F.col("rev_next"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return suff.select(
+        F.col("n").alias("n_pairs"),
+        F.round(F.when(den > 0, num / den), 6).alias("autocorr_lag1"),
+    )
+
+
+SQL_DAILY_REVENUE_AUTOCORR = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT a.rev AS x, b.rev AS y
+  FROM daily a JOIN daily b ON a.day + 1 = b.day
+), suff AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pairs
+)
+SELECT n AS n_pairs,
+       ROUND(CASE WHEN SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                            * (CAST(n AS DOUBLE) * syy - sy * sy)) > 0
+                  THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n AS DOUBLE) * syy - sy * sy))
+             END, 6) AS autocorr_lag1
+FROM suff
+"""
+
+
 def _register() -> tuple[dict, dict]:
     q = {
         "sole_late_supplier": q_sole_late_supplier,
@@ -1473,6 +1553,7 @@ def _register() -> tuple[dict, dict]:
         "holt_revenue_forecast": q_holt_revenue_forecast,
         "pit_feature_join": q_pit_feature_join,
         "ab_test_zscore": q_ab_test_zscore,
+        "daily_revenue_autocorr": q_daily_revenue_autocorr,
     }
     sql = {
         "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
@@ -1494,6 +1575,7 @@ def _register() -> tuple[dict, dict]:
         "holt_revenue_forecast": SQL_HOLT_REVENUE_FORECAST,
         "pit_feature_join": SQL_PIT_FEATURE_JOIN,
         "ab_test_zscore": SQL_AB_TEST_ZSCORE,
+        "daily_revenue_autocorr": SQL_DAILY_REVENUE_AUTOCORR,
     }
     return q, sql
 
