@@ -283,3 +283,33 @@ def test_ewma_fold_matches_reference(spark, vals):
     assert len(got) == len(ref)
     for g, r in zip(got, ref):
         assert abs(g - r) < 1e-9 * max(1.0, abs(r))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    quality=st.integers(min_value=30, max_value=100),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    subsample=st.booleans(),
+)
+def test_progressive_equals_baseline_any_shape(h, w, quality, seed, subsample):
+    """Progressive and baseline deliver the SAME quantized
+    coefficients, so their decodes must be pixel-identical for ANY
+    shape, quality and sampling — including 1x1, non-multiple-of-8
+    edges, and the 4:2:0 component-grid/MCU-grid divergence."""
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+    base = decode_jpeg(encode_jpeg(px, quality=quality, subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(px, quality=quality, subsample=subsample)
+    )
+    assert np.array_equal(base, prog)
