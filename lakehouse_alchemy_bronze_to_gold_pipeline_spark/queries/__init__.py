@@ -70,7 +70,7 @@ _PRIORITY = (
     "top_supplier_revenue", "nation_revenue_share",
     "doc_cleaning_report", "holt_revenue_forecast",
     "pit_feature_join", "ab_test_zscore",
-    "daily_revenue_autocorr",
+    "daily_revenue_autocorr", "referential_integrity_sweep",
     # last certified in r3 (llm_ops/corpus rotation, due again)
     "minhash_neardup_md5", "dedup_clusters", "dedup_keep_canonical",
     "embedding_lsh_topk", "domain_mix_sample", "doc_pack_chunks",

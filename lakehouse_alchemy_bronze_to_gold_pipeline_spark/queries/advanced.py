@@ -1532,6 +1532,74 @@ FROM suff
 """
 
 
+
+# ---------------------------------------------------------------------
+# schema-wide referential-integrity sweep
+# ---------------------------------------------------------------------
+
+_FK_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q_referential_integrity_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Every foreign-key edge of the schema in ONE report: child
+    rows, orphan rows (left-anti against the parent key set), and
+    the orphan rate — the whole-warehouse integrity dashboard that
+    generalizes the single-edge ``orphan_orders`` check.
+
+    Scale: each edge is one anti-join keyed on its FK (parent key
+    sets broadcast when small, AQE otherwise); the report is
+    |edges| rows.  Declared-edge-driven, so adding a table to the
+    config extends the sweep without new code — the D1
+    config-over-code discipline applied to integrity checking."""
+    rows = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = load(spark, sf, child).select(F.col(fk).alias("k"))
+        par = load(spark, sf, parent).select(F.col(pk).alias("k"))
+        n_child = c.agg(F.count(F.lit(1)).alias("n_child"))
+        n_orph = c.join(par, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        rows.append(
+            n_child.crossJoin(F.broadcast(n_orph)).select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans").cast("double") / F.col("n_child"),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fk_edge")
+
+
+def _sql_ri_sweep() -> str:
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        parts.append(f"""
+SELECT '{child}.{fk} -> {parent}.{pk}' AS fk_edge,
+       (SELECT COUNT(*) FROM {child}) AS n_child,
+       (SELECT COUNT(*) FROM {child}
+        WHERE {fk} NOT IN (SELECT {pk} FROM {parent}
+                           WHERE {pk} IS NOT NULL)) AS n_orphans,
+       ROUND((SELECT COUNT(*) FROM {child}
+              WHERE {fk} NOT IN (SELECT {pk} FROM {parent}
+                                 WHERE {pk} IS NOT NULL))::DOUBLE
+             / (SELECT COUNT(*) FROM {child}), 6) AS orphan_rate""")
+    return " UNION ALL ".join(parts) + " ORDER BY fk_edge"
+
+
 def _register() -> tuple[dict, dict]:
     q = {
         "sole_late_supplier": q_sole_late_supplier,
@@ -1554,6 +1622,7 @@ def _register() -> tuple[dict, dict]:
         "pit_feature_join": q_pit_feature_join,
         "ab_test_zscore": q_ab_test_zscore,
         "daily_revenue_autocorr": q_daily_revenue_autocorr,
+        "referential_integrity_sweep": q_referential_integrity_sweep,
     }
     sql = {
         "sole_late_supplier": SQL_SOLE_LATE_SUPPLIER,
@@ -1576,6 +1645,7 @@ def _register() -> tuple[dict, dict]:
         "pit_feature_join": SQL_PIT_FEATURE_JOIN,
         "ab_test_zscore": SQL_AB_TEST_ZSCORE,
         "daily_revenue_autocorr": SQL_DAILY_REVENUE_AUTOCORR,
+        "referential_integrity_sweep": _sql_ri_sweep(),
     }
     return q, sql
 
