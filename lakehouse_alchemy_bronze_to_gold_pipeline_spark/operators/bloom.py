@@ -55,6 +55,12 @@ def bloom_build(
     """
     if m_bits % 32:
         raise ValueError("m_bits must be a multiple of 32")
+    # NULL keys hash to NULL positions -> a word=NULL aggregate row
+    # that would TypeError into the dense list; NULL never equals
+    # anything in an equi-join, so dropping it here is semantics-
+    # preserving (bloom_prune likewise passes no NULL-key probes:
+    # its conjunction over NULL positions is NULL, i.e. filtered)
+    df = df.filter(F.col(key_col).isNotNull())
     pos = F.explode(
         F.array(
             *[

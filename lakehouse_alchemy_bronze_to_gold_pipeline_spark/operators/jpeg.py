@@ -691,7 +691,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = payload[pos + 1]
-        if marker in (0xD8, 0x01, 0xFF) or 0xD0 <= marker <= 0xD7:
+        if marker == 0xFF:
+            # spec-legal 0xFF fill byte: advance ONE so the closing
+            # 0xFF+marker pair (e.g. FF FF DA) is still recognized
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker == 0xD9:  # EOI

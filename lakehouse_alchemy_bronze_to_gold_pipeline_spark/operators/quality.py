@@ -207,6 +207,8 @@ def expectations_gate(
             f"on_violation must be drop|warn|fail, got {on_violation!r}"
         )
     rules = list(rules)
+    if not rules:
+        raise ValueError("rules must be non-empty")
     tags = F.filter(
         F.array(
             *[

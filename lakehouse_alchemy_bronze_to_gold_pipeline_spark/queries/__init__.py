@@ -25,42 +25,14 @@ _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q, **_ADV_Q}
 # (tools/check_correctness.py -> LOCAL_CORRECTNESS_r{N}.md), and
 # (b) order the registry so the driver's independent certification
 # lands where it is most valuable: every entry with NO driver row in
-# ANY prior round (union of CORRECTNESS_r01..r04 keys) comes first,
-# then llm_ops/corpus entries whose last row is two rounds old (r3),
-# then the rest in family order.  tools/window_audit.py recomputes
-# the never-certified set for the next rotation.
+# ANY prior round (union of CORRECTNESS_r01..r05 keys) comes first,
+# then re-certifications of changed queries, then the stalest
+# last-certified entries (r2, then r3).  tools/window_audit.py
+# recomputes the never-certified set for the next rotation.
 _PRIORITY = (
-    # never driver-certified SINCE r4 (r4 llm_ops/corpus additions +
-    # analytics entries the r4 window cut off) — the r4 verdict's
-    # mandated certification set keeps its window slots; this
-    # session's late additions queue AFTER it (see below)
-    "feature_hash_embed", "join_size_estimate",
-    "brand_random_walks", "conversion_latency", "rfm_segmentation",
-    "event_sequence_prep", "label_noise_scan",
-    "context_budget_report",
-    "bpe_train_report", "ann_recall_report", "ngram_novelty",
-    "bpe_merge_candidates",
-    "media_triage_report", "embedding_whitening",
-    "hard_negative_mining", "image_phash_dedup", "minhash_accuracy",
-    "pmi_collocations", "semantic_dedup_fixed",
-    "embedding_ivf_topk_fixed", "doc_classifier_score",
-    "pii_redaction_report", "doc_unigram_logprob",
-    "doc_bigram_logprob", "multimodal_codec_mix",
-    "crossdoc_span_coverage", "embedding_covariance_stats",
-    "embedding_kmeans_profile", "embedding_kmeans_profile_fixed",
-    "embedding_pq_topk", "embedding_pq_topk_fixed",
-    "source_weighted_median_quality", "source_dup_matrix",
-    "corpus_train_val_split", "doc_weighted_sample",
-    "temporal_split_leakage", "rolling_distinct_users",
-    "gap_fill_interpolate", "nation_revenue_trend",
-    "ewma_monthly_revenue", "segment_spend_gini", "brand_triangles",
-    "event_transition_matrix", "key_skew_profile",
-    "purchase_attribution", "brand_pagerank", "events_value_outliers",
-    "user_reach_sketch", "quantile_binning",
-    "customer_entity_resolution",
-    # never driver-certified (added late in r5): all oracle-verified
-    # in the local sweep; the first few land in this round's window,
-    # the rest lead the r6 rotation
+    # never driver-certified (r5 verdict's mandated r6 window, all
+    # local-sweep green at FULL float precision): the 21 entries with
+    # no driver row in any of r1..r5
     "sole_late_supplier", "pair_containment", "zipf_fit_report",
     "tokenizer_fertility", "ann_hubness_report_sampled",
     "weekly_stickiness", "bloom_semijoin_prune",
@@ -71,15 +43,36 @@ _PRIORITY = (
     "doc_cleaning_report", "holt_revenue_forecast",
     "pit_feature_join", "ab_test_zscore",
     "daily_revenue_autocorr", "referential_integrity_sweep",
-    # last certified in r3 (llm_ops/corpus rotation, due again)
+    # RE-certification: the r5 red cell, rewritten to exact integer
+    # lerp statistics (cent-scaled BIGINT num/den) this round
+    "gap_fill_interpolate",
+    # stalest driver rows (last certified r2)
+    "customer_string_funcs", "event_date_spine", "order_metrics_melt",
+    "orders_stratified_sample", "signup_purchase_funnel",
+    # new r6 entries queue here (behind the mandated set, inside the
+    # window) via _R6_NEW below; then the r3 rotation fills the tail
+    # of the 50-slot window
     "minhash_neardup_md5", "dedup_clusters", "dedup_keep_canonical",
     "embedding_lsh_topk", "domain_mix_sample", "doc_pack_chunks",
     "doc_repetition_filter", "filter_attrition_report",
-    "embedding_dim_stats",
+    "embedding_dim_stats", "bm25_search", "dedup_documents_exact",
+    "doc_chunking", "doc_fingerprint", "doc_quality_score",
+    "embedding_ivf_topk", "embedding_quantize_int8", "embedding_topk",
+    "eval_contamination", "knn_join", "lang_id_confusion",
+    "minhash_neardup", "simhash_bits_md5", "simhash_fingerprints",
 )
-assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))
 
-SPARK_QUERIES = {k: _ALL[k] for k in _PRIORITY}
+#: Queries added in round 6 — spliced into the driver window right
+#: after the mandated certification set (slot 28+), per the r5
+#: verdict's "keep any new r6 queries behind this set".
+_R6_NEW = ()
+assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))
+assert set(_R6_NEW) <= set(_ALL), sorted(set(_R6_NEW) - set(_ALL))
+
+_ORDER = _PRIORITY[:27] + _R6_NEW + tuple(
+    k for k in _PRIORITY[27:] if k not in _R6_NEW
+)
+SPARK_QUERIES = {k: _ALL[k] for k in _ORDER}
 SPARK_QUERIES.update({k: v for k, v in _ALL.items() if k not in SPARK_QUERIES})
 
 ORACLE_SQL = {**_LLM_SQL, **_CP_SQL, **_CORE_SQL, **_AN_SQL, **_BR_SQL,

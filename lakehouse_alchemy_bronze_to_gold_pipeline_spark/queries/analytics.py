@@ -1763,6 +1763,15 @@ def q_gap_fill_interpolate(spark: SparkSession, sf: str) -> DataFrame:
     extend the nearest observation) — the regularization step before
     any rolling-window model touches the series.
 
+    Cross-engine exactness: revenue is carried as cent-scaled BIGINT
+    and the lerp is emitted as exact sufficient statistics —
+    ``rev_filled_num`` = prev_c*(next_day-day) + next_c*(day-prev_day)
+    and ``lerp_den`` = next_day-prev_day (both pure integers, so the
+    hash is bit-identical in any engine; the filled value in currency
+    units is num/(100*den)).  The earlier rounded-double formulation
+    hit round-half boundaries that Spark and DuckDB resolve
+    differently (r5 driver: 77/60,125 cells off by 1 ulp).
+
     Scale: the spine is |nations| x |days| (calendar-bounded, built
     by sequence+explode — no driver loop); observed revenue joins on
     (nation, day); the prev/next scaffolding is two IGNORE-NULLS
@@ -1776,9 +1785,10 @@ def q_gap_fill_interpolate(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", day.alias("day"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("rev")
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+            ).alias("rev")
         )
     )
     lim = obs.agg(
@@ -1816,22 +1826,27 @@ def q_gap_fill_interpolate(spark: SparkSession, sf: str) -> DataFrame:
     next_day = F.last(
         F.when(F.col("rev").isNotNull(), F.col("day")), ignorenulls=True
     ).over(wn)
-    lerp = F.when(
+    lerp_num = F.when(
         F.col("rev").isNotNull(), F.col("rev")
     ).otherwise(
         F.when(prev_rev.isNull(), next_rev)
         .when(next_rev.isNull(), prev_rev)
         .otherwise(
-            prev_rev
-            + (next_rev - prev_rev)
-            * (F.col("day") - prev_day).cast("double")
-            / (next_day - prev_day).cast("double")
+            prev_rev * (next_day - F.col("day"))
+            + next_rev * (F.col("day") - prev_day)
         )
     )
+    lerp_den = F.when(
+        F.col("rev").isNotNull()
+        | prev_rev.isNull()
+        | next_rev.isNull(),
+        F.lit(1).cast("bigint"),
+    ).otherwise((next_day - prev_day).cast("bigint"))
     return g.select(
         F.col("n_name").alias("nation"),
         "day",
-        F.round(lerp, 4).alias("rev_filled"),
+        lerp_num.cast("bigint").alias("rev_filled_num"),
+        lerp_den.alias("lerp_den"),
         F.col("rev").isNotNull().alias("observed"),
     ).orderBy("nation", "day")
 
@@ -1841,7 +1856,8 @@ WITH obs AS (
   SELECT n_name,
          datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
            AS day,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS rev
   FROM orders
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
@@ -1866,14 +1882,18 @@ WITH obs AS (
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT n_name AS nation, day,
-       ROUND(CASE
+       CAST(CASE
          WHEN rev IS NOT NULL THEN rev
          WHEN prev_rev IS NULL THEN next_rev
          WHEN next_rev IS NULL THEN prev_rev
-         ELSE prev_rev + (next_rev - prev_rev)
-              * CAST(day - prev_day AS DOUBLE)
-              / CAST(next_day - prev_day AS DOUBLE)
-       END, 4) AS rev_filled,
+         ELSE prev_rev * (next_day - day)
+              + next_rev * (day - prev_day)
+       END AS BIGINT) AS rev_filled_num,
+       CAST(CASE
+         WHEN rev IS NOT NULL OR prev_rev IS NULL OR next_rev IS NULL
+           THEN 1
+         ELSE next_day - prev_day
+       END AS BIGINT) AS lerp_den,
        rev IS NOT NULL AS observed
 FROM g
 ORDER BY nation, day

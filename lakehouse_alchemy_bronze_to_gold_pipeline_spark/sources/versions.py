@@ -117,15 +117,22 @@ class VersionedTable:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
         keep, drop = vs[-keep_last:], vs[:-keep_last]
+        # realpath-normalize both sides of the membership test:
+        # manifests store the dir strings as written at commit time,
+        # so opening the same table via a differently-spelled path
+        # (relative vs absolute, symlink) must NOT make every data
+        # dir look unreferenced and vacuum live data
         referenced = set()
         for v in keep:
-            referenced.update(self._manifest(v)["dirs"])
+            referenced.update(
+                os.path.realpath(d) for d in self._manifest(v)["dirs"]
+            )
         deleted_dirs = 0
         data_root = os.path.join(self.path, "data")
         if os.path.isdir(data_root):
             for d in sorted(os.listdir(data_root)):
                 full = os.path.join(data_root, d)
-                if full not in referenced:
+                if os.path.realpath(full) not in referenced:
                     shutil.rmtree(full)
                     deleted_dirs += 1
         for v in drop:

@@ -53,7 +53,12 @@ def cell(v) -> str:
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # FULL precision (shortest round-trip repr): the r5 driver
+        # red cell (gap_fill_interpolate, 77 cells off by 1 ulp) was
+        # invisible to the old %.6g canon — six SIGNIFICANT digits on
+        # ~6-digit revenues hid everything after the decimal point.
+        # Local green must predict driver green, so hash every bit.
+        return repr(v)
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     return str(v)
