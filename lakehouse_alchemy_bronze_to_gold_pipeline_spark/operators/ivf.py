@@ -152,7 +152,7 @@ def ivf_topk(
         "cos_raw", cosine(F.col("qv"), F.col("cv"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id")
+        F.round("cos_raw", 12).desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))

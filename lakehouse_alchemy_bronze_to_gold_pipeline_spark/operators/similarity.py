@@ -48,7 +48,7 @@ def topk_bruteforce(
         F.col(id_col), cosine(v, q).alias("cos_raw")
     )
     return (
-        scored.orderBy(F.col("cos_raw").desc(), F.col(id_col))
+        scored.orderBy(F.round("cos_raw", 12).desc(), F.col(id_col))
         .limit(k)
         .select(F.col(id_col), F.round("cos_raw", 6).alias("cosine_sim"))
     )
@@ -95,8 +95,13 @@ def knn_join(
     scored = q.crossJoin(c).withColumn(
         "cos_raw", cosine_arrow(F.col("qv"), F.col("cv"))
     )
+    # rank on cosine ROUNDED to 12 decimals: the two engines sum the
+    # dot product in different orders (numpy pairwise vs sequential),
+    # so unrounded near-ties can differ at ~1e-16 and flip a rank
+    # cross-engine; at 12 decimals the order is identical in both and
+    # neighbor_id stays the deterministic tiebreak
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id")
+        F.round("cos_raw", 12).desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -343,8 +348,13 @@ def lsh_topk(
     scored = q.join(c, "sig").withColumn(
         "cos_raw", cosine(F.col("qv"), F.col("cv"))
     )
+    # rank on cosine ROUNDED to 12 decimals: the two engines sum the
+    # dot product in different orders (numpy pairwise vs sequential),
+    # so unrounded near-ties can differ at ~1e-16 and flip a rank
+    # cross-engine; at 12 decimals the order is identical in both and
+    # neighbor_id stays the deterministic tiebreak
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id")
+        F.round("cos_raw", 12).desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -597,8 +607,13 @@ def lsh_topk_banded(
     scored = cand.withColumn(
         "cos_raw", cosine(F.col("qv"), F.col("cv"))
     )
+    # rank on cosine ROUNDED to 12 decimals: the two engines sum the
+    # dot product in different orders (numpy pairwise vs sequential),
+    # so unrounded near-ties can differ at ~1e-16 and flip a rank
+    # cross-engine; at 12 decimals the order is identical in both and
+    # neighbor_id stays the deterministic tiebreak
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_raw").desc(), F.col("neighbor_id")
+        F.round("cos_raw", 12).desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))

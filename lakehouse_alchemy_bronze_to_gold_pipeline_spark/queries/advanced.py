@@ -439,7 +439,7 @@ WITH q AS (
 ), ranked AS (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos_raw DESC, neighbor_id) AS rank
+                            ORDER BY ROUND(cos_raw, 12) DESC, neighbor_id) AS rank
   FROM scored
 ), neigh AS (
   SELECT query_id, neighbor_id,

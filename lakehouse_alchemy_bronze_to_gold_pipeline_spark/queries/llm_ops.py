@@ -290,7 +290,7 @@ WITH q AS (
 )
 SELECT vec_id, ROUND(cos_raw, 6) AS cosine_sim
 FROM scored
-ORDER BY cos_raw DESC, vec_id
+ORDER BY ROUND(cos_raw, 12) DESC, vec_id
 LIMIT 20
 """
 
@@ -336,7 +336,7 @@ WITH q AS (
 )
 SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine_sim,
        CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos_raw DESC, neighbor_id) AS BIGINT)
+                               ORDER BY ROUND(cos_raw, 12) DESC, neighbor_id) AS BIGINT)
          AS rank
 FROM scored
 QUALIFY rank <= 5
@@ -606,7 +606,7 @@ scored AS (
 ranked AS (
   SELECT query_id, neighbor_id, cos_raw,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cos_raw DESC, neighbor_id) AS rnk
+                            ORDER BY ROUND(cos_raw, 12) DESC, neighbor_id) AS rnk
   FROM scored
 )
 SELECT query_id, neighbor_id,
@@ -697,7 +697,7 @@ scored AS (
 ranked AS (
   SELECT query_id, neighbor_id, cos_raw,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cos_raw DESC, neighbor_id) AS rnk
+                            ORDER BY ROUND(cos_raw, 12) DESC, neighbor_id) AS rnk
   FROM scored
 )
 SELECT query_id, neighbor_id,
