@@ -65,7 +65,10 @@ _PRIORITY = (
 #: Queries added in round 6 — spliced into the driver window right
 #: after the mandated certification set (slot 28+), per the r5
 #: verdict's "keep any new r6 queries behind this set".
-_R6_NEW = ()
+_R6_NEW = (
+    "mg_heavy_hitters_fixed", "simhash_accuracy",
+    "embedding_whitening_fixed",
+)
 assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))
 assert set(_R6_NEW) <= set(_ALL), sorted(set(_R6_NEW) - set(_ALL))
 

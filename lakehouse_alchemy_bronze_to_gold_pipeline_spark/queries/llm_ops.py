@@ -3126,6 +3126,425 @@ LIMIT 50
 """
 
 
+# ---------------------------------------- r6 oracle-backed twins
+
+
+def q_mg_heavy_hitters_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Misra-Gries MERGE-stage certification over a FIXED partition
+    layout: terms are routed to 8 deterministic md5 buckets, each
+    bucket builds its batch-MG summary RELATIONALLY (exact per-bucket
+    counts, subtract the (cap+1)-th largest, keep positive — exactly
+    ``operators.sketch._mg_compress`` on a single batch), summaries
+    merge by summed lower bound, and the readout joins exact global
+    counts to certify the sketch contract value-for-value:
+    ``est <= true <= est + Σ bucket thresholds``.  The mapInPandas
+    operator path (``terms_heavy_hitters``) stays partition-layout-
+    dependent and pytest-pinned; THIS entry pins the same summarize/
+    compress/merge algebra where every step is engine-agnostic."""
+    from pyspark.sql import Window
+
+    cap, topk = 64, 20
+    d = load(spark, sf, "documents")
+    # bucket hashed ONCE per document (projection order: hash, then
+    # explode), not once per exploded token row
+    terms = d.select(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13),"
+            " 16, 10) AS BIGINT) % 8"
+        ).alias("bucket"),
+        TX.nonempty_tokens("text").alias("toks"),
+    ).select("bucket", F.explode("toks").alias("term"))
+    cnt = terms.groupBy("bucket", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()
+    w = Window.partitionBy("bucket").orderBy(F.desc("cnt"), "term")
+    ranked = cnt.withColumn("rk", F.row_number().over(w))
+    thr = ranked.filter(F.col("rk") == cap + 1).select(
+        "bucket", F.col("cnt").alias("thr")
+    )
+    # batch-MG compress: est = cnt - threshold, keep positive (the
+    # filter IS the <=cap counter cap: rank > cap implies cnt <= thr)
+    summ = (
+        ranked.join(F.broadcast(thr), "bucket", "left")
+        .withColumn(
+            "est", F.col("cnt") - F.coalesce(F.col("thr"), F.lit(0))
+        )
+        .filter(F.col("est") > 0)
+    )
+    merged = summ.groupBy("term").agg(F.sum("est").alias("est"))
+    exact = cnt.groupBy("term").agg(F.sum("cnt").alias("true_cnt"))
+    debt = thr.agg(
+        F.coalesce(F.sum("thr"), F.lit(0)).cast("bigint").alias("max_debt")
+    )
+    return (
+        merged.join(exact, "term")
+        .crossJoin(F.broadcast(debt))
+        .select(
+            "term",
+            F.col("est").cast("bigint").alias("est"),
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+            (F.col("true_cnt") - F.col("est")).cast("bigint").alias("underest"),
+            "max_debt",
+            (
+                (F.col("est") <= F.col("true_cnt"))
+                & (F.col("true_cnt") - F.col("est") <= F.col("max_debt"))
+            ).alias("bound_ok"),
+        )
+        .orderBy(F.desc("est"), "term")
+        .limit(topk)
+    )
+
+
+SQL_MG_HEAVY_HITTERS_FIXED = """
+WITH toks AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+              AS BIGINT) % 8 AS bucket,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), terms AS (
+  SELECT bucket, u.term FROM toks, UNNEST(t) AS u(term)
+), cnt AS (
+  SELECT bucket, term, COUNT(*) AS cnt FROM terms GROUP BY 1, 2
+), ranked AS (
+  SELECT bucket, term, cnt,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY cnt DESC, term) AS rk
+  FROM cnt
+), thr AS (
+  SELECT bucket, cnt AS thr FROM ranked WHERE rk = 65
+), summ AS (
+  SELECT r.term, r.cnt - COALESCE(t.thr, 0) AS est
+  FROM ranked r LEFT JOIN thr t USING (bucket)
+  WHERE r.cnt - COALESCE(t.thr, 0) > 0
+), merged AS (
+  SELECT term, SUM(est) AS est FROM summ GROUP BY 1
+), exact AS (
+  SELECT term, SUM(cnt) AS true_cnt FROM cnt GROUP BY 1
+), debt AS (
+  SELECT CAST(COALESCE(SUM(thr), 0) AS BIGINT) AS max_debt FROM thr
+)
+SELECT m.term,
+       CAST(m.est AS BIGINT) AS est,
+       CAST(e.true_cnt AS BIGINT) AS true_cnt,
+       CAST(e.true_cnt - m.est AS BIGINT) AS underest,
+       d.max_debt,
+       (m.est <= e.true_cnt
+        AND e.true_cnt - m.est <= d.max_debt) AS bound_ok
+FROM merged m JOIN exact e USING (term) CROSS JOIN debt d
+ORDER BY est DESC, term
+LIMIT 20
+"""
+
+
+def q_simhash_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch calibration for the md5 SimHash family (the
+    ``minhash_accuracy`` pattern, third application): banded
+    candidate pairs from the 64-bit fingerprint's four 16-bit chunks,
+    then per pair the Hamming distance, the SimHash cosine ESTIMATE
+    cos(pi*h/64), the EXACT token-count cosine, and the absolute
+    error — run before trusting a Hamming threshold on a large
+    near-dup sweep.  Every step (tokenize, md5 bit fold, chunk join,
+    integer dot products) is engine-agnostic; the xxhash64 fast path
+    (``simhash_fingerprints``) stays rows-only, pair-set-parity
+    pinned by tests/test_fastpath_parity.py.  Runs on the same ~50%
+    md5 doc sample as ``minhash_accuracy`` (calibration is a sample
+    property; the full-corpus pass is the dedup job itself)."""
+    from ..operators.simhash import simhash_bits_md5
+
+    d = load(spark, sf, "documents").filter(
+        F.md5(F.col("doc_id").cast("string").cast("binary")) < "80"
+    )
+    bits = simhash_bits_md5(d, "doc_id", "text")
+    chunks = bits.select(
+        "doc_id",
+        "bits",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_idx"),
+                    F.substring("bits", i * 16 + 1, 16).alias("chunk_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "bits", "c.chunk_idx", "c.chunk_val")
+    left = chunks.select(
+        F.col("doc_id").alias("id_a"), F.col("bits").alias("bits_a"),
+        "chunk_idx", "chunk_val",
+    )
+    right = chunks.select(
+        F.col("doc_id").alias("id_b"), F.col("bits").alias("bits_b"),
+        "chunk_idx", "chunk_val",
+    )
+    pairs = (
+        left.join(right, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "bits_a", "bits_b")
+        .distinct()
+    )
+    ham = F.expr(
+        "CAST(size(filter(sequence(1, 64), "
+        "i -> substr(bits_a, i, 1) != substr(bits_b, i, 1))) AS BIGINT)"
+    )
+    tf = (
+        d.select(
+            "doc_id", F.explode(TX.nonempty_tokens("text")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("sq")
+    )
+    ta = tf.select(
+        F.col("doc_id").alias("id_a"), "term", F.col("tf").alias("tf_a")
+    )
+    tb = tf.select(
+        F.col("doc_id").alias("id_b"), "term", F.col("tf").alias("tf_b")
+    )
+    dots = (
+        pairs.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("sq").alias("sq_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("sq").alias("sq_b"))
+    scored = (
+        pairs.withColumn("hamming", ham)
+        .join(dots, ["id_a", "id_b"], "left")
+        .join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.round(
+                F.cos(F.lit(3.141592653589793) * F.col("hamming") / 64), 6
+            ).alias("est_cos"),
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0)).cast("double")
+                / (F.sqrt(F.col("sq_a")) * F.sqrt(F.col("sq_b"))),
+                6,
+            ).alias("exact_cos"),
+        )
+    )
+    return scored.select(
+        "id_a", "id_b", "hamming", "est_cos", "exact_cos",
+        F.round(F.abs(F.col("est_cos") - F.col("exact_cos")), 6)
+        .alias("abs_err"),
+    ).orderBy("id_a", "id_b")
+
+
+SQL_SIMHASH_ACCURACY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+  WHERE md5(CAST(doc_id AS VARCHAR)) < '80'
+), th AS (
+  SELECT doc_id, list_transform(t, tok -> md5(tok)) AS hs
+  FROM toks WHERE len(t) > 0
+), bits AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(range(0, 64), i ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+                    CASE WHEN contains(
+                           (['89abcdef', '4567cdef', '2367abef',
+                             '13579bdf'])[i % 4 + 1],
+                           substr(h, CAST(i // 4 AS INT) + 1, 1))
+                         THEN 1 ELSE -1 END)) > 0
+                  THEN '1' ELSE '0' END),
+           '') AS bits
+  FROM th
+), chunks AS (
+  SELECT doc_id, bits, u.i AS chunk_idx,
+         substr(bits, CAST(u.i * 16 + 1 AS INT), 16) AS chunk_val
+  FROM bits, UNNEST(range(0, 4)) AS u(i)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.bits AS bits_a, b.bits AS bits_b
+  FROM chunks a
+  JOIN chunks b ON a.chunk_idx = b.chunk_idx
+               AND a.chunk_val = b.chunk_val
+               AND a.doc_id < b.doc_id
+), tf AS (
+  SELECT doc_id, u.term, COUNT(*) AS tf
+  FROM toks, UNNEST(t) AS u(term)
+  GROUP BY 1, 2
+), norms AS (
+  SELECT doc_id, SUM(tf * tf) AS sq FROM tf GROUP BY 1
+), dots AS (
+  SELECT p.id_a, p.id_b, SUM(a.tf * b.tf) AS dot
+  FROM pairs p
+  JOIN tf a ON a.doc_id = p.id_a
+  JOIN tf b ON b.doc_id = p.id_b AND b.term = a.term
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.id_a, p.id_b,
+         CAST(len(list_filter(range(1, 65), i ->
+           substr(p.bits_a, CAST(i AS INT), 1)
+           != substr(p.bits_b, CAST(i AS INT), 1))) AS BIGINT) AS hamming,
+         COALESCE(d.dot, 0) AS dot, na.sq AS sq_a, nb.sq AS sq_b
+  FROM pairs p
+  LEFT JOIN dots d ON d.id_a = p.id_a AND d.id_b = p.id_b
+  JOIN norms na ON na.doc_id = p.id_a
+  JOIN norms nb ON nb.doc_id = p.id_b
+), rounded AS (
+  SELECT id_a, id_b, hamming,
+         ROUND(cos(pi() * hamming / 64), 6) AS est_cos,
+         ROUND(CAST(dot AS DOUBLE) / (sqrt(sq_a) * sqrt(sq_b)), 6)
+           AS exact_cos
+  FROM scored
+)
+SELECT id_a, id_b, hamming, est_cos, exact_cos,
+       ROUND(abs(est_cos - exact_cos), 6) AS abs_err
+FROM rounded
+ORDER BY id_a, id_b
+"""
+
+
+#: fixed-subspace whitening dimensions (first _WF_D embedding dims)
+_WF_D = 16
+
+
+def _wf_fixed_moments():
+    """Deterministic FIXED moments (mean + SPD covariance) from pure
+    integer formulas — the `_fixed` pattern's 'pretrained model'
+    stand-in: both engines see the exact same doubles, so the ZCA
+    matrix derived from them (numpy eigh, computed once per process)
+    is plan-constant and embeddable in the oracle as literals."""
+    import numpy as np
+
+    j = np.arange(_WF_D)
+    mu = ((7 * j) % 13 - 6) / 20.0
+    a = (((31 * j[:, None] + 17 * j[None, :]) % 11) - 5) / 8.0
+    cov = a @ a.T / _WF_D + 0.5 * np.eye(_WF_D)
+    return mu, cov
+
+
+def q_embedding_whitening_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """ZCA whitening APPLY + re-measured covariance with FIXED
+    moments (the `_fixed` pattern, 4th application — pretrained
+    mean/covariance as plan constants): whiten the first 16 embedding
+    dims through ``operators.whiten.whiten`` (the real Arrow matmul
+    path), then measure the whitened covariance RELATIONALLY (the
+    ``embedding_covariance_stats`` shape) and emit the structure
+    readout.  Unlike ``embedding_whitening`` (moments fitted on the
+    data; eigh has no SQL form), every number here is reproducible in
+    SQL because the whitening matrix is a literal.
+
+    Scale: whiten is a narrow per-row pass; the covariance self-join
+    is co-partitioned on vec_id (one shuffle) and the (i,j) groupBy
+    partial-aggregates to <=|parts|*d^2 rows before the exchange."""
+    from ..functions.vectors import as_double_array
+    from ..operators.whiten import whiten, zca_matrix
+
+    mu, cov = _wf_fixed_moments()
+    w = zca_matrix(cov)
+    e = load(spark, sf, "embeddings").select(
+        "vec_id",
+        F.slice(as_double_array("embedding"), 1, _WF_D).alias("emb16"),
+    )
+    white = whiten(e, mu, w, vec_col="emb16", out_col="whitened")
+    dims = (
+        white.select(
+            "vec_id", F.posexplode("whitened").alias("i", "x")
+        ).persist()
+    )
+    means = dims.groupBy("i").agg(
+        F.avg("x").alias("mean_i"), F.count("*").alias("n")
+    )
+    b = dims.select(
+        F.col("vec_id"), F.col("i").alias("j"), F.col("x").alias("y")
+    )
+    pairs = (
+        dims.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("x") * F.col("y")).alias("sxy"),
+             F.count("*").alias("n"))
+    )
+    mi = means.select("i", "mean_i")
+    mj = means.select(
+        F.col("i").alias("j"), F.col("mean_i").alias("mean_j")
+    )
+    covm = (
+        pairs.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            "i", "j",
+            (F.col("sxy") / F.col("n")
+             - F.col("mean_i") * F.col("mean_j")).alias("c"),
+        )
+    )
+    offdiag = F.when(F.col("i") != F.col("j"), F.abs("c"))
+    return covm.crossJoin(
+        F.broadcast(means.agg(F.max("n").cast("bigint").alias("n_vectors")))
+    ).agg(
+        F.first("n_vectors").alias("n_vectors"),
+        F.countDistinct("i").cast("bigint").alias("dims"),
+        F.round(F.sum(F.when(F.col("i") == F.col("j"), F.col("c"))), 6)
+        .alias("trace"),
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6)
+        .alias("frobenius"),
+        F.round(F.max(offdiag), 6).alias("max_abs_offdiag"),
+        F.round(F.avg(offdiag), 6).alias("avg_abs_offdiag"),
+    )
+
+
+def sql_embedding_whitening_fixed() -> str:
+    """Oracle twin: the SAME fixed-moment ZCA matrix (identical
+    ndarray, full-precision repr literals) applied per row with list
+    lambdas, then the identical relational covariance readout."""
+    from ..operators.whiten import zca_matrix
+
+    mu, cov = _wf_fixed_moments()
+    w = zca_matrix(cov)
+    wlit = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in w
+    )
+    mulit = ", ".join(repr(float(x)) for x in mu)
+    return f"""
+WITH wmat AS (
+  SELECT [{wlit}] AS w, [{mulit}] AS mu
+), white AS (
+  SELECT vec_id,
+         list_transform(range(1, {_WF_D + 1}), i ->
+           list_sum(list_transform(range(1, {_WF_D + 1}), j ->
+             w[i][j] * (CAST(embedding[j] AS DOUBLE) - mu[j])))) AS v
+  FROM embeddings CROSS JOIN wmat
+), dims AS (
+  SELECT vec_id, u.i AS i, v[u.i] AS x
+  FROM white, UNNEST(range(1, {_WF_D + 1})) AS u(i)
+), means AS (
+  SELECT i, AVG(x) AS mean_i, COUNT(*) AS n FROM dims GROUP BY 1
+), pairs AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy, COUNT(*) AS n
+  FROM dims a JOIN dims b USING (vec_id)
+  GROUP BY 1, 2
+), cov AS (
+  SELECT p.i, p.j, p.sxy / p.n - mi.mean_i * mj.mean_i AS c
+  FROM pairs p
+  JOIN means mi ON p.i = mi.i
+  JOIN means mj ON p.j = mj.i
+)
+SELECT CAST((SELECT MAX(n) FROM means) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS dims,
+       ROUND(SUM(CASE WHEN i = j THEN c END), 6) AS trace,
+       ROUND(sqrt(SUM(c * c)), 6) AS frobenius,
+       ROUND(MAX(CASE WHEN i != j THEN abs(c) END), 6)
+         AS max_abs_offdiag,
+       ROUND(AVG(CASE WHEN i != j THEN abs(c) END), 6)
+         AS avg_abs_offdiag
+FROM cov
+"""
+
+
 SPARK_QUERIES = {
     "feature_hash_embed": q_feature_hash_embed,
     "event_sequence_prep": q_event_sequence_prep,
@@ -3186,6 +3605,9 @@ SPARK_QUERIES = {
     "embedding_pq_topk_fixed": q_embedding_pq_topk_fixed,
     "source_weighted_median_quality": q_source_weighted_median_quality,
     "source_dup_matrix": q_source_dup_matrix,
+    "mg_heavy_hitters_fixed": q_mg_heavy_hitters_fixed,
+    "simhash_accuracy": q_simhash_accuracy,
+    "embedding_whitening_fixed": q_embedding_whitening_fixed,
 }
 
 ORACLE_SQL = {
@@ -3232,6 +3654,9 @@ ORACLE_SQL = {
     "embedding_kmeans_profile_fixed": sql_embedding_kmeans_profile_fixed(),
     "embedding_pq_topk_fixed": sql_embedding_pq_topk_fixed(),
     "source_weighted_median_quality": SQL_SOURCE_WEIGHTED_MEDIAN_QUALITY,
+    "mg_heavy_hitters_fixed": SQL_MG_HEAVY_HITTERS_FIXED,
+    "simhash_accuracy": SQL_SIMHASH_ACCURACY,
+    "embedding_whitening_fixed": sql_embedding_whitening_fixed(),
     # minhash_neardup / simhash_fingerprints / multimodal_* /
     # terms_heavy_hitters / embedding_ivf_topk / embedding_kmeans_
     # profile: intentionally no oracle (probabilistic or pandas-UDF
