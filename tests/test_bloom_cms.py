@@ -125,3 +125,22 @@ def test_kmv_error_bound(spark):
         assert r["rel_err"] <= 4 / (64 - 2) ** 0.5, (
             r["event_type"], r["rel_err"],
         )
+
+
+def test_bloom_build_ignores_null_keys(spark):
+    """NULL keys hash to NULL positions; the build must drop them
+    (not crash on a word=NULL aggregate row) and the filter must
+    behave as if they were never inserted."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.bloom import (
+        bloom_build as _build,
+        bloom_prune as _prune,
+    )
+
+    build = spark.createDataFrame(
+        [(1,), (2,), (None,)], "k bigint"
+    )
+    words = _build(build, "k", m_bits=M, k=K)
+    probe = spark.createDataFrame([(1,), (99,), (None,)], "k bigint")
+    kept = {r["k"] for r in _prune(probe, "k", words, M, K).collect()}
+    assert 1 in kept          # no false negative
+    assert None not in kept   # NULL probe rows are filtered (equi-join semantics)

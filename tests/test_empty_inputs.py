@@ -264,3 +264,15 @@ def test_expectations_gate_modes(spark):
 
     with _pt.raises(ValueError):
         expectations_gate(df, rules, "explode")
+
+
+def test_expectations_gate_rejects_empty_rules(spark):
+    import pytest as _pt
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.quality import (
+        expectations_gate,
+    )
+
+    df = spark.createDataFrame([(1,)], "pk bigint")
+    with _pt.raises(ValueError, match="non-empty"):
+        expectations_gate(df, [], "drop")

@@ -207,3 +207,18 @@ def test_progressive_420_equals_baseline_exactly():
             encode_jpeg_progressive(px, quality=80, subsample=True)
         )
         assert np.array_equal(base, prog), (h, w)
+
+
+def test_marker_scan_survives_fill_bytes():
+    """Spec-legal 0xFF fill bytes before a marker (FF FF DA) must not
+    swallow the marker itself — externally produced JPEGs pad this
+    way even though our encoder never does."""
+    img = _smooth(16, 16)
+    payload = bytearray(encode_jpeg(img, quality=90))
+    sos = payload.find(b"\xff\xda")
+    assert sos > 0
+    padded = bytes(payload[:sos]) + b"\xff" + bytes(payload[sos:])
+    out = decode_jpeg(padded)
+    assert out.shape == img.shape
+    ref = decode_jpeg(bytes(payload))
+    assert np.array_equal(out, ref)

@@ -136,3 +136,29 @@ def test_forget_keys_erases_history(spark, tmp_path):
     assert stats["deleted_dirs"] == 2
     data_root = os.path.join(str(tmp_path / "vt4"), "data")
     assert os.listdir(data_root) == [f"v{stats['version']}"]
+
+
+def test_vacuum_path_spelling_independent(spark, tmp_path):
+    """Opening the same table via a differently-spelled path
+    (relative vs absolute) must not make referenced data dirs look
+    unreferenced — vacuum membership is realpath-normalized."""
+    import os
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.versions import (
+        VersionedTable,
+    )
+
+    abs_path = str(tmp_path / "vt3")
+    vt = VersionedTable(spark, abs_path)
+    vt.write(spark.range(0, 4), "overwrite")           # v1
+    vt.write(spark.range(4, 6), "append")              # v2
+
+    cwd = os.getcwd()
+    os.chdir(str(tmp_path))
+    try:
+        rel = VersionedTable(spark, os.path.relpath(abs_path))
+        stats = rel.vacuum(keep_last=2)                # keeps v1+v2
+        assert stats["deleted_dirs"] == 0              # both dirs referenced
+        assert rel.read().count() == 6
+    finally:
+        os.chdir(cwd)
