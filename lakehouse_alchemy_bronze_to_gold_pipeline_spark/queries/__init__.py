@@ -67,7 +67,9 @@ _PRIORITY = (
 #: verdict's "keep any new r6 queries behind this set".
 _R6_NEW = (
     "mg_heavy_hitters_fixed", "simhash_accuracy",
-    "embedding_whitening_fixed",
+    "embedding_whitening_fixed", "important_part_value",
+    "customer_order_distribution", "supplier_part_breadth",
+    "dormant_wealth_report",
 )
 assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))
 assert set(_R6_NEW) <= set(_ALL), sorted(set(_R6_NEW) - set(_ALL))

@@ -873,6 +873,212 @@ ORDER BY segment
 """
 
 
+# --------------------------- decision-support subquery shapes (Q11/
+# Q13/Q16/Q22 analogs): HAVING-vs-global-scalar, outer-join count
+# distribution, anti-joined distinct counts, double-negation EXISTS
+
+
+def q_important_part_value(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value restricted to one
+    nation's suppliers, kept only where it exceeds a FRACTION OF THE
+    GLOBAL TOTAL — the group-HAVING-against-global-aggregate pattern.
+    The global total is a 1-row aggregate broadcast against the
+    per-part rollup (no second scan: both aggregates reuse the same
+    joined relation via persist)."""
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("l_partkey", val.alias("val"))
+        .persist()
+    )
+    per_part = joined.groupBy("l_partkey").agg(
+        F.sum("val").alias("value_d")
+    )
+    total = joined.agg(
+        (F.sum("val") * F.lit(0.001).cast("decimal(8,4)")).alias("cut")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_d") > F.col("cut"))
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.col("value_d").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "part_key")
+    )
+
+
+SQL_IMPORTANT_PART_VALUE = """
+WITH joined AS (
+  SELECT l_partkey,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+)
+SELECT l_partkey AS part_key, CAST(SUM(val) AS DOUBLE) AS value
+FROM joined
+GROUP BY l_partkey
+HAVING SUM(val) > (SELECT SUM(val) * CAST(0.001 AS DECIMAL(8,4))
+                   FROM joined)
+ORDER BY value DESC, part_key
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by how many
+    qualifying orders they placed, INCLUDING the zero bucket — a
+    LEFT OUTER join (so order-less customers survive) with a filtered
+    join predicate (priority exclusion lives in the join condition,
+    not a WHERE, which would silently turn the outer join inner)."""
+    c = load(spark, sf, "customer").select("c_custkey")
+    o = load(spark, sf, "orders").select("o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(
+            F.col("c_count").cast("bigint").alias("c_count"),
+            F.col("custdist").cast("bigint").alias("custdist"),
+        )
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_custkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority != '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_supplier_part_breadth(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers can deliver each
+    (brand, type, size) combination, excluding one brand, a size
+    whitelist, and "complaint" suppliers (negative account balance)
+    removed by LEFT ANTI join — the not-in-subquery pattern as a
+    shuffle-free-on-the-small-side anti join."""
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    p = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load(spark, sf, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"],
+                "left_anti")
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand", "p_type",
+            F.col("p_size").cast("bigint").alias("p_size"),
+            F.col("supplier_cnt").cast("bigint").alias("supplier_cnt"),
+        )
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+SQL_SUPPLIER_PART_BREADTH = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#5'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_dormant_wealth_report(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy-but-dormant accounts — customers
+    whose balance beats the positive-balance average yet placed no
+    URGENT order, bucketed by customer-key digit (the country-code
+    analog).  Composes a scalar subquery (global average over a
+    filtered scan) with a LEFT ANTI join (NOT EXISTS)."""
+    c = load(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    urgent = load(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    # the threshold compare is EXACT cross-multiplication in cents
+    # (bal*n > sum), never a divided average: Spark AVG(decimal)
+    # stays decimal while DuckDB's goes double, and a borderline
+    # balance could flip between the two roundings
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("sum_c"),
+        F.count(F.lit(1)).alias("n_c"),
+    )
+    return (
+        c.select("c_custkey", "c_acctbal", cents.alias("bal_c"))
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal_c") * F.col("n_c") > F.col("sum_c"))
+        .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("bigint").alias("key_digit"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            _dec_sum(F.col("c_acctbal"), 2, "totacctbal"),
+        )
+        .orderBy("key_digit")
+    )
+
+
+SQL_DORMANT_WEALTH_REPORT = """
+WITH stats AS (
+  SELECT SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS sum_c,
+         COUNT(*) AS n_c
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT CAST(c_custkey % 10 AS BIGINT) AS key_digit,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS totacctbal
+FROM customer CROSS JOIN stats
+WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n_c
+      > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY 1
+ORDER BY key_digit
+"""
+
+
 SPARK_QUERIES = {
     "conversion_latency": q_conversion_latency,
     "rfm_segmentation": q_rfm_segmentation,
@@ -890,6 +1096,10 @@ SPARK_QUERIES = {
     "signup_purchase_funnel": q_signup_purchase_funnel,
     "event_date_spine": q_event_date_spine,
     "order_metrics_melt": q_order_metrics_melt,
+    "important_part_value": q_important_part_value,
+    "customer_order_distribution": q_customer_order_distribution,
+    "supplier_part_breadth": q_supplier_part_breadth,
+    "dormant_wealth_report": q_dormant_wealth_report,
 }
 
 ORACLE_SQL = {
@@ -909,4 +1119,8 @@ ORACLE_SQL = {
     "signup_purchase_funnel": SQL_SIGNUP_PURCHASE_FUNNEL,
     "event_date_spine": SQL_EVENT_DATE_SPINE,
     "order_metrics_melt": SQL_ORDER_METRICS_MELT,
+    "important_part_value": SQL_IMPORTANT_PART_VALUE,
+    "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
+    "supplier_part_breadth": SQL_SUPPLIER_PART_BREADTH,
+    "dormant_wealth_report": SQL_DORMANT_WEALTH_REPORT,
 }
