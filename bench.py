@@ -92,6 +92,10 @@ def _merge_prior_mins(
 
 
 def main() -> None:
+    # fingerprint the source BEFORE the sweep: it must describe the
+    # code this process imported, not whatever is on disk ~4 minutes
+    # later when the detail file is written
+    fingerprint = _source_fingerprint()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     try:
@@ -169,7 +173,6 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_out"
     )
     os.makedirs(out_dir, exist_ok=True)
-    fingerprint = _source_fingerprint()
     merged, n_runs = _merge_prior_mins(out_dir, fingerprint, sf, times)
     detail = {
         "metric": "total_query_wall_sec",

@@ -3545,6 +3545,150 @@ FROM cov
 """
 
 
+def q_matryoshka_overlap_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-style truncation quality readout: how much of the
+    FULL-dimension cosine top-5 ranking survives when embeddings are
+    truncated to their first 16 / 32 dims — the go/no-go check before
+    shipping truncated vectors to a cheaper ANN tier (MRL embeddings
+    are trained so prefixes stay usable; this measures whether OURS
+    are).  For 5 fixed query vectors and each prefix width, the top-5
+    by prefix cosine is compared to the top-5 by full cosine:
+    overlap@5 + mean absolute cosine gap on the agreed set.
+
+    Scale: queries broadcast; per width the corpus is scored in one
+    narrow pass (slice + fold, no shuffle until the per-query top-k
+    window over |Q|x|corpus| scored rows partial-TakeOrdereds)."""
+    from pyspark.sql import Window
+    from ..functions.vectors import as_double_array
+
+    emb = load(spark, sf, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array("embedding").alias("qv"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array("embedding").alias("cv"),
+    )
+    scored = q.crossJoin(c).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    def topk(width: int, k: int = 5):
+        dot = F.expr(
+            f"aggregate(zip_with(slice(qv, 1, {width}),"
+            f" slice(cv, 1, {width}), (a, b) -> a * b),"
+            " cast(0.0 as double), (s, x) -> s + x)"
+        )
+        nq = F.sqrt(F.expr(
+            f"aggregate(slice(qv, 1, {width}), cast(0.0 as double),"
+            " (s, x) -> s + x * x)"
+        ))
+        nc = F.sqrt(F.expr(
+            f"aggregate(slice(cv, 1, {width}), cast(0.0 as double),"
+            " (s, x) -> s + x * x)"
+        ))
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("cos_raw"), 12).desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("cos_raw", dot / (nq * nc))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id",
+                F.round("cos_raw", 6).alias(f"cos_{width}"),
+            )
+        )
+
+    full = topk(64)
+    spine = q.select("query_id")
+    out = []
+    for width in (16, 32):
+        t = topk(width)
+        agreed = full.join(t, ["query_id", "neighbor_id"])
+        per_q = agreed.groupBy("query_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("overlap5"),
+            F.round(
+                F.avg(F.abs(F.col("cos_64") - F.col(f"cos_{width}"))),
+                6,
+            ).alias("mean_cos_gap"),
+        )
+        # LEFT join from the query spine: a width whose top-5 shares
+        # NOTHING with the full ranking must still report overlap5=0
+        # (the go/no-go signal), not silently vanish
+        out.append(
+            spine.join(per_q, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(width).cast("bigint").alias("width"),
+                F.coalesce(F.col("overlap5"), F.lit(0))
+                .cast("bigint")
+                .alias("overlap5"),
+                "mean_cos_gap",
+            )
+        )
+    res = out[0].unionByName(out[1])
+    return res.orderBy("query_id", "width")
+
+
+def _sql_matryoshka_scored(width: int) -> str:
+    return f"""
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(
+             list_zip(list_slice(q.embedding::DOUBLE[], 1, {width}),
+                      list_slice(c.embedding::DOUBLE[], 1, {width})),
+             x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(
+               list_slice(q.embedding::DOUBLE[], 1, {width}),
+               x -> x * x)))
+            * sqrt(list_sum(list_transform(
+               list_slice(c.embedding::DOUBLE[], 1, {width}),
+               x -> x * x))))
+           AS cos_raw
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+"""
+
+
+def sql_matryoshka_overlap_report() -> str:
+    parts = []
+    for width in (16, 32, 64):
+        parts.append(f"""
+top{width} AS (
+  SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cos_{width}
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY ROUND(cos_raw, 12) DESC, neighbor_id) AS rnk
+    FROM ({_sql_matryoshka_scored(width)}) s{width}
+  ) r{width} WHERE rnk <= 5
+)""")
+    return f"""
+WITH {', '.join(parts)}
+SELECT s.query_id, CAST(s.width AS BIGINT) AS width,
+       CAST(COALESCE(u.overlap5, 0) AS BIGINT) AS overlap5,
+       u.mean_cos_gap
+FROM (SELECT DISTINCT vec_id AS query_id, w.width
+      FROM embeddings, (VALUES (16), (32)) AS w(width)
+      WHERE vec_id < 5) s
+LEFT JOIN (
+  SELECT f.query_id, 16 AS width, COUNT(*) AS overlap5,
+         ROUND(AVG(abs(f.cos_64 - t.cos_16)), 6) AS mean_cos_gap
+  FROM top64 f JOIN top16 t USING (query_id, neighbor_id)
+  GROUP BY 1
+  UNION ALL
+  SELECT f.query_id, 32 AS width, COUNT(*) AS overlap5,
+         ROUND(AVG(abs(f.cos_64 - t.cos_32)), 6) AS mean_cos_gap
+  FROM top64 f JOIN top32 t USING (query_id, neighbor_id)
+  GROUP BY 1
+) u ON u.query_id = s.query_id AND u.width = s.width
+ORDER BY s.query_id, s.width
+"""
+
+
 SPARK_QUERIES = {
     "feature_hash_embed": q_feature_hash_embed,
     "event_sequence_prep": q_event_sequence_prep,
@@ -3608,6 +3752,7 @@ SPARK_QUERIES = {
     "mg_heavy_hitters_fixed": q_mg_heavy_hitters_fixed,
     "simhash_accuracy": q_simhash_accuracy,
     "embedding_whitening_fixed": q_embedding_whitening_fixed,
+    "matryoshka_overlap_report": q_matryoshka_overlap_report,
 }
 
 ORACLE_SQL = {
@@ -3657,6 +3802,7 @@ ORACLE_SQL = {
     "mg_heavy_hitters_fixed": SQL_MG_HEAVY_HITTERS_FIXED,
     "simhash_accuracy": SQL_SIMHASH_ACCURACY,
     "embedding_whitening_fixed": sql_embedding_whitening_fixed(),
+    "matryoshka_overlap_report": sql_matryoshka_overlap_report(),
     # minhash_neardup / simhash_fingerprints / multimodal_* /
     # terms_heavy_hitters / embedding_ivf_topk / embedding_kmeans_
     # profile: intentionally no oracle (probabilistic or pandas-UDF
