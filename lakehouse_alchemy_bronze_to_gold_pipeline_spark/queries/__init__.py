@@ -69,7 +69,7 @@ _R6_NEW = (
     "mg_heavy_hitters_fixed", "simhash_accuracy",
     "embedding_whitening_fixed", "important_part_value",
     "customer_order_distribution", "supplier_part_breadth",
-    "dormant_wealth_report",
+    "dormant_wealth_report", "matryoshka_overlap_report",
 )
 assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))
 assert set(_R6_NEW) <= set(_ALL), sorted(set(_R6_NEW) - set(_ALL))
