@@ -78,8 +78,14 @@ def table_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    md_out = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:]
+         if a.startswith("--md=")),
+        None,
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     qs, oracles = queries(), oracle_sql()
 
     # dtype banner: round 3 lost its bench to a silent upstream change
@@ -170,6 +176,20 @@ def main() -> int:
             print(f"PASS  {name} ({len(s)} rows, {time.time()-t0:.1f}s)")
     spark.stop()
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    if md_out:
+        # counts COMPUTED from the registry at write time (r5 verdict
+        # task 9: manual counts drifted the moment a query landed)
+        n_q, n_o = len(qs), len(oracles)
+        n_ro = n_q - n_o
+        with open(md_out, "w") as fh:
+            fh.write(
+                f"`python tools/check_correctness.py {sf_dir}` over the\n"
+                f"full registry ({n_q} entries, {n_o} oracle-backed,\n"
+                f"{n_ro} rows-only), FULL-precision float canon "
+                f"(shortest-round-trip repr):\n"
+                f"**{'all green' if not failures else f'{len(failures)} FAILURES: {failures}'}**\n"
+            )
+        print(f"summary written to {md_out}")
     return 1 if failures else 0
 
 
