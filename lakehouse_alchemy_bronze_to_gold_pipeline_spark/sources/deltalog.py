@@ -1,0 +1,293 @@
+"""From-scratch Delta Lake transaction-log reader/writer (protocol
+JSON, no delta-spark dependency).
+
+The reference writes every table as Delta (`bronze_ingestion.py:83`,
+`gold_transformation.py:79-85,150-160`); in this environment the
+delta-spark package is absent, so `TableIO` falls back to plain
+parquet and `VersionedTable` supplies portable time travel.  This
+module closes the remaining gap HONESTLY: the Delta *protocol* is a
+public, documented format (an ordered `_delta_log/%020d.json` of
+`metaData` / `add` / `remove` actions over immutable parquet files —
+delta.io PROTOCOL.md), and reading or writing that format needs no
+library, only JSON + parquet.
+
+What this gives the engine:
+
+- ``DeltaLogTable.read`` — batch-scan a Delta table WRITTEN BY ANY
+  SYSTEM (Databricks, delta-rs, delta-spark) at latest or any
+  historical version: replay the log, resolve the live file set,
+  read exactly those parquet files (`basePath` keeps hive-style
+  partition columns).  File-level time travel identical to
+  `VERSION AS OF`.
+- ``DeltaLogTable.write`` — a minimal single-writer commit path:
+  parquet files into the table dir, then ONE atomic
+  `O_CREAT|O_EXCL` log entry with `metaData` (first commit) +
+  `add`/`remove` actions, so delta-spark elsewhere can read what we
+  wrote.  Optimistic concurrency is the protocol's put-if-absent on
+  the next log name — a concurrent writer loses the create race and
+  must retry.
+
+Deliberate scope cuts (each raises, never guesses): checkpoint
+parquet files are NOT required for correctness (the JSON log is
+authoritative; `_last_checkpoint` is only a read optimization) but a
+log whose early JSON entries were vacuumed away after checkpointing
+cannot be replayed — detected and raised.  Deletion vectors /
+column-mapping reader features raise on sight via
+`protocol.readerFeatures`.
+
+Scale: the log replay is driver-side metadata work, O(|log| +
+|files|) — exactly what every Delta reader does; the data scan
+itself stays a fully parallel parquet read with partition pruning on
+the hive paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: reader features this implementation understands (protocol v1/v2
+#: tables, plus v3 tables that only list these features)
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "vacuumProtocolCheck"}
+
+
+class DeltaLogTable:
+    """Delta-protocol table rooted at ``path`` (single writer)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path.rstrip("/"))
+        self._log = os.path.join(self.path, "_delta_log")
+
+    # ------------------------------------------------------ log scan
+    def versions(self) -> list[int]:
+        """Commit versions present as JSON entries (ascending)."""
+        if not os.path.isdir(self._log):
+            return []
+        return sorted(
+            int(f[:-5])
+            for f in os.listdir(self._log)
+            if f.endswith(".json") and f[:-5].isdigit()
+        )
+
+    def _actions(self, version: int) -> list[dict]:
+        name = os.path.join(self._log, f"{version:020d}.json")
+        with open(name) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def _replay(self, version: int | None) -> dict:
+        """Fold the log up to ``version``: live files, metadata,
+        protocol."""
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(
+                f"no Delta log at {self._log} (not a Delta table?)"
+            )
+        if version is None:
+            version = vs[-1]
+        if version not in vs:
+            if version < vs[0]:
+                raise ValueError(
+                    f"version {version} predates the earliest JSON log "
+                    f"entry {vs[0]} (log truncated after checkpointing; "
+                    "checkpoint replay is out of scope)"
+                )
+            raise ValueError(f"unknown version {version} (have {vs})")
+        if vs[0] != 0:
+            raise ValueError(
+                f"log starts at {vs[0]}, not 0 — cannot replay a "
+                "truncated log without its checkpoint"
+            )
+        live: dict[str, dict] = {}
+        meta: dict | None = None
+        proto: dict | None = None
+        for v in vs:
+            if v > version:
+                break
+            for a in self._actions(v):
+                if "metaData" in a:
+                    meta = a["metaData"]
+                elif "protocol" in a:
+                    proto = a["protocol"]
+                    feats = set(proto.get("readerFeatures") or [])
+                    unsupported = feats - _SUPPORTED_READER_FEATURES
+                    if unsupported:
+                        raise NotImplementedError(
+                            f"Delta reader features {sorted(unsupported)} "
+                            "not supported by this reader"
+                        )
+                    if proto.get("minReaderVersion", 1) > 3:
+                        raise NotImplementedError(
+                            "minReaderVersion "
+                            f"{proto['minReaderVersion']} > 3"
+                        )
+                elif "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+        if meta is None:
+            raise ValueError("log contains no metaData action")
+        return {"files": live, "meta": meta, "version": version}
+
+    # --------------------------------------------------------- read
+    def read(self, version: int | None = None) -> DataFrame:
+        """DataFrame over the live file set at ``version`` (latest by
+        default).  Hive-partitioned layouts keep their partition
+        columns via ``basePath``; an empty snapshot returns an empty
+        frame with the schema from ``metaData.schemaString``."""
+        snap = self._replay(version)
+        paths = [
+            os.path.join(self.path, p) for p in sorted(snap["files"])
+        ]
+        if not paths:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(
+                json.loads(snap["meta"]["schemaString"])
+            )
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.option("basePath", self.path).parquet(*paths)
+        )
+
+    def history(self) -> list[dict]:
+        """commitInfo per version (empty dict where a writer logged
+        none)."""
+        out = []
+        for v in self.versions():
+            info = next(
+                (
+                    a["commitInfo"]
+                    for a in self._actions(v)
+                    if "commitInfo" in a
+                ),
+                {},
+            )
+            out.append({"version": v, **info})
+        return out
+
+    # -------------------------------------------------------- write
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Commit ``df`` as one Delta transaction; returns the new
+        version.  ``overwrite`` logs ``remove`` tombstones for every
+        previously-live file (the protocol's overwrite semantics —
+        data files are immutable and stay on disk for time travel)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        vs = self.versions()
+        if mode == "append" and vs:
+            prev = self._replay(None)
+            prev_part = prev["meta"].get("partitionColumns") or []
+            if list(partition_by or []) != list(prev_part):
+                raise ValueError(
+                    f"append partition_by {partition_by} != table "
+                    f"partitioning {prev_part}"
+                )
+        # 1. data: write into a staging dir, then move files into the
+        # table root under fresh UUID names (Delta file names are
+        # opaque; uniqueness is what matters)
+        stage = os.path.join(self.path, f"_stage_{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(stage)
+        adds = []
+        for dirpath, _dirs, files in os.walk(stage):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(dirpath, stage)
+                part_values = {}
+                if rel_dir != ".":
+                    for seg in rel_dir.split(os.sep):
+                        k, _, val = seg.partition("=")
+                        part_values[k] = (
+                            None if val == "__HIVE_DEFAULT_PARTITION__"
+                            else val
+                        )
+                new_name = f"part-{uuid.uuid4().hex}.snappy.parquet"
+                rel_path = (
+                    new_name if rel_dir == "."
+                    else os.path.join(rel_dir, new_name)
+                )
+                dst = os.path.join(self.path, rel_path)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(dirpath, f), dst)
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel_path.replace(os.sep, "/"),
+                            "partitionValues": part_values,
+                            "size": os.path.getsize(dst),
+                            "modificationTime": int(time.time() * 1000),
+                            "dataChange": True,
+                        }
+                    }
+                )
+        import shutil
+
+        shutil.rmtree(stage)
+
+        # 2. actions
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": int(time.time() * 1000),
+                    "operation": "WRITE",
+                    "operationParameters": {"mode": mode.upper()},
+                    "engineInfo": "lakehouse-alchemy-spark-deltalog",
+                }
+            }
+        ]
+        next_v = (vs[-1] + 1) if vs else 0
+        if next_v == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": str(uuid.uuid4()),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": list(partition_by or []),
+                        "configuration": {},
+                        "createdTime": int(time.time() * 1000),
+                    }
+                }
+            )
+        elif mode == "overwrite":
+            prev = self._replay(None)
+            ts = int(time.time() * 1000)
+            for p in sorted(prev["files"]):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": ts,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        actions.extend(adds)
+
+        # 3. atomic commit: put-if-absent on the next log name — the
+        # protocol's optimistic-concurrency primitive.  A concurrent
+        # writer that claimed this version first makes the open fail;
+        # single-writer pipelines never hit it.
+        os.makedirs(self._log, exist_ok=True)
+        name = os.path.join(self._log, f"{next_v:020d}.json")
+        fd = os.open(name, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        return next_v
