@@ -170,12 +170,54 @@ class DeltaLogTable:
             out.append({"version": v, **info})
         return out
 
+    # ---------------------------------------------- streaming write
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest ``txn.version`` committed for ``app_id`` (-1 if
+        none) — the protocol's idempotent-writer bookkeeping."""
+        last = -1
+        for v in self.versions():
+            for a in self._actions(v):
+                txn = a.get("txn")
+                if txn and txn.get("appId") == app_id:
+                    last = max(last, int(txn["version"]))
+        return last
+
+    def write_batch_exactly_once(
+        self,
+        df: DataFrame,
+        app_id: str,
+        batch_id: int,
+        partition_by: list[str] | None = None,
+    ) -> int | None:
+        """foreachBatch sink with protocol-level exactly-once: a
+        ``txn {appId, version}`` action rides in the same atomic
+        commit as the data, so a RESTARTED stream that replays an
+        already-committed micro-batch sees ``last_txn_version >=
+        batch_id`` and skips — the duplicate never reaches the log.
+        Returns the committed version, or None for a skipped replay.
+
+        Usage::
+
+            q = (df.writeStream.foreachBatch(
+                     lambda b, i: t.write_batch_exactly_once(b, "app", i)
+                 ).trigger(availableNow=True).start())
+        """
+        if batch_id <= self.last_txn_version(app_id):
+            return None
+        return self.write(
+            df,
+            "append",
+            partition_by=partition_by,
+            _txn={"appId": app_id, "version": int(batch_id)},
+        )
+
     # -------------------------------------------------------- write
     def write(
         self,
         df: DataFrame,
         mode: str = "append",
         partition_by: list[str] | None = None,
+        _txn: dict | None = None,
     ) -> int:
         """Commit ``df`` as one Delta transaction; returns the new
         version.  ``overwrite`` logs ``remove`` tombstones for every
@@ -278,6 +320,9 @@ class DeltaLogTable:
                         }
                     }
                 )
+        if _txn is not None:
+            actions.append({"txn": {**_txn, "lastUpdated":
+                                    int(time.time() * 1000)}})
         actions.extend(adds)
 
         # 3. atomic commit: put-if-absent on the next log name — the

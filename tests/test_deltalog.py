@@ -133,3 +133,43 @@ def test_empty_snapshot_keeps_schema(spark, tmp_path):
     got = t.read()
     assert got.count() == 0
     assert got.schema.fieldNames() == ["id"]
+
+
+def test_exactly_once_foreach_batch_replay(spark, tmp_path):
+    """txn-action idempotence: replaying an already-committed
+    micro-batch (the restart case) is a no-op, a new batch commits."""
+    t = DeltaLogTable(spark, str(tmp_path / "eo"))
+    assert t.write_batch_exactly_once(spark.range(0, 3), "app", 0) == 0
+    # replay of batch 0 after a simulated restart: skipped
+    assert t.write_batch_exactly_once(spark.range(0, 3), "app", 0) is None
+    assert _ids(t.read()) == [0, 1, 2]
+    # next batch commits; a DIFFERENT app id keeps its own counter
+    assert t.write_batch_exactly_once(spark.range(3, 4), "app", 1) == 1
+    assert t.write_batch_exactly_once(spark.range(9, 10), "other", 0) == 2
+    assert _ids(t.read()) == [0, 1, 2, 3, 9]
+    assert t.last_txn_version("app") == 1
+    assert t.last_txn_version("other") == 0
+    assert t.last_txn_version("unseen") == -1
+
+
+def test_exactly_once_through_real_stream(spark, tmp_path):
+    """End to end through Structured Streaming foreachBatch +
+    availableNow: run the SAME source twice with separate checkpoint
+    dirs (forcing batch-id replay) — the table still holds exactly
+    one copy."""
+    src = tmp_path / "src"
+    spark.range(0, 5).write.mode("overwrite").parquet(str(src))
+    t = DeltaLogTable(spark, str(tmp_path / "eos"))
+    for run in range(2):
+        q = (
+            spark.readStream.schema("id bigint")
+            .parquet(str(src))
+            .writeStream.foreachBatch(
+                lambda b, i: t.write_batch_exactly_once(b, "stream-app", i)
+            )
+            .option("checkpointLocation", str(tmp_path / f"ck{run}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+    assert _ids(t.read()) == [0, 1, 2, 3, 4]
