@@ -79,36 +79,83 @@ class DeltaLogTable:
         with open(name) as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
+    def _checkpoints(self) -> list[int]:
+        """Checkpoint versions present (ascending)."""
+        if not os.path.isdir(self._log):
+            return []
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self._log)
+            if f.endswith(".checkpoint.parquet")
+            and f.split(".")[0].isdigit()
+        )
+
+    def _checkpoint_actions(self, version: int) -> list[dict]:
+        """Actions stored in a checkpoint parquet (one action per
+        row, exactly one non-null action column — the protocol's
+        checkpoint schema)."""
+        import pyarrow.parquet as pq
+
+        name = os.path.join(
+            self._log, f"{version:020d}.checkpoint.parquet"
+        )
+        out = []
+        for row in pq.read_table(name).to_pylist():
+            for key in ("protocol", "metaData", "txn", "add", "remove"):
+                if row.get(key) is not None:
+                    out.append({key: row[key]})
+        return out
+
     def _replay(self, version: int | None) -> dict:
         """Fold the log up to ``version``: live files, metadata,
-        protocol."""
+        protocol.  Starts from the newest checkpoint <= version when
+        one exists (O(|files| + |tail|) instead of O(|log|) — the
+        metadata-scale path for long-lived tables), else from JSON
+        version 0."""
         vs = self.versions()
-        if not vs:
+        cps = self._checkpoints()
+        if not vs and not cps:
             raise FileNotFoundError(
                 f"no Delta log at {self._log} (not a Delta table?)"
             )
+        latest = max(vs[-1] if vs else -1, cps[-1] if cps else -1)
         if version is None:
-            version = vs[-1]
-        if version not in vs:
-            if version < vs[0]:
+            version = latest
+        start_cp = max(
+            (c for c in cps if c <= version), default=None
+        )
+        if start_cp is None:
+            if not vs or vs[0] != 0:
                 raise ValueError(
-                    f"version {version} predates the earliest JSON log "
-                    f"entry {vs[0]} (log truncated after checkpointing; "
-                    "checkpoint replay is out of scope)"
+                    f"log starts at {vs[0] if vs else '<empty>'}, not 0, "
+                    f"and no checkpoint <= {version} exists — cannot "
+                    "replay a truncated log"
                 )
-            raise ValueError(f"unknown version {version} (have {vs})")
-        if vs[0] != 0:
+            replay_vs = [v for v in vs if v <= version]
+        else:
+            replay_vs = [v for v in vs if start_cp < v <= version]
+            # the JSON tail after the checkpoint must be gapless
+            expect = list(range(start_cp + 1, version + 1))
+            if replay_vs != expect:
+                missing = sorted(set(expect) - set(replay_vs))
+                raise ValueError(
+                    f"log entries {missing} missing between checkpoint "
+                    f"{start_cp} and requested version {version}"
+                )
+        if version != latest and version not in vs and version not in cps:
             raise ValueError(
-                f"log starts at {vs[0]}, not 0 — cannot replay a "
-                "truncated log without its checkpoint"
+                f"unknown version {version} (have json {vs}, "
+                f"checkpoints {cps})"
             )
         live: dict[str, dict] = {}
         meta: dict | None = None
         proto: dict | None = None
-        for v in vs:
-            if v > version:
-                break
-            for a in self._actions(v):
+        action_stream = []
+        if start_cp is not None:
+            action_stream.append(self._checkpoint_actions(start_cp))
+        action_stream.extend(self._actions(v) for v in replay_vs)
+        for actions in action_stream:
+            for a in actions:
                 if "metaData" in a:
                     meta = a["metaData"]
                 elif "protocol" in a:
@@ -170,13 +217,73 @@ class DeltaLogTable:
             out.append({"version": v, **info})
         return out
 
+    def checkpoint(self) -> int:
+        """Write a checkpoint parquet of the CURRENT snapshot (one
+        action per row: protocol, metaData, per-app txn watermarks,
+        one add per live file) plus the ``_last_checkpoint`` pointer.
+        After a checkpoint, JSON entries at or before it may be
+        deleted (log retention) and the table stays fully readable —
+        replay cost drops from O(|log|) to O(|files| + |tail|)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        vs = self.versions()
+        snap = self._replay(None)
+        v = snap["version"]
+        txns = {}
+        for jv in vs:
+            for a in self._actions(jv):
+                t = a.get("txn")
+                if t:
+                    txns[t["appId"]] = max(
+                        txns.get(t["appId"], -1), int(t["version"])
+                    )
+        def _nz(obj):
+            # parquet cannot store an EMPTY struct; {} fields (an
+            # unpartitioned add's partitionValues, a bare metaData
+            # configuration) checkpoint as null and read back as {}
+            if isinstance(obj, dict):
+                out = {k: _nz(v) for k, v in obj.items()}
+                return out or None
+            return obj
+
+        rows: list[dict] = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": _nz(snap["meta"])},
+        ]
+        rows.extend(
+            {"txn": {"appId": k, "version": n}} for k, n in sorted(txns.items())
+        )
+        rows.extend(
+            {"add": _nz(add)} for _p, add in sorted(snap["files"].items())
+        )
+        cols = ("protocol", "metaData", "txn", "add", "remove")
+        table = pa.Table.from_pylist(
+            [{c: r.get(c) for c in cols} for r in rows]
+        )
+        name = os.path.join(self._log, f"{v:020d}.checkpoint.parquet")
+        pq.write_table(table, name)
+        with open(os.path.join(self._log, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": v, "size": len(rows)}, fh)
+        return v
+
     # ---------------------------------------------- streaming write
     def last_txn_version(self, app_id: str) -> int:
         """Highest ``txn.version`` committed for ``app_id`` (-1 if
-        none) — the protocol's idempotent-writer bookkeeping."""
+        none) — the protocol's idempotent-writer bookkeeping.
+        Checkpoints carry the per-app watermarks forward, so the
+        answer survives JSON log truncation."""
         last = -1
-        for v in self.versions():
-            for a in self._actions(v):
+        cps = self._checkpoints()
+        streams = []
+        if cps:
+            streams.append(self._checkpoint_actions(cps[-1]))
+            tail = [v for v in self.versions() if v > cps[-1]]
+        else:
+            tail = self.versions()
+        streams.extend(self._actions(v) for v in tail)
+        for actions in streams:
+            for a in actions:
                 txn = a.get("txn")
                 if txn and txn.get("appId") == app_id:
                     last = max(last, int(txn["version"]))
@@ -226,7 +333,11 @@ class DeltaLogTable:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         vs = self.versions()
-        if mode == "append" and vs:
+        cps = self._checkpoints()
+        # a truncated-head log (JSON entries vacuumed after a
+        # checkpoint) still has a current version — the checkpoint's
+        latest = max(vs[-1] if vs else -1, cps[-1] if cps else -1)
+        if mode == "append" and latest >= 0:
             prev = self._replay(None)
             prev_part = prev["meta"].get("partitionColumns") or []
             if list(partition_by or []) != list(prev_part):
@@ -290,7 +401,7 @@ class DeltaLogTable:
                 }
             }
         ]
-        next_v = (vs[-1] + 1) if vs else 0
+        next_v = latest + 1
         if next_v == 0:
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}

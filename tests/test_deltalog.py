@@ -173,3 +173,49 @@ def test_exactly_once_through_real_stream(spark, tmp_path):
         )
         q.awaitTermination(60)
     assert _ids(t.read()) == [0, 1, 2, 3, 4]
+
+
+def test_checkpoint_and_log_truncation(spark, tmp_path):
+    """Checkpoint the snapshot, DELETE every JSON entry at or before
+    it (log retention), and the table stays fully readable — incl.
+    the txn watermark — while pre-checkpoint time travel raises."""
+    t = DeltaLogTable(spark, str(tmp_path / "cp"))
+    t.write(spark.range(0, 3), "append")                          # v0
+    t.write_batch_exactly_once(spark.range(3, 5), "app", 7)       # v1
+    t.write(spark.range(5, 6), "append")                          # v2
+    assert t.checkpoint() == 2
+    t.write(spark.range(6, 8), "append")                          # v3
+
+    log = tmp_path / "cp" / "_delta_log"
+    for v in (0, 1, 2):
+        os.remove(log / f"{v:020d}.json")
+
+    assert _ids(t.read()) == list(range(8))      # checkpoint + v3 tail
+    assert _ids(t.read(2)) == list(range(6))     # exactly at checkpoint
+    assert _ids(t.read(3)) == list(range(8))
+    assert t.last_txn_version("app") == 7        # carried by checkpoint
+    # replay of an old batch id is still skipped after truncation
+    assert t.write_batch_exactly_once(spark.range(0, 1), "app", 6) is None
+    with pytest.raises(ValueError, match="truncated|missing"):
+        t.read(1)                                # predates checkpoint
+
+
+def test_checkpoint_partitioned_roundtrip(spark, tmp_path):
+    t = DeltaLogTable(spark, str(tmp_path / "cpp"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, k string"
+    )
+    t.write(df, "append", partition_by=["k"])
+    t.checkpoint()
+    log = tmp_path / "cpp" / "_delta_log"
+    os.remove(log / f"{0:020d}.json")
+    got = t.read()
+    assert sorted((r["id"], r["k"]) for r in got.collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    # appends after truncation still validate the partition spec
+    t.write(
+        spark.createDataFrame([(3, "c")], "id bigint, k string"),
+        "append", partition_by=["k"],
+    )
+    assert len(t.read().collect()) == 3
