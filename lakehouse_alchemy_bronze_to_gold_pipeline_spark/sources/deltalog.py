@@ -55,6 +55,45 @@ from pyspark.sql import DataFrame, SparkSession
 _SUPPORTED_READER_FEATURES = {"timestampNtz", "vacuumProtocolCheck"}
 
 
+def _footer_stats(parquet_path: str) -> str:
+    """Delta ``add.stats`` JSON (numRecords / minValues / maxValues)
+    from the parquet FOOTER — no data read.  Columns whose footer
+    lacks statistics (or whose values don't JSON-serialize cleanly)
+    are simply omitted; readers treat missing stats conservatively."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(parquet_path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = c.path_in_schema
+            if "." in name:  # nested: out of stats scope
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if isinstance(lo, (datetime.date, datetime.datetime)):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return json.dumps(
+        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs}
+    )
+
+
 class DeltaLogTable:
     """Delta-protocol table rooted at ``path`` (single writer)."""
 
@@ -200,6 +239,48 @@ class DeltaLogTable:
         return (
             self.spark.read.option("basePath", self.path).parquet(*paths)
         )
+
+    def pruned_read(
+        self,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Range read via the per-file ``add.stats`` min/max envelopes
+        (Delta data skipping, the protocol-native form of
+        ``sources/zonemap.py``): returns (df filtered to [lo, hi],
+        n_files_total, n_files_read).  Files without stats for
+        ``col`` are conservatively kept; the residual filter keeps
+        correctness exact inside survivors."""
+        snap = self._replay(version)
+        total = len(snap["files"])
+        keep = []
+        for path, add in sorted(snap["files"].items()):
+            stats = add.get("stats")
+            skip = False
+            if stats:
+                st = json.loads(stats) if isinstance(stats, str) else stats
+                mn = (st.get("minValues") or {}).get(col)
+                mx = (st.get("maxValues") or {}).get(col)
+                if mn is not None and mx is not None:
+                    skip = mx < lo or mn > hi
+            if not skip:
+                keep.append(os.path.join(self.path, path))
+        from pyspark.sql import functions as F
+
+        if not keep:
+            return (
+                self.read(version).filter(F.lit(False)),
+                total,
+                0,
+            )
+        df = (
+            self.spark.read.option("basePath", self.path)
+            .parquet(*keep)
+            .filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        )
+        return df, total, len(keep)
 
     def history(self) -> list[dict]:
         """commitInfo per version (empty dict where a writer logged
@@ -383,6 +464,7 @@ class DeltaLogTable:
                             "size": os.path.getsize(dst),
                             "modificationTime": int(time.time() * 1000),
                             "dataChange": True,
+                            "stats": _footer_stats(dst),
                         }
                     }
                 )

@@ -219,3 +219,40 @@ def test_checkpoint_partitioned_roundtrip(spark, tmp_path):
         "append", partition_by=["k"],
     )
     assert len(t.read().collect()) == 3
+
+
+def test_add_stats_data_skipping(spark, tmp_path):
+    """Writer records footer min/max in add.stats; pruned_read skips
+    files whose envelope misses the range, equal to a plain filter."""
+    t = DeltaLogTable(spark, str(tmp_path / "ds"))
+    # clustered layout: 4 range-partitioned files with disjoint ids
+    df = spark.range(0, 1000).repartitionByRange(4, "id")
+    t.write(df, "append")
+    adds = [
+        json.loads(line)["add"]
+        for line in open(
+            os.path.join(str(tmp_path / "ds"), "_delta_log",
+                         f"{0:020d}.json")
+        )
+        if '"add"' in line
+    ]
+    assert len(adds) == 4
+    for a in adds:
+        st = json.loads(a["stats"])
+        assert st["numRecords"] > 0
+        assert st["minValues"]["id"] <= st["maxValues"]["id"]
+
+    got, total, read = t.pruned_read("id", 100, 120)
+    assert total == 4 and read == 1
+    assert _ids(got) == list(range(100, 121))
+    # empty envelope intersection
+    got2, _, read2 = t.pruned_read("id", 5000, 6000)
+    assert read2 == 0 and got2.count() == 0
+    # checkpointed snapshots keep the stats (skipping survives
+    # log truncation)
+    t.checkpoint()
+    os.remove(os.path.join(str(tmp_path / "ds"), "_delta_log",
+                           f"{0:020d}.json"))
+    got3, total3, read3 = t.pruned_read("id", 100, 120)
+    assert total3 == 4 and read3 == 1
+    assert _ids(got3) == list(range(100, 121))
