@@ -298,6 +298,42 @@ class DeltaLogTable:
             out.append({"version": v, **info})
         return out
 
+    def optimize(
+        self,
+        n_files: int = 1,
+        zorder_by: list[str] | None = None,
+    ) -> int:
+        """OPTIMIZE [ZORDER BY]: rewrite the current snapshot into
+        ``n_files`` files — Morton-clustered on ``zorder_by`` when
+        given (`operators/zorder.py`), plain coalesce otherwise — and
+        commit remove(old)+add(new) with ``dataChange: false`` (the
+        protocol's bin-compaction marker: the TABLE's rows are
+        unchanged, only their layout).  Old files stay on disk for
+        time travel; footer stats on the new clustered files make
+        ``pruned_read`` envelopes tight.  The reference runs this as
+        ``OPTIMIZE ... ZORDER BY (customer_id, product_id)``
+        (gold_transformation.py:85,160)."""
+        snap = self._replay(None)
+        df = self.read()
+        part_cols = snap["meta"].get("partitionColumns") or []
+        if part_cols:
+            raise NotImplementedError(
+                "optimize on partitioned tables (per-partition bins) "
+                "is out of scope; compact partitions individually"
+            )
+        if zorder_by:
+            from ..operators.zorder import zorder_key
+
+            keyed, key = zorder_key(df, list(zorder_by))
+            df = (
+                keyed.repartitionByRange(n_files, key)
+                .sortWithinPartitions(key)
+                .drop(key)
+            )
+        else:
+            df = df.coalesce(n_files)
+        return self.write(df, "overwrite", _data_change=False)
+
     def checkpoint(self) -> int:
         """Write a checkpoint parquet of the CURRENT snapshot (one
         action per row: protocol, metaData, per-app txn watermarks,
@@ -406,6 +442,7 @@ class DeltaLogTable:
         mode: str = "append",
         partition_by: list[str] | None = None,
         _txn: dict | None = None,
+        _data_change: bool = True,
     ) -> int:
         """Commit ``df`` as one Delta transaction; returns the new
         version.  ``overwrite`` logs ``remove`` tombstones for every
@@ -463,7 +500,7 @@ class DeltaLogTable:
                             "partitionValues": part_values,
                             "size": os.path.getsize(dst),
                             "modificationTime": int(time.time() * 1000),
-                            "dataChange": True,
+                            "dataChange": _data_change,
                             "stats": _footer_stats(dst),
                         }
                     }
@@ -477,7 +514,7 @@ class DeltaLogTable:
             {
                 "commitInfo": {
                     "timestamp": int(time.time() * 1000),
-                    "operation": "WRITE",
+                    "operation": "WRITE" if _data_change else "OPTIMIZE",
                     "operationParameters": {"mode": mode.upper()},
                     "engineInfo": "lakehouse-alchemy-spark-deltalog",
                 }
@@ -509,7 +546,7 @@ class DeltaLogTable:
                         "remove": {
                             "path": p,
                             "deletionTimestamp": ts,
-                            "dataChange": True,
+                            "dataChange": _data_change,
                         }
                     }
                 )

@@ -256,3 +256,37 @@ def test_add_stats_data_skipping(spark, tmp_path):
     got3, total3, read3 = t.pruned_read("id", 100, 120)
     assert total3 == 4 and read3 == 1
     assert _ids(got3) == list(range(100, 121))
+
+
+def test_optimize_zorder_compacts_and_prunes(spark, tmp_path):
+    """OPTIMIZE ZORDER: same rows, fewer files, dataChange:false
+    commit, tighter skipping envelopes on the clustered layout."""
+    t = DeltaLogTable(spark, str(tmp_path / "opt"))
+    df = spark.createDataFrame(
+        [(i, i % 97) for i in range(2000)], "id bigint, v bigint"
+    ).repartition(8)
+    t.write(df, "append")
+    before = t._replay(None)
+    assert len(before["files"]) == 8
+
+    v = t.optimize(n_files=4, zorder_by=["id", "v"])
+    after = t._replay(None)
+    assert len(after["files"]) == 4
+    assert _ids(t.read()) == list(range(2000))
+    # pre-optimize version still travels to the 8-file layout
+    assert _ids(t.read(v - 1)) == list(range(2000))
+    # the OPTIMIZE commit is dataChange: false throughout
+    acts = t._actions(v)
+    flags = [
+        a[k]["dataChange"]
+        for a in acts
+        for k in ("add", "remove")
+        if k in a
+    ]
+    assert flags and not any(flags)
+    assert t.history()[-1]["operation"] == "OPTIMIZE"
+    # clustered files skip: a narrow id range misses most files (a
+    # 2-col Morton key may straddle one boundary, hence <=2 not ==1)
+    got, total, read = t.pruned_read("id", 0, 100)
+    assert total == 4 and read <= 2
+    assert _ids(got) == list(range(0, 101))
