@@ -298,6 +298,54 @@ class DeltaLogTable:
             out.append({"version": v, **info})
         return out
 
+    def upsert(self, updates: DataFrame, keys: list[str]) -> int:
+        """MERGE INTO (matched -> update whole row, unmatched ->
+        insert) as a keyed rewrite + one overwrite commit — the
+        reference's SCD-1 pattern on the protocol path (updates
+        collapsed keep-latest happens upstream in
+        ``operators/merge.py``; here the last duplicate key wins via
+        anti-join semantics).  Row-level MERGE without deletion
+        vectors IS a rewrite; the prior version still time-travels."""
+        current = self.read()
+        merged = current.join(updates, keys, "left_anti").unionByName(
+            updates
+        )
+        return self.write(merged, "overwrite")
+
+    def vacuum(self, keep_versions: int = 1) -> dict:
+        """Delete data files referenced ONLY by versions older than
+        the last ``keep_versions`` (tombstoned files past the
+        retention horizon — Delta VACUUM's role).  Time travel to
+        vacuumed versions fails at scan time; retained versions keep
+        every file they reference, because deletion is computed from
+        the retained snapshots' union, never from age."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        vs = self.versions()
+        cps = self._checkpoints()
+        latest = max(vs[-1] if vs else -1, cps[-1] if cps else -1)
+        if latest < 0:
+            raise FileNotFoundError(f"no Delta log at {self._log}")
+        horizon = latest - keep_versions + 1
+        retained: set[str] = set()
+        for v in range(horizon, latest + 1):
+            if v in vs or v in cps:
+                retained.update(self._replay(v)["files"])
+        deleted = 0
+        for dirpath, _dirs, files in os.walk(self.path):
+            if os.path.basename(dirpath) == "_delta_log":
+                continue
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(
+                    os.path.join(dirpath, f), self.path
+                ).replace(os.sep, "/")
+                if rel not in retained:
+                    os.remove(os.path.join(dirpath, f))
+                    deleted += 1
+        return {"deleted_files": deleted, "horizon": horizon}
+
     def optimize(
         self,
         n_files: int = 1,

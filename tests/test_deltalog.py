@@ -290,3 +290,37 @@ def test_optimize_zorder_compacts_and_prunes(spark, tmp_path):
     got, total, read = t.pruned_read("id", 0, 100)
     assert total == 4 and read <= 2
     assert _ids(got) == list(range(0, 101))
+
+
+def test_upsert_merge_semantics(spark, tmp_path):
+    t = DeltaLogTable(spark, str(tmp_path / "up"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id bigint, val string"
+        ),
+        "append",
+    )
+    v = t.upsert(
+        spark.createDataFrame(
+            [(2, "B2"), (4, "d")], "id bigint, val string"
+        ),
+        keys=["id"],
+    )
+    got = {(r["id"], r["val"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    # pre-merge state still travels
+    pre = {(r["id"], r["val"]) for r in t.read(v - 1).collect()}
+    assert pre == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_vacuum_drops_unreferenced_keeps_retained(spark, tmp_path):
+    t = DeltaLogTable(spark, str(tmp_path / "vac"))
+    t.write(spark.range(0, 3), "append")        # v0
+    t.write(spark.range(9, 12), "overwrite")    # v1 tombstones v0
+    t.write(spark.range(12, 13), "append")      # v2
+    stats = t.vacuum(keep_versions=2)           # retain v1+v2
+    assert stats["deleted_files"] >= 1          # v0's files gone
+    assert _ids(t.read()) == [9, 10, 11, 12]
+    assert _ids(t.read(1)) == [9, 10, 11]       # retained travels
+    with pytest.raises(Exception):              # vacuumed: scan fails
+        t.read(0).collect()

@@ -58,7 +58,10 @@ _CARTESIAN_OK = {"embedding_top_pairs", "embedding_neardup", "knn_join",
                  "ann_hubness_report_sampled",
                  # date spine x distinct types: |days|*|types| by
                  # construction (calendar-bounded broadcast generator)
-                 "event_date_spine"}
+                 "event_date_spine",
+                 # 5 broadcast query rows x corpus (knn_join's bounded
+                 # contract), scored at three prefix widths
+                 "matryoshka_overlap_report"}
 #: iterative operators (O(rounds) shuffle chains are the algorithm)
 #: and deliberately multi-stage composites (three ANN indexes + exact
 #: ground truth; triangle enumeration = 2 joins over 2 dedup passes)
@@ -68,7 +71,11 @@ _DEEP_OK = {"brand_pagerank", "dedup_clusters", "dedup_keep_canonical",
             "ann_recall_report", "brand_triangles",
             # 4 unrolled LPA rounds: join + vote groupBy + rank per
             # round by construction (same class as pagerank)
-            "brand_label_propagation"}
+            "brand_label_propagation",
+            # three per-width rank windows + overlap joins + union:
+            # a deliberately multi-stage readout (13 shuffles over
+            # <=15k scored rows; each stage is itself bounded)
+            "matryoshka_overlap_report"}
 
 
 def test_whole_registry_lints_clean(spark):
