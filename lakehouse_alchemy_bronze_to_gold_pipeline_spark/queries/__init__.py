@@ -70,6 +70,7 @@ _R6_NEW = (
     "embedding_whitening_fixed", "important_part_value",
     "customer_order_distribution", "supplier_part_breadth",
     "dormant_wealth_report", "matryoshka_overlap_report",
+    "perplexity_bucket_report",
 )
 assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))
 assert set(_R6_NEW) <= set(_ALL), sorted(set(_R6_NEW) - set(_ALL))

@@ -3689,6 +3689,101 @@ ORDER BY s.query_id, s.width
 """
 
 
+def q_perplexity_bucket_report(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document under
+    the corpus unigram LM (mean token log-prob, the
+    ``doc_unigram_logprob`` model), split the corpus into quartile
+    buckets at the LM-score quantiles, and report each bucket's
+    volume — the head/middle/tail routing step CCNet uses to keep
+    middle-perplexity text and route the tail to heavier filters.
+
+    Buckets are assigned by CASE against the three 1-row quantile
+    thresholds (broadcast) — no global ntile sort, so the doc-grain
+    relation never single-partitions; thresholds AND scores compare
+    on the 6-decimal grid so the cut is engine-exact."""
+    tf, _lens = _doc_terms(spark, sf)
+    term_freq = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = term_freq.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = (
+        tf.join(term_freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_toks"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("cnt"))) / F.sum("tf")
+                - F.log(F.first("total")),
+                6,
+            ).alias("score"),
+        )
+    )
+    qs = scored.agg(
+        F.round(F.expr("percentile(score, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(score, 0.50)"), 6).alias("q2"),
+        F.round(F.expr("percentile(score, 0.75)"), 6).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("score") <= F.col("q1"), "q1_tail")
+        .when(F.col("score") <= F.col("q2"), "q2")
+        .when(F.col("score") <= F.col("q3"), "q3")
+        .otherwise("q4_head")
+    )
+    return (
+        scored.crossJoin(F.broadcast(qs))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_toks"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_PERPLEXITY_BUCKET_REPORT = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, t FROM toks WHERE len(t) > 0
+), tf AS (
+  SELECT doc_id, u.term, COUNT(*) AS tf
+  FROM nonempty, UNNEST(t) AS u(term)
+  GROUP BY 1, 2
+), freq AS (
+  SELECT term, SUM(tf) AS cnt FROM tf GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(tf) AS BIGINT) AS n_toks,
+         ROUND(SUM(tf * ln(cnt)) / SUM(tf) - ln(ANY_VALUE(total)), 6)
+           AS score
+  FROM tf JOIN freq USING (term) CROSS JOIN tot
+  GROUP BY doc_id
+), qs AS (
+  SELECT ROUND(quantile_cont(score, 0.25), 6) AS q1,
+         ROUND(quantile_cont(score, 0.50), 6) AS q2,
+         ROUND(quantile_cont(score, 0.75), 6) AS q3
+  FROM scored
+)
+SELECT CASE WHEN score <= q1 THEN 'q1_tail'
+            WHEN score <= q2 THEN 'q2'
+            WHEN score <= q3 THEN 'q3'
+            ELSE 'q4_head' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+       ROUND(MIN(score), 6) AS min_score,
+       ROUND(MAX(score), 6) AS max_score
+FROM scored CROSS JOIN qs
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
 SPARK_QUERIES = {
     "feature_hash_embed": q_feature_hash_embed,
     "event_sequence_prep": q_event_sequence_prep,
@@ -3753,6 +3848,7 @@ SPARK_QUERIES = {
     "simhash_accuracy": q_simhash_accuracy,
     "embedding_whitening_fixed": q_embedding_whitening_fixed,
     "matryoshka_overlap_report": q_matryoshka_overlap_report,
+    "perplexity_bucket_report": q_perplexity_bucket_report,
 }
 
 ORACLE_SQL = {
@@ -3803,6 +3899,7 @@ ORACLE_SQL = {
     "simhash_accuracy": SQL_SIMHASH_ACCURACY,
     "embedding_whitening_fixed": sql_embedding_whitening_fixed(),
     "matryoshka_overlap_report": sql_matryoshka_overlap_report(),
+    "perplexity_bucket_report": SQL_PERPLEXITY_BUCKET_REPORT,
     # minhash_neardup / simhash_fingerprints / multimodal_* /
     # terms_heavy_hitters / embedding_ivf_topk / embedding_kmeans_
     # profile: intentionally no oracle (probabilistic or pandas-UDF

@@ -324,3 +324,26 @@ def test_vacuum_drops_unreferenced_keeps_retained(spark, tmp_path):
     assert _ids(t.read(1)) == [9, 10, 11]       # retained travels
     with pytest.raises(Exception):              # vacuumed: scan fails
         t.read(0).collect()
+
+
+def test_concurrent_writer_loses_create_race(spark, tmp_path):
+    """Optimistic concurrency: a second writer that targets an
+    already-claimed version fails the O_EXCL create — no silent
+    overwrite of a committed transaction."""
+    t = DeltaLogTable(spark, str(tmp_path / "race"))
+    t.write(spark.range(0, 2), "append")
+    # simulate the race: pre-claim version 1's log name
+    claimed = os.path.join(
+        str(tmp_path / "race"), "_delta_log", f"{1:020d}.json"
+    )
+    with open(claimed, "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
+    # freeze this writer's view to the PRE-race log listing, as a
+    # concurrent writer that read the log before the rival's commit
+    orig = t.versions
+    t.versions = lambda: [0]
+    try:
+        with pytest.raises(FileExistsError):
+            t.write(spark.range(2, 4), "append")
+    finally:
+        t.versions = orig
