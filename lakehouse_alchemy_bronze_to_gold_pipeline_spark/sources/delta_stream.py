@@ -1,0 +1,170 @@
+"""Streaming CHANGE source over the from-scratch Delta log
+(`sources/deltalog.py`) via Spark 4's Python DataSource streaming
+API: ``spark.readStream.format("delta_log_cdc")`` tails a
+``DeltaLogTable``'s commits, emitting each commit's ADDED rows as a
+micro-batch — the OSS-portable analog of the reference's
+``readStream.format("delta").table(...)`` incremental Bronze→Silver
+hop (silver_transformation.py:78).
+
+Offsets are commit versions: the checkpoint stores the last version
+whose adds were emitted, so a restart resumes exactly after it —
+end-to-end exactly-once when paired with
+``DeltaLogTable.write_batch_exactly_once`` on the sink side.
+
+Execution shape: ``partitions(start, end)`` plans ONE InputPartition
+per added file across the commit range (Spark schedules them like
+any scan); ``read`` is an Arrow-batched pyarrow parquet read of that
+single file.  Python-side data movement is inherent to the Python
+DataSource extension point — this source is the INCREMENTAL hop
+demo, not the bulk-scan path (batch reads go through
+``DeltaLogTable.read``'s native parquet scan).
+
+Scope: append/CDC of ADD actions only (the medallion incremental
+pattern).  Partitioned tables and remove-action propagation raise —
+routing, never guessing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, n_fields: int, names: list[str]):
+        self.path = path
+        self.n_fields = n_fields
+        self.names = names
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(os.path.abspath(path.rstrip("/")), "_delta_log")
+
+
+def _json_versions(log: str) -> list[int]:
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(f[:-5])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+def _table_meta(log: str) -> dict:
+    """metaData from the earliest available JSON commit (falls back
+    to the newest checkpoint if the head was truncated)."""
+    for v in _json_versions(log):
+        with open(os.path.join(log, f"{v:020d}.json")) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "metaData" in a:
+                    return a["metaData"]
+    cps = sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(log)
+        if f.endswith(".checkpoint.parquet") and f.split(".")[0].isdigit()
+    )
+    if cps:
+        import pyarrow.parquet as pq
+
+        for row in pq.read_table(
+            os.path.join(log, f"{cps[-1]:020d}.checkpoint.parquet")
+        ).to_pylist():
+            if row.get("metaData") is not None:
+                return row["metaData"]
+    raise ValueError(f"no metaData action found under {log}")
+
+
+class DeltaCdcStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self.table_path = os.path.abspath(
+            str(options.get("path", "")).rstrip("/")
+        )
+        if not self.table_path:
+            raise ValueError("delta_log_cdc requires .option('path', ...)")
+        self.log = _log_dir(self.table_path)
+        self.schema = schema
+        meta = _table_meta(self.log)
+        if meta.get("partitionColumns"):
+            raise NotImplementedError(
+                "delta_log_cdc streams unpartitioned tables; partition-"
+                "column reconstruction from hive paths is out of scope"
+            )
+        # skip-history control (delta's startingVersion): first batch
+        # begins AT this commit instead of replaying from version 0
+        self._start = int(options.get("starting_version", 0)) - 1
+
+    # offsets are {"version": N}: all adds of commits <= N emitted
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        vs = _json_versions(self.log)
+        return {"version": vs[-1] if vs else -1}
+
+    def partitions(self, start: dict, end: dict):
+        names = self.schema.fieldNames()
+        parts = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            name = os.path.join(self.log, f"{v:020d}.json")
+            if not os.path.exists(name):
+                raise ValueError(
+                    f"commit {v} missing from {self.log} — the stream's "
+                    "checkpoint predates log retention"
+                )
+            with open(name) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "add" in a:
+                        parts.append(
+                            _FilePartition(
+                                os.path.join(
+                                    self.table_path, a["add"]["path"]
+                                ),
+                                len(names),
+                                names,
+                            )
+                        )
+                    elif "remove" in a and a["remove"].get("dataChange"):
+                        raise NotImplementedError(
+                            "delta_log_cdc is append-only: commit "
+                            f"{v} removes data (use batch read for "
+                            "overwrite workloads)"
+                        )
+        return parts
+
+    def read(self, partition: _FilePartition):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        cols = [table.column(n).to_pylist() for n in partition.names]
+        return iter(zip(*cols)) if cols else iter(())
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint
+
+
+class DeltaCdcDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "delta_log_cdc"
+
+    def schema(self):
+        meta = _table_meta(_log_dir(str(self.options.get("path", ""))))
+        return StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def streamReader(self, schema) -> DeltaCdcStreamReader:
+        return DeltaCdcStreamReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Register the format with a session (idempotent)."""
+    spark.dataSource.register(DeltaCdcDataSource)
