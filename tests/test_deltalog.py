@@ -350,3 +350,59 @@ def test_concurrent_writer_loses_create_race(spark, tmp_path):
             t.write(spark.range(2, 4), "append")
     finally:
         t.versions = orig
+
+
+def test_random_commit_sequences_match_model(spark, tmp_path):
+    """Model-based check: a random interleaving of append/overwrite/
+    checkpoint/optimize commits must always read back exactly what a
+    trivial in-Python model of the table holds, at EVERY version —
+    with and without the JSON head truncated behind a checkpoint.
+    (Deterministic seeded sequences; hypothesis adds little here
+    beyond seeds because each step costs a Spark write.)"""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        t = DeltaLogTable(spark, str(tmp_path / f"mdl{trial}"))
+        model: list[list[int]] = []   # model[v] = expected ids at v
+        nxt = 0
+        last_cp = None
+        for step in range(6):
+            op = rng.choice(["append", "append", "overwrite",
+                             "checkpoint", "optimize"])
+            cur = list(model[-1]) if model else []
+            if op == "append":
+                ids = list(range(nxt, nxt + rng.randint(1, 3)))
+                nxt += len(ids)
+                t.write(spark.createDataFrame(
+                    [(i,) for i in ids], "id bigint"), "append")
+                model.append(sorted(cur + ids))
+            elif op == "overwrite":
+                ids = list(range(nxt, nxt + rng.randint(1, 2)))
+                nxt += len(ids)
+                t.write(spark.createDataFrame(
+                    [(i,) for i in ids], "id bigint"), "overwrite")
+                model.append(sorted(ids))
+            elif op == "checkpoint":
+                if not model:
+                    continue
+                last_cp = t.checkpoint()
+                continue                   # no new version
+            else:  # optimize
+                if not model or not cur:
+                    continue
+                t.optimize(n_files=1)
+                model.append(sorted(cur))  # rows unchanged
+            assert _ids(t.read()) == model[-1]
+        # every version still replays to its model state
+        for v, expect in enumerate(model):
+            assert _ids(t.read(v)) == expect, (trial, v)
+        # truncate behind the checkpoint (if any): tail still exact
+        if last_cp is not None:
+            log = os.path.join(t.path, "_delta_log")
+            for v in range(last_cp + 1):
+                p = os.path.join(log, f"{v:020d}.json")
+                if os.path.exists(p):
+                    os.remove(p)
+            for v in range(last_cp, len(model)):
+                assert _ids(t.read(v)) == model[v], (trial, "trunc", v)
