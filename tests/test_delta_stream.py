@@ -134,3 +134,38 @@ def test_starting_version_skips_history(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(x[0] for x in out) == [3, 4]
+
+
+def test_stream_checkpoint_predating_retention_raises(spark, tmp_path):
+    """A stream whose checkpoint points before the table's retained
+    log must fail with the clear 'predates log retention' error, not
+    silently skip data."""
+    import os
+
+    register(spark)
+    t = DeltaLogTable(spark, str(tmp_path / "ret"))
+    t.write(spark.range(0, 2), "append")          # v0
+    out: list = []
+    ckpt = str(tmp_path / "rck")
+    _run_once(spark, t.path, out, ckpt)           # offset now v0
+    t.write(spark.range(2, 4), "append")          # v1
+    t.write(spark.range(4, 5), "append")          # v2
+    t.checkpoint()
+    # retention drops v0..v2 JSON; the stream's next range is (0, 2]
+    # and commit 1's JSON is gone
+    log = os.path.join(t.path, "_delta_log")
+    for v in (0, 1, 2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    t.write(spark.range(5, 6), "append")          # v3
+    out2: list = []
+    q = (
+        spark.readStream.format("delta_log_cdc")
+        .option("path", t.path)
+        .load()
+        .writeStream.foreachBatch(lambda b, i: None)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="retention"):
+        q.awaitTermination(120)
