@@ -503,14 +503,46 @@ class DeltaLogTable:
         # a truncated-head log (JSON entries vacuumed after a
         # checkpoint) still has a current version — the checkpoint's
         latest = max(vs[-1] if vs else -1, cps[-1] if cps else -1)
-        if mode == "append" and latest >= 0:
+        schema_changed = False
+        if latest >= 0:
             prev = self._replay(None)
             prev_part = prev["meta"].get("partitionColumns") or []
-            if list(partition_by or []) != list(prev_part):
-                raise ValueError(
-                    f"append partition_by {partition_by} != table "
-                    f"partitioning {prev_part}"
-                )
+            prev_fields = {
+                (f["name"], f["type"])
+                for f in json.loads(prev["meta"]["schemaString"])["fields"]
+                if not isinstance(f["type"], dict)  # nested: name-only
+            } | {
+                (f["name"], "<nested>")
+                for f in json.loads(prev["meta"]["schemaString"])["fields"]
+                if isinstance(f["type"], dict)
+            }
+            new_fields = {
+                (f["name"], f["type"])
+                for f in json.loads(df.schema.json())["fields"]
+                if not isinstance(f["type"], dict)
+            } | {
+                (f["name"], "<nested>")
+                for f in json.loads(df.schema.json())["fields"]
+                if isinstance(f["type"], dict)
+            }
+            schema_changed = new_fields != prev_fields
+            if mode == "append":
+                if list(partition_by or []) != list(prev_part):
+                    raise ValueError(
+                        f"append partition_by {partition_by} != table "
+                        f"partitioning {prev_part}"
+                    )
+                # schema ENFORCEMENT, Delta's signature behavior: a
+                # drifted append would otherwise silently drop or null
+                # columns at read time (plain parquet reads sample ONE
+                # file's footer for the schema)
+                if schema_changed:
+                    raise ValueError(
+                        "append schema mismatch: table has "
+                        f"{sorted(prev_fields)}, frame has "
+                        f"{sorted(new_fields)}; use overwrite to "
+                        "change the schema"
+                    )
         # 1. data: write into a staging dir, then move files into the
         # table root under fresh UUID names (Delta file names are
         # opaque; uniqueness is what matters)
@@ -586,7 +618,19 @@ class DeltaLogTable:
                 }
             )
         elif mode == "overwrite":
-            prev = self._replay(None)
+            if schema_changed:
+                # overwriteSchema semantics: an overwrite MAY evolve
+                # the schema, and the protocol records that as a new
+                # metaData action in the same commit (table id kept)
+                actions.append(
+                    {
+                        "metaData": {
+                            **prev["meta"],
+                            "schemaString": df.schema.json(),
+                            "partitionColumns": list(partition_by or []),
+                        }
+                    }
+                )
             ts = int(time.time() * 1000)
             for p in sorted(prev["files"]):
                 actions.append(

@@ -406,3 +406,44 @@ def test_random_commit_sequences_match_model(spark, tmp_path):
                     os.remove(p)
             for v in range(last_cp, len(model)):
                 assert _ids(t.read(v)) == model[v], (trial, "trunc", v)
+
+
+def test_schema_enforcement_and_overwrite_evolution(spark, tmp_path):
+    """Delta's signature behavior: a drifted APPEND raises (a plain
+    parquet dir would silently drop/null the new column at read);
+    an OVERWRITE may evolve the schema and logs a new metaData."""
+    t = DeltaLogTable(spark, str(tmp_path / "se"))
+    t.write(spark.createDataFrame([(1, "a")], "id bigint, v string"),
+            "append")
+    # extra column
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.write(
+            spark.createDataFrame(
+                [(2, "b", 1.5)], "id bigint, v string, w double"
+            ),
+            "append",
+        )
+    # same names, different type
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.write(
+            spark.createDataFrame([(3, 4)], "id bigint, v bigint"),
+            "append",
+        )
+    # overwrite evolves: new metaData action rides the commit
+    v = t.write(
+        spark.createDataFrame([(9, "z", 2.5)],
+                              "id bigint, v string, w double"),
+        "overwrite",
+    )
+    assert any("metaData" in a for a in t._actions(v))
+    got = t.read()
+    assert got.schema.fieldNames() == ["id", "v", "w"]
+    # matching append now succeeds again
+    t.write(
+        spark.createDataFrame([(10, "y", 3.5)],
+                              "id bigint, v string, w double"),
+        "append",
+    )
+    assert _ids(t.read()) == [9, 10]
+    # old-schema version still reads with ITS schema
+    assert t.read(0).schema.fieldNames() == ["id", "v"]
