@@ -447,3 +447,17 @@ def test_schema_enforcement_and_overwrite_evolution(spark, tmp_path):
     assert _ids(t.read()) == [9, 10]
     # old-schema version still reads with ITS schema
     assert t.read(0).schema.fieldNames() == ["id", "v"]
+
+
+def test_pruned_read_at_historical_version(spark, tmp_path):
+    """Data skipping composes with time travel: pruning runs over the
+    REQUESTED version's file set, not the latest."""
+    t = DeltaLogTable(spark, str(tmp_path / "pv"))
+    t.write(spark.range(0, 100).repartitionByRange(2, "id"), "append")
+    t.write(spark.range(1000, 1100).repartitionByRange(2, "id"),
+            "overwrite")
+    got, total, read = t.pruned_read("id", 0, 40, version=0)
+    assert total == 2 and read == 1
+    assert _ids(got) == list(range(0, 41))
+    got2, _, read2 = t.pruned_read("id", 0, 40)   # latest: nothing
+    assert read2 == 0 and got2.count() == 0
