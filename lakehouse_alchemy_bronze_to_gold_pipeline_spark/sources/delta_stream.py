@@ -38,10 +38,14 @@ from pyspark.sql.types import StructType
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, n_fields: int, names: list[str]):
+    def __init__(
+        self, path: str, n_fields: int, names: list[str],
+        tz_cols: list[str],
+    ):
         self.path = path
         self.n_fields = n_fields
         self.names = names
+        self.tz_cols = tz_cols
 
 
 def _log_dir(path: str) -> str:
@@ -111,7 +115,17 @@ class DeltaCdcStreamReader(DataSourceStreamReader):
         return {"version": vs[-1] if vs else -1}
 
     def partitions(self, start: dict, end: dict):
+        from pyspark.sql.types import TimestampType
+
         names = self.schema.fieldNames()
+        # Spark writes TIMESTAMP (instant) columns as tz-less parquet
+        # physical values that pyarrow reads naive; the conversion
+        # layer needs them tz-aware for TimestampType (NTZ stays
+        # naive), so flag which columns to localize
+        tz_cols = [
+            f.name for f in self.schema.fields
+            if isinstance(f.dataType, TimestampType)
+        ]
         parts = []
         for v in range(start["version"] + 1, end["version"] + 1):
             name = os.path.join(self.log, f"{v:020d}.json")
@@ -131,6 +145,7 @@ class DeltaCdcStreamReader(DataSourceStreamReader):
                                 ),
                                 len(names),
                                 names,
+                                tz_cols,
                             )
                         )
                     elif "remove" in a and a["remove"].get("dataChange"):
@@ -142,10 +157,21 @@ class DeltaCdcStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _FilePartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.path)
-        cols = [table.column(n).to_pylist() for n in partition.names]
+        cols = []
+        for n in partition.names:
+            col = table.column(n)
+            t = col.type
+            if (
+                n in partition.tz_cols
+                and pa.types.is_timestamp(t)
+                and t.tz is None
+            ):
+                col = col.cast(pa.timestamp(t.unit, tz="UTC"))
+            cols.append(col.to_pylist())
         return iter(zip(*cols)) if cols else iter(())
 
     def commit(self, end: dict) -> None:
