@@ -461,3 +461,23 @@ def test_pruned_read_at_historical_version(spark, tmp_path):
     assert _ids(got) == list(range(0, 41))
     got2, _, read2 = t.pruned_read("id", 0, 40)   # latest: nothing
     assert read2 == 0 and got2.count() == 0
+
+
+def test_delta_inspect_tool_smoke(spark, tmp_path):
+    """tools/delta_inspect.py renders the log health view without
+    Spark or delta-spark."""
+    import subprocess
+    import sys as _sys
+
+    t = DeltaLogTable(spark, str(tmp_path / "ins"))
+    t.write(spark.range(0, 10), "append")
+    t.write_batch_exactly_once(spark.range(10, 12), "app", 5)
+    t.checkpoint()
+    out = subprocess.run(
+        [_sys.executable, "tools/delta_inspect.py", t.path],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0
+    assert "CHECKPOINT" in out.stdout
+    assert "txn watermark: app -> 5" in out.stdout
+    assert "live files:" in out.stdout
