@@ -1,0 +1,68 @@
+"""Unit tests for bench.py's protocol helpers (pure python, no
+Spark): the fingerprint-guarded cross-run min-merge and the float
+canonicalization of the local correctness gate.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+
+
+def _load(mod_name, path):
+    spec = importlib.util.spec_from_file_location(mod_name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[mod_name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_merge_prior_mins_guards(tmp_path):
+    bench = _load("bench_under_test", "/root/repo/bench.py")
+
+    def detail(name, fp, sf, queries):
+        with open(tmp_path / name, "w") as fh:
+            json.dump(
+                {"fingerprint": fp, "sf": sf, "this_run": queries,
+                 "queries": queries},
+                fh,
+            )
+
+    times = {"q1": 2.0, "q2": 3.0}
+    # same fingerprint + sf + query set -> min-merges
+    detail("BENCH_DETAIL_a.json", "FP", 0.1, {"q1": 1.5, "q2": 9.0})
+    # different fingerprint -> ignored
+    detail("BENCH_DETAIL_b.json", "OTHER", 0.1, {"q1": 0.1, "q2": 0.1})
+    # different sf -> ignored
+    detail("BENCH_DETAIL_c.json", "FP", 0.01, {"q1": 0.1, "q2": 0.1})
+    # different query set -> ignored
+    detail("BENCH_DETAIL_d.json", "FP", 0.1, {"q1": 0.1})
+    # corrupt file -> skipped, not fatal
+    (tmp_path / "BENCH_DETAIL_e.json").write_text("{not json")
+
+    merged, n = bench._merge_prior_mins(str(tmp_path), "FP", 0.1, times)
+    assert n == 2
+    assert merged == {"q1": 1.5, "q2": 3.0}
+
+
+def test_source_fingerprint_is_stable_and_content_sensitive(tmp_path):
+    bench = _load("bench_under_test2", "/root/repo/bench.py")
+    a = bench._source_fingerprint()
+    b = bench._source_fingerprint()
+    assert a == b and len(a) == 32
+
+
+def test_correctness_cell_canon_full_precision():
+    cc = _load("cc_under_test", "/root/repo/tools/check_correctness.py")
+    # integral floats collapse (engine int/float parity)
+    assert cc.cell(2.0) == "2"
+    # NON-integral floats keep FULL precision: the r5 red cell was a
+    # 1-ulp divergence the old %.6g canon could not see
+    x = 54309.3462
+    y = 54309.3463
+    assert cc.cell(x) != cc.cell(y)
+    assert cc.cell(float("nan")) == "<null>"
+    assert cc.cell(None) == "<null>"
+    # shortest-repr round-trips
+    assert float(cc.cell(0.1)) == 0.1
