@@ -65,8 +65,11 @@ def q_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
         s["s_nationkey"] == F.col("n_nationkey"),
     )
     li = load(spark, sf, "lineitem").filter(F.col("l_quantity") > 0)
+    # p and eu_sup SCALE with the data (unlike nation/region): no
+    # forced broadcast — AQE sizes them at runtime and picks BHJ only
+    # when they actually fit the threshold
     cand = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(eu_sup, li["l_suppkey"] == eu_sup["s_suppkey"])
         .select(
             "p_partkey",
@@ -226,8 +229,8 @@ def q_nation_market_share(spark: SparkSession, sf: str) -> DataFrame:
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
-    joined = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    joined = (  # p scales with the data: AQE decides the join side
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(asia_keys, c["c_nationkey"] == F.col("cn_key"), "left_semi")
@@ -309,8 +312,8 @@ def q_product_profit_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     cost = (
         F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(18,4)")
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return (  # p scales with the data: AQE decides the join side
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
@@ -595,8 +598,8 @@ def q_bracket_disjunction_revenue(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return (  # p scales with the data: AQE decides the join side
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(brackets)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
