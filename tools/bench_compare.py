@@ -1,69 +1,123 @@
-"""Compare two bench detail files (or a detail file against a prior
-round's truncated BENCH_r{N}.json tail) per query.
+"""Compare two bench fingerprint series per query and flag real
+regressions.
+
+Every round closes with a hand-computed "rX vs rY per-query" table in
+BENCH_NOTES (r5: judge recomputed it; r6: builder recomputed it).
+This tool mechanizes that: it groups ``bench_out/BENCH_DETAIL_*.json``
+files by source fingerprint, min-merges per-query times within each
+series (the documented protocol — min-of-several removes box-noise
+spikes that land on whichever heavy query they overlap), and prints
+the per-query delta between the two most recent series (or two
+fingerprints given on the command line).
 
 Usage:
-  python tools/bench_compare.py OLD.json NEW.json [--md]
+    python tools/bench_compare.py                    # latest two series
+    python tools/bench_compare.py FP_OLD FP_NEW      # explicit series
+    python tools/bench_compare.py --threshold=0.5    # regression floor
 
-Accepts either the bench_out/BENCH_DETAIL_*.json format ({"queries":
-{...}}) or a driver BENCH_r{N}.json whose "tail" field embeds a
-(possibly truncated) per-query JSON — recoverable pairs are parsed
-out with a regex.  Timing on this box is noisy (external CPU
-contention): prefer comparing MIN-of-several-runs per side.
+Exit status is 0 always — this is a reporting tool; the bench gate is
+the committed BENCH_r{N}.json, not this comparison (a new heavy query
+is an intentional "regression" in total time).
 """
 
 from __future__ import annotations
 
+import glob
 import json
-import re
+import os
 import sys
 
 
-def load_times(path: str) -> dict[str, float]:
-    with open(path) as fh:
-        d = json.load(fh)
-    if "queries" in d and isinstance(d["queries"], dict):
-        return {k: float(v) for k, v in d["queries"].items()}
-    if "tail" in d:
-        return {
-            k: float(v)
-            for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', d["tail"])
-        }
-    raise SystemExit(f"{path}: unrecognized bench format")
+def load_series(out_dir: str) -> dict[str, dict]:
+    """fingerprint -> {"queries": min-merged times, "files": [...],
+    "latest": mtime of the newest contributing detail file}."""
+    series: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(out_dir, "BENCH_DETAIL_*.json"))):
+        try:
+            with open(path) as fh:
+                d = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        fp = d.get("fingerprint", "unknown")
+        qs = d.get("this_run") or d.get("queries") or {}
+        ent = series.setdefault(
+            fp, {"queries": {}, "files": [], "latest": 0.0}
+        )
+        for name, sec in qs.items():
+            if isinstance(sec, (int, float)):
+                ent["queries"][name] = min(
+                    ent["queries"].get(name, float("inf")), sec
+                )
+        ent["files"].append(path)
+        ent["latest"] = max(ent["latest"], os.path.getmtime(path))
+    return series
 
 
-def merge_min(paths: list[str]) -> dict[str, float]:
-    out: dict[str, float] = {}
-    for p in paths:
-        for k, v in load_times(p).items():
-            out[k] = min(out.get(k, v), v)
-    return out
+def compare(
+    old: dict[str, float], new: dict[str, float], threshold: float
+) -> dict:
+    common = sorted(set(old) & set(new))
+    deltas = {q: round(new[q] - old[q], 3) for q in common}
+    return {
+        "common": len(common),
+        "old_total": round(sum(old[q] for q in common), 1),
+        "new_total": round(sum(new[q] for q in common), 1),
+        "regressions": {
+            q: {"old": old[q], "new": new[q], "delta": d}
+            for q, d in sorted(
+                deltas.items(), key=lambda kv: -kv[1]
+            )
+            if d > threshold
+        },
+        "improvements": {
+            q: {"old": old[q], "new": new[q], "delta": d}
+            for q, d in sorted(deltas.items(), key=lambda kv: kv[1])
+            if d < -threshold
+        },
+        "added": {
+            q: new[q] for q in sorted(set(new) - set(old))
+        },
+        "removed": sorted(set(old) - set(new)),
+    }
 
 
-def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--md"]
-    md = "--md" in sys.argv
-    # OLD may be several files joined by ',' -> min across runs; same NEW
-    old = merge_min(args[0].split(","))
-    new = merge_min(args[1].split(","))
-    common = sorted(set(old) & set(new), key=lambda k: old[k] - new[k])
-    t_old = sum(old[k] for k in common)
-    t_new = sum(new[k] for k in common)
-    if md:
-        print(f"| query | old s | new s | delta |")
-        print(f"|---|---|---|---|")
-        for k in common:
-            print(f"| {k} | {old[k]:.2f} | {new[k]:.2f} | "
-                  f"{new[k]-old[k]:+.2f} |")
-        print(f"| **total ({len(common)} common)** | **{t_old:.1f}** | "
-              f"**{t_new:.1f}** | **{t_new-t_old:+.1f}** |")
+def main() -> int:
+    threshold = next(
+        (
+            float(a.split("=", 1)[1])
+            for a in sys.argv[1:]
+            if a.startswith("--threshold=")
+        ),
+        0.5,
+    )
+    fps = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench_out",
+    )
+    series = load_series(out_dir)
+    if len(series) < 2:
+        print(f"need >=2 fingerprint series in {out_dir}, "
+              f"found {len(series)}")
+        return 0
+    if len(fps) == 2:
+        try:
+            old_fp, new_fp = fps
+            old, new = series[old_fp], series[new_fp]
+        except KeyError as e:
+            print(f"unknown fingerprint {e}; have: {sorted(series)}")
+            return 0
     else:
-        for k in common:
-            print(f"{new[k]-old[k]:+7.2f}  {old[k]:7.2f} -> {new[k]:7.2f}  {k}")
-        print(f"common {len(common)}: old {t_old:.1f}s new {t_new:.1f}s")
-    extra = sorted(set(new) - set(old), key=lambda k: -new[k])
-    if extra:
-        print(f"new-only: {[(k, new[k]) for k in extra]}")
+        ordered = sorted(series.items(), key=lambda kv: kv[1]["latest"])
+        (old_fp, old), (new_fp, new) = ordered[-2], ordered[-1]
+    rep = compare(old["queries"], new["queries"], threshold)
+    rep["old_fingerprint"] = old_fp
+    rep["new_fingerprint"] = new_fp
+    rep["old_runs"] = len(old["files"])
+    rep["new_runs"] = len(new["files"])
+    print(json.dumps(rep, indent=2))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
