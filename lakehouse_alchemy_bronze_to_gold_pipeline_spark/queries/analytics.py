@@ -1251,6 +1251,124 @@ def q_user_reach_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_reach_hll_relational(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-backed certification twin of ``user_reach_sketch`` (the
+    ``_fixed`` pattern, fifth application — MG/SimHash/whitening/KMV
+    precedent): a from-scratch HyperLogLog built RELATIONALLY from
+    md5, so DuckDB reproduces every register value-for-value.
+
+    m=16 registers; bucket = first md5 hex digit; the register rank
+    (1 + leading zeros of the next 32-bit window) is computed with
+    PURE STRING ops — trim leading '0' hex chars, then a CASE on the
+    first nonzero digit — never float log2, so it is exact in any
+    engine.  The harmonic denominator is carried as the exact integer
+    ``zeros*2^33 + sum(2^(33-rank))`` (each term a dyadic rational
+    scaled to bigint); the raw estimate does ONE double division of
+    exact integers at the edge (bit-identical cross-engine), and is
+    deliberately uncorrected (no ln-based linear counting — libm can
+    differ at 1 ulp) with the exact distinct emitted beside it as
+    the accuracy readout."""
+    ev = load(spark, sf, "events")
+    bucket = F.expr(
+        "instr('0123456789abcdef', substring(md5(cast(user_id as string)), 1, 1)) - 1"
+    )
+    rest = F.expr(
+        "trim(LEADING '0' FROM substring(md5(cast(user_id as string)), 2, 8))"
+    )
+    first = F.substring(rest, 1, 1)
+    sub = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rank = F.when(F.length(rest) == 0, F.lit(33)).otherwise(
+        (F.lit(8) - F.length(rest)) * 4 + sub + 1
+    )
+    regs = (
+        ev.select("event_type", "user_id")
+        .withColumn("bucket", bucket.cast("bigint"))
+        .withColumn("rank", rank.cast("bigint"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+    two33 = F.lit(8589934592).cast("bigint")  # 2^33
+    per_type = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("hit"),
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), cast(33 - reg as int))")
+        )
+        .cast("bigint")
+        .alias("s_int"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("true_distinct")
+    )
+    den = (F.lit(16).cast("bigint") - F.col("hit")) * two33 + F.col("s_int")
+    # 0.673 * 16^2 * 2^33, folded offline to ONE double literal so
+    # both engines parse the identical numerator
+    num = F.lit(1479942650986.496)
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.lit(16).cast("bigint").alias("m"),
+            (F.lit(16).cast("bigint") - F.col("hit")).alias("zero_registers"),
+            den.cast("bigint").alias("harmonic_den_scaled"),
+            (num / den.cast("double")).alias("hll_raw_estimate"),
+            "true_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_REACH_HLL_RELATIONAL = """
+WITH r AS (
+  SELECT event_type,
+         strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1
+           AS bucket,
+         trim(LEADING '0' FROM substr(md5(CAST(user_id AS VARCHAR)), 2, 8))
+           AS rest
+  FROM events
+), ranked AS (
+  SELECT event_type, bucket,
+         CASE WHEN length(rest) = 0 THEN 33
+              ELSE (8 - length(rest)) * 4
+                   + CASE WHEN substr(rest, 1, 1) = '1' THEN 3
+                          WHEN substr(rest, 1, 1) IN ('2','3') THEN 2
+                          WHEN substr(rest, 1, 1) IN ('4','5','6','7') THEN 1
+                          ELSE 0 END
+                   + 1 END AS rank
+  FROM r
+), regs AS (
+  SELECT event_type, bucket, MAX(rank) AS reg
+  FROM ranked GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS hit,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - reg AS INT)) AS BIGINT)
+           AS s_int
+  FROM regs GROUP BY 1
+), exact AS (
+  SELECT event_type AS et, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           AS true_distinct
+  FROM events GROUP BY 1
+)
+SELECT p.event_type,
+       CAST(16 AS BIGINT) AS m,
+       CAST(16 - hit AS BIGINT) AS zero_registers,
+       CAST((16 - hit) * 8589934592 + s_int AS BIGINT)
+         AS harmonic_den_scaled,
+       CAST(1479942650986.496 AS DOUBLE)
+         / CAST((16 - hit) * 8589934592 + s_int AS DOUBLE)
+         AS hll_raw_estimate,
+       true_distinct
+FROM per_type p JOIN exact e ON p.event_type = e.et
+ORDER BY event_type
+"""
+
+
 def q_event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """First-order Markov transition matrix over the event stream:
     for every user, pair each event with the NEXT event (lead over
@@ -2129,6 +2247,7 @@ SPARK_QUERIES = {
     "brand_pagerank": q_brand_pagerank,
     "events_value_outliers": q_events_value_outliers,
     "user_reach_sketch": q_user_reach_sketch,
+    "reach_hll_relational": q_reach_hll_relational,
     "brand_cooccurrence_top": q_brand_cooccurrence_top,
     "order_backlog_daily": q_order_backlog_daily,
     "user_retention_cohorts": q_user_retention_cohorts,
@@ -2167,8 +2286,11 @@ ORACLE_SQL = {
     "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
     "brand_pagerank": sql_brand_pagerank(),
     "events_value_outliers": SQL_EVENTS_VALUE_OUTLIERS,
-    # user_reach_sketch: intentionally no oracle (HLL estimates are
-    # sketch-implementation-defined) -> rows-only + pytest bounds
+    # user_reach_sketch: intentionally no oracle (Datasketches HLL
+    # estimates are sketch-implementation-defined) -> rows-only +
+    # pytest bounds; reach_hll_relational is its oracle-backed
+    # register-level certification twin (md5 HLL, value-for-value)
+    "reach_hll_relational": SQL_REACH_HLL_RELATIONAL,
     "brand_cooccurrence_top": SQL_BRAND_COOCCURRENCE_TOP,
     "order_backlog_daily": SQL_ORDER_BACKLOG_DAILY,
     "user_retention_cohorts": SQL_USER_RETENTION_COHORTS,
