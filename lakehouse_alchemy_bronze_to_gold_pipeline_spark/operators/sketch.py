@@ -135,3 +135,89 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
         .select(F.col("__item").alias(item_col), "cms_est")
     )
+
+
+# --------------------------------------------------------------- HLL
+# (m = 16 registers; bucket = first md5 hex digit)
+
+#: 0.673 * 16^2 * 2^33 folded offline to ONE double literal so every
+#: consumer (batch query, streaming rollup, DuckDB oracle) parses the
+#: identical numerator — see queries/analytics.py reach_hll_relational
+HLL16_NUMERATOR = 1479942650986.496
+HLL16_TWO33 = 8589934592  # 2^33 scales the harmonic sum to integers
+
+
+def hll_bucket_rank(item_col: str) -> tuple[F.Column, F.Column]:
+    """(bucket, rank) columns of the relational m=16 HyperLogLog:
+    bucket = first md5 hex digit of the item, rank = 1 + leading
+    zeros of the next 32-bit window — computed with PURE STRING ops
+    (trim leading '0' hex chars + CASE on the first nonzero digit,
+    never float log2), so any engine reproduces the registers
+    bit-for-bit.  Shared by the oracle-backed batch certification
+    query (``reach_hll_relational``) and the streaming register
+    rollup (``streaming/sketch_rollup.streaming_hll``)."""
+    md5 = f"md5(cast({item_col} as string))"
+    bucket = F.expr(
+        f"instr('0123456789abcdef', substring({md5}, 1, 1)) - 1"
+    ).cast("bigint")
+    rest = F.expr(f"trim(LEADING '0' FROM substring({md5}, 2, 8))")
+    first = F.substring(rest, 1, 1)
+    sub = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rank = (
+        F.when(F.length(rest) == 0, F.lit(33))
+        .otherwise((F.lit(8) - F.length(rest)) * 4 + sub + 1)
+        .cast("bigint")
+    )
+    return bucket, rank
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """(grp, bucket, reg) register table: <= 16 rows per group, the
+    max rank seen in each bucket.  Registers merge under MAX, so two
+    register tables union + re-max to the registers of the union —
+    the mergeable property the streaming rollup relies on."""
+    bucket, rank = hll_bucket_rank(item_col)
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            bucket.alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """(grp, zero_registers, harmonic_den_scaled, hll_raw_estimate)
+    from a register table: the harmonic denominator is carried as the
+    EXACT integer ``zeros*2^33 + sum(2^(33-reg))`` and the raw
+    estimate does one double division at the edge (bit-identical in
+    any engine; deliberately uncorrected — no ln-based linear
+    counting, libm can differ at 1 ulp)."""
+    per_grp = registers.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("hit"),
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), cast(33 - reg as int))")
+        )
+        .cast("bigint")
+        .alias("s_int"),
+    )
+    den = (F.lit(16).cast("bigint") - F.col("hit")) * F.lit(
+        HLL16_TWO33
+    ).cast("bigint") + F.col("s_int")
+    return per_grp.select(
+        "grp",
+        (F.lit(16).cast("bigint") - F.col("hit")).alias("zero_registers"),
+        den.cast("bigint").alias("harmonic_den_scaled"),
+        (F.lit(HLL16_NUMERATOR) / den.cast("double")).alias(
+            "hll_raw_estimate"
+        ),
+    )

@@ -1267,55 +1267,30 @@ def q_reach_hll_relational(spark: SparkSession, sf: str) -> DataFrame:
     exact integers at the edge (bit-identical cross-engine), and is
     deliberately uncorrected (no ln-based linear counting — libm can
     differ at 1 ulp) with the exact distinct emitted beside it as
-    the accuracy readout."""
+    the accuracy readout.
+
+    Register construction/estimation live in ``operators/sketch.py``
+    (``hll_registers`` / ``hll_estimate``) and are shared with the
+    streaming register rollup (``streaming/sketch_rollup.
+    streaming_hll``) — this query certifies that shared pipeline."""
+    from ..operators.sketch import hll_estimate, hll_registers
+
     ev = load(spark, sf, "events")
-    bucket = F.expr(
-        "instr('0123456789abcdef', substring(md5(cast(user_id as string)), 1, 1)) - 1"
+    regs = hll_registers(
+        ev.select("event_type", "user_id"), "event_type", "user_id"
     )
-    rest = F.expr(
-        "trim(LEADING '0' FROM substring(md5(cast(user_id as string)), 2, 8))"
-    )
-    first = F.substring(rest, 1, 1)
-    sub = (
-        F.when(first == "1", 3)
-        .when(first.isin("2", "3"), 2)
-        .when(first.isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-    )
-    rank = F.when(F.length(rest) == 0, F.lit(33)).otherwise(
-        (F.lit(8) - F.length(rest)) * 4 + sub + 1
-    )
-    regs = (
-        ev.select("event_type", "user_id")
-        .withColumn("bucket", bucket.cast("bigint"))
-        .withColumn("rank", rank.cast("bigint"))
-        .groupBy("event_type", "bucket")
-        .agg(F.max("rank").alias("reg"))
-    )
-    two33 = F.lit(8589934592).cast("bigint")  # 2^33
-    per_type = regs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("hit"),
-        F.sum(
-            F.expr("shiftleft(cast(1 as bigint), cast(33 - reg as int))")
-        )
-        .cast("bigint")
-        .alias("s_int"),
-    )
+    est = hll_estimate(regs)
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("bigint").alias("true_distinct")
     )
-    den = (F.lit(16).cast("bigint") - F.col("hit")) * two33 + F.col("s_int")
-    # 0.673 * 16^2 * 2^33, folded offline to ONE double literal so
-    # both engines parse the identical numerator
-    num = F.lit(1479942650986.496)
     return (
-        per_type.join(exact, "event_type")
+        est.join(exact, est["grp"] == exact["event_type"])
         .select(
             "event_type",
             F.lit(16).cast("bigint").alias("m"),
-            (F.lit(16).cast("bigint") - F.col("hit")).alias("zero_registers"),
-            den.cast("bigint").alias("harmonic_den_scaled"),
-            (num / den.cast("double")).alias("hll_raw_estimate"),
+            "zero_registers",
+            "harmonic_den_scaled",
+            "hll_raw_estimate",
             "true_distinct",
         )
         .orderBy("event_type")

@@ -212,3 +212,68 @@ def streaming_expectations(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def merge_hll_batch(
+    batch: DataFrame,
+    io: TableIO,
+    table: str,
+    group_col: str,
+    item_col: str,
+) -> None:
+    """Merge one batch into a per-group HLL register table (m=16,
+    <= 16 rows per group FOREVER): build the batch's registers
+    (``operators.sketch.hll_registers`` — the same md5 string-rank
+    pipeline the oracle-backed ``reach_hll_relational`` certifies),
+    union with the stored registers, and re-MAX.  Registers merge
+    under MAX exactly — the streamed table is BIT-IDENTICAL to the
+    one-shot build over the union, not approximately equal — so
+    only the estimate carries sketch error, never the maintenance."""
+    from ..operators.sketch import hll_registers
+
+    spark = batch.sparkSession
+    fresh = hll_registers(batch, group_col, item_col)
+    if spark.catalog.tableExists(table):
+        fresh = (
+            io.read(table)
+            .unionByName(fresh)
+            .groupBy("grp", "bucket")
+            .agg(F.max("reg").alias("reg"))
+        )
+    _replace_table(spark, io, f"{table}__hll_tmp", fresh, table)
+
+
+def hll_reach(summary: DataFrame) -> DataFrame:
+    """(grp, zero_registers, harmonic_den_scaled, hll_raw_estimate)
+    from a stored register table — delegates to the shared exact-
+    integer estimator (``operators.sketch.hll_estimate``)."""
+    from ..operators.sketch import hll_estimate
+
+    return hll_estimate(summary)
+
+
+def streaming_hll(
+    stream: DataFrame,
+    io: TableIO,
+    table: str,
+    group_col: str,
+    item_col: str,
+    checkpoint: str,
+):
+    """writeStream maintaining ``table`` as the per-group m=16 HLL
+    registers of every item ever streamed — the third mergeable-
+    sketch rollup next to CMS (cell SUM) and KMV (k-min), with the
+    tightest state of the three (16 rows per group) and an exact
+    merge.  Checkpointing makes each source file count exactly once
+    across runs; ``hll_reach`` reads the estimate at any time."""
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_hll_batch(batch, io, table, group_col, item_col)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -206,3 +206,77 @@ def test_streaming_expectations_split(spark, tmp_path):
     q.awaitTermination(120)
     assert sorted(r["pk"] for r in io.read("exp_pass").collect()) == [1, 9]
     assert io.read("exp_quar").count() == 2
+
+
+def test_streaming_hll_registers_equal_batch_union(spark, tmp_path):
+    from pyspark.sql.types import LongType
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.sketch import (
+        hll_registers,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.sketch_rollup import (
+        hll_reach,
+        streaming_hll,
+    )
+
+    schema = StructType(
+        [StructField("grp", StringType()), StructField("uid", LongType())]
+    )
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("hll_stream_regs",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    io = TableIO(spark, fmt="parquet")
+    src, cp = str(tmp_path / "hsrc"), str(tmp_path / "hcp")
+
+    b1 = [("a", i) for i in range(200)] + [("b", i) for i in range(8)]
+    b2 = [("a", i) for i in range(100, 400)] + [("b", 9)]
+
+    def _w(name, rows):
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, name), "w") as f:
+            for g, u in rows:
+                f.write(json.dumps({"grp": g, "uid": u}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).json(src)
+        q = streaming_hll(
+            stream, io, "hll_stream_regs", "grp", "uid", cp
+        ).start()
+        q.awaitTermination(120)
+
+    _w("b1.json", b1)
+    run()
+    _w("b2.json", b2)
+    run()  # checkpoint: b1 files not re-consumed
+
+    # registers merge under MAX exactly: streamed table is
+    # BIT-IDENTICAL to the one-shot build over the union
+    union = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        (r["grp"], r["bucket"]): r["reg"]
+        for r in hll_registers(union, "grp", "uid").collect()
+    }
+    got = {
+        (r["grp"], r["bucket"]): r["reg"]
+        for r in io.read("hll_stream_regs").collect()
+    }
+    assert got == want, "streamed registers != batch registers"
+    # state bound: never more than m=16 rows per group
+    assert all(
+        r["n"] <= 16
+        for r in io.read("hll_stream_regs")
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    # estimates from the maintained table land inside the 3-sigma
+    # envelope (1.04/sqrt(16) per sigma) of the true distincts
+    est = {r["grp"]: r["hll_raw_estimate"]
+           for r in hll_reach(io.read("hll_stream_regs")).collect()}
+    true = {"a": 400, "b": 9}
+    for g, t in true.items():
+        assert abs(est[g] - t) / t < 0.78, (g, est[g], t)
