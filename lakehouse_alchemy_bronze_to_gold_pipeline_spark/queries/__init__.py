@@ -18,10 +18,6 @@ from .corpus import SPARK_QUERIES as _CP_Q, ORACLE_SQL as _CP_SQL
 from .decision import SPARK_QUERIES as _DS_Q, ORACLE_SQL as _DS_SQL
 from .llm_ops import SPARK_QUERIES as _LLM_Q, ORACLE_SQL as _LLM_SQL
 
-# decision.py entries (late round-6 additions) merge LAST so they sit
-# BEHIND the mandated 50-slot driver window — never-certified entries
-# keep their priority slots; these get their driver rows in a later
-# rotation after local full-precision certification.
 _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q, **_ADV_Q, **_DS_Q}
 
 # The external correctness harness checks the FIRST 50 entries in
@@ -51,13 +47,30 @@ _PRIORITY = (
     # RE-certification: the r5 red cell, rewritten to exact integer
     # lerp statistics (cent-scaled BIGINT num/den) this round
     "gap_fill_interpolate",
-    # stalest driver rows (last certified r2)
+    # never driver-certified, round-6 additions (slots 23-31) — all
+    # local-sweep green at FULL float precision before queueing
+    "mg_heavy_hitters_fixed", "simhash_accuracy",
+    "embedding_whitening_fixed", "important_part_value",
+    "customer_order_distribution", "supplier_part_breadth",
+    "dormant_wealth_report", "matryoshka_overlap_report",
+    "perplexity_bucket_report",
+    # never driver-certified, round-6 continuation additions (slots
+    # 32-42): the HLL register twin + the ten TPC-H decision shapes —
+    # also full-precision green locally, so they enter the window NOW
+    # rather than waiting a round (every never-certified entry must
+    # sit inside the driver's first 50; tools/window_audit.py checks)
+    "reach_hll_relational", "min_cost_supplier",
+    "nation_volume_shipping", "nation_market_share",
+    "product_profit_by_nation", "returned_revenue_customers",
+    "shipping_delay_buckets", "promo_revenue_share",
+    "large_order_customers", "bracket_disjunction_revenue",
+    "excess_share_suppliers",
+    # stalest driver rows fill the remaining slots (43-50): the five
+    # r2-certified entries, then the head of the r3 rotation
     "customer_string_funcs", "event_date_spine", "order_metrics_melt",
     "orders_stratified_sample", "signup_purchase_funnel",
-    # new r6 entries queue here (behind the mandated set, inside the
-    # window) via _R6_NEW below; then the r3 rotation fills the tail
-    # of the 50-slot window
     "minhash_neardup_md5", "dedup_clusters", "dedup_keep_canonical",
+    # r3 rotation continues beyond the window boundary (r7 work list)
     "embedding_lsh_topk", "domain_mix_sample", "doc_pack_chunks",
     "doc_repetition_filter", "filter_attrition_report",
     "embedding_dim_stats", "bm25_search", "dedup_documents_exact",
@@ -66,24 +79,9 @@ _PRIORITY = (
     "eval_contamination", "knn_join", "lang_id_confusion",
     "minhash_neardup", "simhash_bits_md5", "simhash_fingerprints",
 )
-
-#: Queries added in round 6 — spliced into the driver window right
-#: after the mandated certification set (slot 28+), per the r5
-#: verdict's "keep any new r6 queries behind this set".
-_R6_NEW = (
-    "mg_heavy_hitters_fixed", "simhash_accuracy",
-    "embedding_whitening_fixed", "important_part_value",
-    "customer_order_distribution", "supplier_part_breadth",
-    "dormant_wealth_report", "matryoshka_overlap_report",
-    "perplexity_bucket_report",
-)
 assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))
-assert set(_R6_NEW) <= set(_ALL), sorted(set(_R6_NEW) - set(_ALL))
 
-_ORDER = _PRIORITY[:27] + _R6_NEW + tuple(
-    k for k in _PRIORITY[27:] if k not in _R6_NEW
-)
-SPARK_QUERIES = {k: _ALL[k] for k in _ORDER}
+SPARK_QUERIES = {k: _ALL[k] for k in _PRIORITY}
 SPARK_QUERIES.update({k: v for k, v in _ALL.items() if k not in SPARK_QUERIES})
 
 ORACLE_SQL = {**_LLM_SQL, **_CP_SQL, **_CORE_SQL, **_AN_SQL, **_BR_SQL,

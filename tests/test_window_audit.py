@@ -1,8 +1,8 @@
 """Smoke test for tools/window_audit.py (mirrors the delta_inspect
 smoke): the audit must run against the real repo state, report the
-registry size, and — because the continuation queries deliberately
-sit BEHIND the mandated round-6 window — flag them as outside-window
-rather than silently passing."""
+registry size, and confirm that EVERY never-driver-certified entry
+sits inside the driver's 50-entry window — the registry-ordering
+invariant queries/__init__.py maintains each round."""
 
 from __future__ import annotations
 
@@ -24,9 +24,9 @@ def test_window_audit_smoke():
     assert out.returncode == 0, out.stderr
     text = out.stdout
     assert "registry entries" in text
-    # the continuation additions have no driver row yet and sit
-    # behind the mandated window by design — the audit must say so
-    # explicitly (this is the r7 rotation's work list)
     assert "never driver-certified" in text
+    # the continuation additions (still never-certified until the
+    # round-6 driver run) must sit INSIDE the 50-entry window
     for name in ("min_cost_supplier", "reach_hll_relational"):
         assert name in text, f"{name} missing from audit output"
+    assert "window OK" in text, text[-500:]
