@@ -221,3 +221,87 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
             "hll_raw_estimate"
         ),
     )
+
+
+# ----------------------------------------------------------- q-digest
+
+
+def qdigest_compress(leaves: DataFrame, bits: int) -> DataFrame:
+    """Compress a leaf histogram into a q-digest (Shrivastava et al.,
+    "Medians and Beyond", public literature) — the mergeable QUANTILE
+    sketch next to MG (heavy hitters), CMS (point counts), KMV/HLL
+    (distinct counts).
+
+    Input relation: ``id`` (heap-numbered leaf, ``2^bits + bucket``),
+    ``cnt`` (exact leaf count), ``sigma`` (freeze threshold, same
+    value on every row — ride-along so no driver scalar is needed).
+
+    Fully relational and DETERMINISTIC (pure integer arithmetic, no
+    sampling): ``bits`` rounds, each ONE projection + ONE groupBy —
+    in-flight mass sits at exactly one tree level per round, a node
+    with ``cnt < sigma`` promotes to ``id DIV 2`` (sibling counts
+    merge in the groupBy), a node reaching ``sigma`` freezes and
+    passes through unchanged (a frozen id is never a promotion
+    target again, so pass-through cannot collide).  Every frozen
+    internal node absorbed two sub-``sigma`` children, so carries
+    ``cnt < 2*sigma``; at most ``bits`` ancestors straddle any query
+    point, giving the rank-error bound ``2*sigma*bits``.
+
+    Scale: the leaf histogram is bounded by the universe (``2^bits``
+    rows) REGARDLESS of input size — the first groupBy upstream of
+    this function is the only data-scale shuffle (map-side combined
+    to <= |partitions| x 2^bits partials); all ``bits`` rounds here
+    shuffle a bounded relation.  Digest size <= n/sigma + bits.
+    Merging digests = union + one more ``qdigest_compress`` pass
+    with the summed sigma.
+    """
+    nodes = leaves
+    for lvl in range(bits, 0, -1):
+        lo, hi = 1 << lvl, 1 << (lvl + 1)
+        promote = (
+            (F.col("id") >= lo)
+            & (F.col("id") < hi)
+            & (F.col("cnt") < F.col("sigma"))
+        )
+        nodes = (
+            nodes.select(
+                F.when(promote, F.expr("id DIV 2"))
+                .otherwise(F.col("id"))
+                .alias("id"),
+                "cnt",
+                "sigma",
+            )
+            .groupBy("id", "sigma")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    return nodes.select("id", "cnt", "sigma")
+
+
+def qdigest_intervals(nodes: DataFrame, bits: int) -> DataFrame:
+    """Annotate digest nodes with their value interval ``[lo, hi]``
+    (bucket units) via pure-integer CASE level decoding (no float
+    log2 — libm-free, so an oracle replays it bit-for-bit)."""
+    lvl_case = " ".join(
+        f"WHEN id >= {1 << l} THEN {l}" for l in range(bits, -1, -1)
+    )
+    width_case = " ".join(
+        f"WHEN id >= {1 << l} THEN {1 << (bits - l)}"
+        for l in range(bits, -1, -1)
+    )
+    # 2^lvl == 2^bits DIV width, so lo = (id - 2^lvl) * width needs
+    # only the width CASE
+    return nodes.select(
+        "id",
+        "cnt",
+        "sigma",
+        F.expr(f"CASE {lvl_case} END").cast("int").alias("lvl"),
+        F.expr(
+            f"(id - CAST({1 << bits} AS BIGINT) DIV (CASE {width_case} END))"
+            f" * (CASE {width_case} END)"
+        ).alias("lo"),
+    ).withColumn(
+        "hi",
+        F.col("lo")
+        + F.expr(f"CASE {width_case} END").cast("bigint")
+        - F.lit(1),
+    )

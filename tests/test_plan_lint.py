@@ -47,7 +47,10 @@ def test_lint_clean_on_partitioned_window(spark):
 
 #: bounded-by-construction unpartitioned windows (see
 #: test_plans.test_unpartitioned_window_inventory for the rationale)
-_WINDOW_OK = {"order_backlog_daily", "vocab_top_terms"}
+_WINDOW_OK = {"order_backlog_daily", "vocab_top_terms",
+              # cumsums over the q-digest / leaf histogram: both
+              # bounded by the 2^14 universe regardless of input size
+              "quantile_digest_accuracy"}
 #: small-sf oracle baselines for the LSH twins: cartesian BY DESIGN,
 #: excluded from the bench for the same reason
 _CARTESIAN_OK = {"embedding_top_pairs", "embedding_neardup", "knn_join",
@@ -61,7 +64,10 @@ _CARTESIAN_OK = {"embedding_top_pairs", "embedding_neardup", "knn_join",
                  "event_date_spine",
                  # 5 broadcast query rows x corpus (knn_join's bounded
                  # contract), scored at three prefix widths
-                 "matryoshka_overlap_report"}
+                 "matryoshka_overlap_report",
+                 # 5 quantile rows theta-joined to the universe-
+                 # bounded (<= 2^14 rows) digest / leaf-cumsum rels
+                 "quantile_digest_accuracy"}
 #: iterative operators (O(rounds) shuffle chains are the algorithm)
 #: and deliberately multi-stage composites (three ANN indexes + exact
 #: ground truth; triangle enumeration = 2 joins over 2 dedup passes)
@@ -75,7 +81,10 @@ _DEEP_OK = {"brand_pagerank", "dedup_clusters", "dedup_keep_canonical",
             # three per-width rank windows + overlap joins + union:
             # a deliberately multi-stage readout (13 shuffles over
             # <=15k scored rows; each stage is itself bounded)
-            "matryoshka_overlap_report"}
+            "matryoshka_overlap_report",
+            # 14 compression rounds (one groupBy each) over the
+            # universe-bounded node relation: O(bits) by construction
+            "quantile_digest_accuracy"}
 
 
 def test_whole_registry_lints_clean(spark):
