@@ -3784,9 +3784,165 @@ ORDER BY bucket
 """
 
 
+_DSIR_B = 1024  # hashed feature buckets
+
+
+def q_dsir_importance_report(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", public literature):
+    score every document by its importance weight for a TARGET
+    distribution (here: the English sub-corpus) versus the RAW
+    corpus, using hashed n-gram features — the published scalable
+    recipe for "pick pretraining data that looks like the domain you
+    care about" without training a classifier.
+
+    Features are the doc's DISTINCT unigrams + word bigrams hashed
+    into 1024 buckets (md5, deterministic); both distributions get
+    +1/bucket additive smoothing, and the per-doc log importance
+    weight is
+
+        sum_b c_b * (ln(t_b+1) - ln(r_b+1))
+          - n * (ln(T+1024) - ln(R+1024))
+
+    — exact integer counts everywhere, ln at the edge only (the
+    ``doc_unigram_logprob`` numeric precedent), score and threshold
+    both rounded to 6 decimals before the flag compare (the
+    ``perplexity_bucket_report`` precedent).
+
+    Scale: one explode + one groupBy builds the (doc, bucket, c)
+    relation; the bucket LM is 1024 rows — broadcast BY CONSTRUCTION
+    no matter the corpus size (this is the entire point of hashed
+    features: the model dimension is fixed); totals are scalar
+    broadcasts; the top-quartile threshold is one exact percentile
+    over the per-doc score relation."""
+    d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    t = TX.nonempty_tokens("text")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(F.array_distinct(t), TX.word_shingles(t, 2))
+        ).alias("f"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CAST(conv(substring(md5(concat('dsir:', f)), 1, 13), "
+            f"16, 10) AS BIGINT) % {_DSIR_B}"
+        ).alias("b"),
+    )
+    dc = (
+        feats.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    raw = dc.groupBy("b").agg(F.sum("c").alias("r"))
+    tgt = (
+        dc.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("c").alias("t"))
+    )
+    lm = raw.join(tgt, "b", "left").select(
+        "b",
+        "r",
+        F.coalesce(F.col("t"), F.lit(0).cast("bigint")).alias("t"),
+    )
+    tots = lm.agg(
+        F.sum("r").alias("bigr"), F.sum("t").alias("bigt")
+    ).select(
+        (F.log(F.col("bigt") + _DSIR_B) - F.log(F.col("bigr") + _DSIR_B))
+        .alias("norm")
+    )
+    scored = (
+        dc.join(
+            F.broadcast(
+                lm.select(
+                    "b",
+                    (F.log(F.col("t") + 1) - F.log(F.col("r") + 1)).alias(
+                        "lr"
+                    ),
+                )
+            ),
+            "b",
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lr")).alias("lw"),
+        )
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            F.round(
+                F.col("lw") - F.col("n_feats") * F.col("norm"), 6
+            ).alias("log_weight"),
+        )
+    )
+    thr = scored.agg(
+        F.round(F.expr("percentile(log_weight, 0.75)"), 6).alias("p75")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "log_weight",
+        (F.col("log_weight") > F.col("p75")).alias("flag_dsir_top25"),
+    )
+
+
+SQL_DSIR_IMPORTANCE_REPORT = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), uni AS (
+  SELECT DISTINCT doc_id, lang, u.f
+  FROM toks, UNNEST(t) AS u(f)
+), bi AS (
+  SELECT DISTINCT doc_id, lang,
+         array_to_string(t[u.i : u.i + 1], ' ') AS f
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+), feats AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('dsir:' || f), 1, 13)) AS BIGINT)
+           % {_DSIR_B} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+), dc AS (
+  SELECT doc_id, lang, b, COUNT(*)::BIGINT AS c
+  FROM feats GROUP BY 1, 2, 3
+), raw AS (
+  SELECT b, SUM(c)::BIGINT AS r FROM dc GROUP BY 1
+), tgt AS (
+  SELECT b, SUM(c)::BIGINT AS t FROM dc WHERE lang = 'en' GROUP BY 1
+), lm AS (
+  SELECT raw.b, raw.r, COALESCE(tgt.t, 0)::BIGINT AS t
+  FROM raw LEFT JOIN tgt USING (b)
+), tots AS (
+  SELECT ln(SUM(t) + {_DSIR_B}) - ln(SUM(r) + {_DSIR_B}) AS norm
+  FROM lm
+), scored AS (
+  SELECT doc_id, lang,
+         CAST(SUM(c) AS BIGINT) AS n_feats,
+         ROUND(SUM(c * (ln(lm.t + 1) - ln(lm.r + 1)))
+               - SUM(c) * ANY_VALUE(norm), 6) AS log_weight
+  FROM dc JOIN lm USING (b) CROSS JOIN tots
+  GROUP BY 1, 2
+), thr AS (
+  SELECT ROUND(quantile_cont(log_weight, 0.75), 6) AS p75 FROM scored
+)
+SELECT doc_id, lang, n_feats, log_weight,
+       log_weight > p75 AS flag_dsir_top25
+FROM scored CROSS JOIN thr
+"""
+
+
 SPARK_QUERIES = {
     "feature_hash_embed": q_feature_hash_embed,
     "event_sequence_prep": q_event_sequence_prep,
+    "dsir_importance_report": q_dsir_importance_report,
     "label_noise_scan": q_label_noise_scan,
     "context_budget_report": q_context_budget_report,
     "bpe_train_report": q_bpe_train_report,
@@ -3888,6 +4044,7 @@ ORACLE_SQL = {
     "doc_unigram_logprob": SQL_DOC_UNIGRAM_LOGPROB,
     "doc_bigram_logprob": SQL_DOC_BIGRAM_LOGPROB,
     "crossdoc_span_coverage": SQL_CROSSDOC_SPAN_COVERAGE,
+    "dsir_importance_report": SQL_DSIR_IMPORTANCE_REPORT,
     "embedding_covariance_stats": SQL_EMBEDDING_COVARIANCE_STATS,
     "source_dup_matrix": SQL_SOURCE_DUP_MATRIX,
     "embedding_lsh_topk": sql_embedding_lsh_topk(),
