@@ -305,3 +305,31 @@ def qdigest_intervals(nodes: DataFrame, bits: int) -> DataFrame:
         + F.expr(f"CASE {width_case} END").cast("bigint")
         - F.lit(1),
     )
+
+
+def qdigest_quantiles(nodes: DataFrame, bits: int, pcts=(50,)) -> DataFrame:
+    """(q_pct, est_bucket) quantile readout from a digest: order
+    nodes by interval upper bound, cumulative-sum counts, and take
+    the first node covering each target rank (nodes past the target
+    form a suffix of the order, so MIN(hi) over them is that node's
+    upper bound — one bounded window, no per-quantile sort)."""
+    spark = nodes.sparkSession
+    from pyspark.sql import Window
+
+    iv = qdigest_intervals(nodes, bits)
+    w = Window.orderBy("hi", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = iv.select("hi", F.sum("cnt").over(w).alias("cum"))
+    tot = nodes.agg(F.sum("cnt").alias("n"))
+    qs = (
+        spark.createDataFrame([(int(p),) for p in pcts], "q_pct int")
+        .crossJoin(F.broadcast(tot))
+        .select("q_pct", F.expr("(q_pct * n + 99) DIV 100").alias("target"))
+    )
+    return (
+        qs.join(cum, F.col("cum") >= F.col("target"))
+        .groupBy("q_pct")
+        .agg(F.min("hi").alias("est_bucket"))
+        .orderBy("q_pct")
+    )

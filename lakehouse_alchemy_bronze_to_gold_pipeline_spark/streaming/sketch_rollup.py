@@ -277,3 +277,93 @@ def streaming_hll(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def merge_qdigest_batch(
+    batch: DataFrame,
+    io: TableIO,
+    table: str,
+    bucket_col: str,
+    bits: int = 14,
+    sigma_frac: int = 1024,
+) -> None:
+    """Merge one batch into a stored q-digest (quantile sketch) —
+    the fourth mergeable rollup next to CMS (cell SUM), KMV (k-min)
+    and HLL (register MAX).  Digest nodes are weighted tree nodes;
+    merge = union the batch's leaf histogram with the stored nodes
+    and re-run ``qdigest_compress`` with sigma recomputed from the
+    MERGED total (n DIV sigma_frac), so state stays <= sigma_frac +
+    bits rows forever while the freeze threshold tracks the mass
+    streamed so far.
+
+    Unlike the other three, maintenance is NOT bit-identical to a
+    one-shot build (compression order moves counts up the tree
+    differently); what IS exact is mass conservation, and rank-query
+    uncertainty adds across merge passes (<= 2*sigma_pass*bits per
+    pass — the q-digest merge property, public literature), which
+    the pytest measures against exact quantiles of the full union.
+    """
+    from ..operators.sketch import qdigest_compress
+
+    spark = batch.sparkSession
+    u = 1 << bits
+    fresh = (
+        batch.select(
+            (
+                F.lit(u)
+                + F.least(
+                    F.greatest(F.col(bucket_col), F.lit(0)),
+                    F.lit(u - 1),
+                )
+            )
+            .cast("bigint")
+            .alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    if spark.catalog.tableExists(table):
+        fresh = (
+            io.read(table)
+            .select("id", "cnt")
+            .unionByName(fresh)
+            .groupBy("id")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    tot = fresh.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr(f"sum(cnt) DIV {sigma_frac}"),
+        ).alias("sigma")
+    )
+    merged = qdigest_compress(
+        fresh.crossJoin(F.broadcast(tot)), bits
+    )
+    _replace_table(spark, io, f"{table}__qd_tmp", merged, table)
+
+
+def streaming_qdigest(
+    stream: DataFrame,
+    io: TableIO,
+    table: str,
+    bucket_col: str,
+    checkpoint: str,
+    bits: int = 14,
+    sigma_frac: int = 1024,
+):
+    """writeStream maintaining ``table`` as a q-digest of every value
+    ever streamed — bounded state, any-time quantile reads via
+    ``operators.sketch.qdigest_quantiles``."""
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_qdigest_batch(
+            batch, io, table, bucket_col, bits, sigma_frac
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
