@@ -1,0 +1,147 @@
+"""Differential fuzzing: hypothesis-generated filter/group/aggregate
+fragments executed on BOTH engines (Spark DataFrame API vs DuckDB
+SQL) over the same sf0.001 parquet and compared exactly.
+
+This generalizes the per-query oracle gate: instead of certifying N
+hand-written queries, it samples the (predicate x grouping x
+aggregate x join) fragment space and asserts engine parity on every
+sample — the class of cross-engine defect the r5 round caught by
+hand (round-half doubles, summation order) gets probed mechanically
+on integer-exact fragments where ANY divergence is a real bug.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+SETTINGS = dict(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+#: (sql predicate, spark column builder) — integer/string-exact only,
+#: so any cross-engine mismatch is a genuine defect, never float noise
+PREDS = [
+    ("l_quantity <= 25", lambda: F.col("l_quantity") <= 25),
+    ("l_quantity > 40", lambda: F.col("l_quantity") > 40),
+    ("l_returnflag = 'A'", lambda: F.col("l_returnflag") == "A"),
+    ("l_linestatus = 'F'", lambda: F.col("l_linestatus") == "F"),
+    ("l_partkey % 7 = 3", lambda: F.col("l_partkey") % 7 == 3),
+    ("l_orderkey % 2 = 0", lambda: F.col("l_orderkey") % 2 == 0),
+    ("l_suppkey % 5 <> 1", lambda: F.col("l_suppkey") % 5 != 1),
+]
+
+GROUPS = [
+    (),
+    ("l_returnflag",),
+    ("l_linestatus",),
+    ("l_returnflag", "l_linestatus"),
+]
+
+_CENTS = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+AGGS = [
+    (
+        "n_rows",
+        lambda: F.count(F.lit(1)).cast("bigint"),
+        "COUNT(*)::BIGINT",
+    ),
+    (
+        "sum_cents",
+        lambda: F.sum(F.expr(_CENTS)).cast("bigint"),
+        f"CAST(SUM({_CENTS}) AS BIGINT)",
+    ),
+    (
+        "max_order",
+        lambda: F.max("l_orderkey").cast("bigint"),
+        "CAST(MAX(l_orderkey) AS BIGINT)",
+    ),
+    (
+        "min_qty",
+        lambda: F.min(F.col("l_quantity").cast("bigint")),
+        "MIN(CAST(l_quantity AS BIGINT))",
+    ),
+    (
+        "n_parts",
+        lambda: F.countDistinct("l_partkey").cast("bigint"),
+        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT)",
+    ),
+]
+
+JOIN_PREDS = [None, "o_orderstatus = 'F'", "o_custkey % 3 = 0"]
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'"
+    )
+    try:
+        return con.sql(sql).fetchall()
+    finally:
+        con.close()
+
+
+@settings(**SETTINGS)
+@given(
+    pred_ix=st.lists(
+        st.sampled_from(range(len(PREDS))), max_size=2, unique=True
+    ),
+    grp_ix=st.sampled_from(range(len(GROUPS))),
+    agg_ix=st.lists(
+        st.sampled_from(range(len(AGGS))), min_size=1, max_size=3,
+        unique=True,
+    ),
+    join_ix=st.sampled_from(range(len(JOIN_PREDS))),
+)
+def test_fragment_parity(spark, pred_ix, grp_ix, agg_ix, join_ix):
+    preds = [PREDS[i] for i in sorted(pred_ix)]
+    keys = GROUPS[grp_ix]
+    aggs = [AGGS[i] for i in sorted(agg_ix)]
+    join_pred = JOIN_PREDS[join_ix]
+
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    if join_pred is not None:
+        o = spark.read.parquet(f"{SF}/orders.parquet").where(join_pred)
+        df = df.join(
+            F.broadcast(o.select("o_orderkey")),
+            df.l_orderkey == F.col("o_orderkey"),
+        )
+    for _sql, col in preds:
+        df = df.where(col())
+    spark_aggs = [fn().alias(name) for name, fn, _ in aggs]
+    got = (
+        df.groupBy(*keys).agg(*spark_aggs)
+        if keys
+        else df.agg(*spark_aggs)
+    ).collect()
+
+    where = " AND ".join(p for p, _ in preds) or "TRUE"
+    select_aggs = ", ".join(f"{sql} AS {name}" for name, _, sql in aggs)
+    select = ", ".join(list(keys) + [select_aggs])
+    src = (
+        "lineitem JOIN (SELECT o_orderkey FROM orders WHERE "
+        f"{join_pred}) USING (o_orderkey)".replace(
+            "USING (o_orderkey)", "ON l_orderkey = o_orderkey"
+        )
+        if join_pred is not None
+        else "lineitem"
+    )
+    sql = f"SELECT {select} FROM {src} WHERE {where}"
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+    want = _duck(sql)
+
+    cols = list(keys) + [name for name, _, _ in aggs]
+    got_t = sorted(tuple(r[c] for c in cols) for r in got)
+    want_t = sorted(tuple(r) for r in want)
+    assert got_t == want_t, f"fragment diverged\nSQL: {sql}"
