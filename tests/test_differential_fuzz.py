@@ -145,3 +145,114 @@ def test_fragment_parity(spark, pred_ix, grp_ix, agg_ix, join_ix):
     got_t = sorted(tuple(r[c] for c in cols) for r in got)
     want_t = sorted(tuple(r) for r in want)
     assert got_t == want_t, f"fragment diverged\nSQL: {sql}"
+
+
+# ---------------------------------------------------------- windows
+
+#: the synthetic lineitem has DUPLICATE (orderkey, linenumber) pairs,
+#: so window fragments run over a derived base relation where that
+#: pair is made unique by construction (groupBy + MIN) — otherwise
+#: lag/lead over order-key ties is legitimately nondeterministic and
+#: a mismatch would not be a bug (found by this very test's first run)
+_BASE_SQL = """
+  SELECT l_orderkey, l_linenumber,
+         MIN(l_partkey) AS pk, MIN(l_suppkey) AS sk,
+         CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         MIN(l_returnflag) AS rf, MIN(l_linestatus) AS ls
+  FROM lineitem GROUP BY 1, 2
+"""
+
+WPREDS = [
+    ("qty <= 25", lambda: F.col("qty") <= 25),
+    ("rf = 'A'", lambda: F.col("rf") == "A"),
+    ("pk % 7 = 3", lambda: F.col("pk") % 7 == 3),
+    ("sk % 5 <> 1", lambda: F.col("sk") % 5 != 1),
+]
+
+WIN_FUNCS = [
+    (
+        "rn",
+        lambda w: F.row_number().over(w).cast("bigint"),
+        "row_number() OVER w",
+    ),
+    (
+        "run_qty",
+        lambda w: F.sum("qty").over(w).cast("bigint"),
+        "CAST(SUM(qty) OVER w AS BIGINT)",
+    ),
+    (
+        "prev_part",
+        lambda w: F.lag("pk", 1).over(w).cast("bigint"),
+        "lag(pk, 1) OVER w",
+    ),
+    (
+        "next_supp",
+        lambda w: F.lead("sk", 1).over(w).cast("bigint"),
+        "lead(sk, 1) OVER w",
+    ),
+]
+
+WIN_PARTS = [("rf",), ("ls",), ("rf", "ls")]
+
+
+@settings(**SETTINGS)
+@given(
+    part_ix=st.sampled_from(range(len(WIN_PARTS))),
+    fn_ix=st.lists(
+        st.sampled_from(range(len(WIN_FUNCS))), min_size=1, max_size=2,
+        unique=True,
+    ),
+    pred_ix=st.lists(
+        st.sampled_from(range(len(WPREDS))), max_size=1, unique=True
+    ),
+)
+def test_window_fragment_parity(spark, part_ix, fn_ix, pred_ix):
+    from pyspark.sql import Window
+
+    parts = WIN_PARTS[part_ix]
+    fns = [WIN_FUNCS[i] for i in sorted(fn_ix)]
+    preds = [WPREDS[i] for i in pred_ix]
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.min("l_partkey").alias("pk"),
+        F.min("l_suppkey").alias("sk"),
+        F.min(F.col("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("qty"),
+        F.min("l_returnflag").alias("rf"),
+        F.min("l_linestatus").alias("ls"),
+    )
+    for _sql, col in preds:
+        df = df.where(col())
+    w = Window.partitionBy(*parts).orderBy("l_orderkey", "l_linenumber")
+    got = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[fn(w).alias(name) for name, fn, _ in fns],
+    ).collect()
+
+    where = " AND ".join(p for p, _ in preds) or "TRUE"
+    over = (
+        f"(PARTITION BY {', '.join(parts)} "
+        "ORDER BY l_orderkey, l_linenumber)"
+    )
+    sel = ", ".join(
+        f"{sql.replace('OVER w', 'OVER ' + over)} AS {name}"
+        for name, _, sql in fns
+    )
+    want = _duck(
+        f"WITH base AS ({_BASE_SQL}) "
+        f"SELECT l_orderkey, l_linenumber, {sel} "
+        f"FROM base WHERE {where}"
+    )
+
+    cols = ["l_orderkey", "l_linenumber"] + [n for n, _, _ in fns]
+    key = lambda t: tuple(-1 if v is None else v for v in t)  # noqa: E731
+    got_t = sorted((tuple(r[c] for c in cols) for r in got), key=key)
+    want_t = sorted((tuple(r) for r in want), key=key)
+    diff = [(a, b) for a, b in zip(got_t, want_t) if a != b][:5]
+    assert got_t == want_t, (
+        f"window fragment diverged: {over} {sel}\nfirst diffs "
+        f"(spark, duckdb): {diff}"
+    )
