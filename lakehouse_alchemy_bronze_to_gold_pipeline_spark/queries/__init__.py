@@ -67,12 +67,16 @@ _PRIORITY = (
     "shipping_delay_buckets", "promo_revenue_share",
     "large_order_customers", "bracket_disjunction_revenue",
     "excess_share_suppliers",
-    # stalest driver rows fill the remaining slots (43-50): the five
+    # this session's additions (never driver-certified, full-precision
+    # green locally before queueing): slots 43-44
+    "quantile_digest_accuracy", "dsir_importance_report",
+    # stalest driver rows fill the remaining slots (45-50): the five
     # r2-certified entries, then the head of the r3 rotation
     "customer_string_funcs", "event_date_spine", "order_metrics_melt",
     "orders_stratified_sample", "signup_purchase_funnel",
-    "minhash_neardup_md5", "dedup_clusters", "dedup_keep_canonical",
+    "minhash_neardup_md5",
     # r3 rotation continues beyond the window boundary (r7 work list)
+    "dedup_clusters", "dedup_keep_canonical",
     "embedding_lsh_topk", "domain_mix_sample", "doc_pack_chunks",
     "doc_repetition_filter", "filter_attrition_report",
     "embedding_dim_stats", "bm25_search", "dedup_documents_exact",
