@@ -226,7 +226,9 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
 # ----------------------------------------------------------- q-digest
 
 
-def qdigest_compress(leaves: DataFrame, bits: int) -> DataFrame:
+def qdigest_compress(
+    leaves: DataFrame, bits: int, keys=()
+) -> DataFrame:
     """Compress a leaf histogram into a q-digest (Shrivastava et al.,
     "Medians and Beyond", public literature) — the mergeable QUANTILE
     sketch next to MG (heavy hitters), CMS (point counts), KMV/HLL
@@ -254,7 +256,13 @@ def qdigest_compress(leaves: DataFrame, bits: int) -> DataFrame:
     shuffle a bounded relation.  Digest size <= n/sigma + bits.
     Merging digests = union + one more ``qdigest_compress`` pass
     with the summed sigma.
+
+    ``keys`` builds one INDEPENDENT digest per key group (per-group
+    ``sigma`` rides each row, like the grouped KMV/HLL sketches) —
+    state and error bound apply per group; the compression rounds
+    hash-partition by (keys, id), so groups compress in parallel.
     """
+    keys = tuple(keys)
     nodes = leaves
     for lvl in range(bits, 0, -1):
         lo, hi = 1 << lvl, 1 << (lvl + 1)
@@ -265,19 +273,22 @@ def qdigest_compress(leaves: DataFrame, bits: int) -> DataFrame:
         )
         nodes = (
             nodes.select(
+                *keys,
                 F.when(promote, F.expr("id DIV 2"))
                 .otherwise(F.col("id"))
                 .alias("id"),
                 "cnt",
                 "sigma",
             )
-            .groupBy("id", "sigma")
+            .groupBy(*keys, "id", "sigma")
             .agg(F.sum("cnt").alias("cnt"))
         )
-    return nodes.select("id", "cnt", "sigma")
+    return nodes.select(*keys, "id", "cnt", "sigma")
 
 
-def qdigest_intervals(nodes: DataFrame, bits: int) -> DataFrame:
+def qdigest_intervals(
+    nodes: DataFrame, bits: int, keys=()
+) -> DataFrame:
     """Annotate digest nodes with their value interval ``[lo, hi]``
     (bucket units) via pure-integer CASE level decoding (no float
     log2 — libm-free, so an oracle replays it bit-for-bit)."""
@@ -291,6 +302,7 @@ def qdigest_intervals(nodes: DataFrame, bits: int) -> DataFrame:
     # 2^lvl == 2^bits DIV width, so lo = (id - 2^lvl) * width needs
     # only the width CASE
     return nodes.select(
+        *keys,
         "id",
         "cnt",
         "sigma",

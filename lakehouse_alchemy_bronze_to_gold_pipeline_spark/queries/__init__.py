@@ -68,15 +68,15 @@ _PRIORITY = (
     "large_order_customers", "bracket_disjunction_revenue",
     "excess_share_suppliers",
     # this session's additions (never driver-certified, full-precision
-    # green locally before queueing): slots 43-44
-    "quantile_digest_accuracy", "dsir_importance_report",
-    # stalest driver rows fill the remaining slots (45-50): the five
-    # r2-certified entries, then the head of the r3 rotation
+    # green locally before queueing): slots 43-45
+    "quantile_digest_accuracy", "quantile_digest_grouped",
+    "dsir_importance_report",
+    # stalest driver rows fill the remaining slots (46-50): the five
+    # r2-certified entries
     "customer_string_funcs", "event_date_spine", "order_metrics_melt",
     "orders_stratified_sample", "signup_purchase_funnel",
-    "minhash_neardup_md5",
     # r3 rotation continues beyond the window boundary (r7 work list)
-    "dedup_clusters", "dedup_keep_canonical",
+    "minhash_neardup_md5", "dedup_clusters", "dedup_keep_canonical",
     "embedding_lsh_topk", "domain_mix_sample", "doc_pack_chunks",
     "doc_repetition_filter", "filter_attrition_report",
     "embedding_dim_stats", "bm25_search", "dedup_documents_exact",

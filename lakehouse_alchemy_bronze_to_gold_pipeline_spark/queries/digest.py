@@ -158,20 +158,23 @@ def q_quantile_digest_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_rounds() -> str:
+def _sql_rounds(group_cols: str = "") -> str:
     """The 14 compression rounds as an unrolled CTE chain (r15 is
     the leaf relation; each round is the same single-groupBy step the
-    Spark loop builds)."""
+    Spark loop builds).  ``group_cols`` (e.g. ``"l_returnflag, "``)
+    threads per-group digest keys through every round."""
+    n_keys = group_cols.count(",")
+    grp_by = ", ".join(str(i + 1) for i in range(n_keys + 2))
     parts = []
     prev = "r15"
     for lvl in range(_QD_BITS, 0, -1):
         parts.append(
             f"""r{lvl} AS (
-  SELECT CASE WHEN id >= {1 << lvl} AND id < {1 << (lvl + 1)}
+  SELECT {group_cols}CASE WHEN id >= {1 << lvl} AND id < {1 << (lvl + 1)}
                    AND cnt < sigma
               THEN id // 2 ELSE id END AS id,
          sigma, SUM(cnt)::BIGINT AS cnt
-  FROM {prev} GROUP BY 1, 2
+  FROM {prev} GROUP BY {grp_by}
 )"""
         )
         prev = f"r{lvl}"
@@ -251,10 +254,199 @@ ORDER BY q_pct
 """
 
 
+def q_quantile_digest_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group q-digests (one independent digest per return flag,
+    per-group sigma) — the grouped form that matches the KMV/HLL
+    sketches' per-group state story, certified the same way: p25/50/
+    75 estimated from each group's digest alone, realized rank error
+    vs the group's exact histogram, all-BIGINT output.
+
+    Unlike the global query, every window here is PARTITIONED by the
+    group key — the grouped digest needs no unpartitioned-window
+    allowance, and the compression rounds hash-partition by (group,
+    id) so groups compress in parallel.  Per-group state stays
+    <= sigma_frac + bits nodes; at a billion groups the digest
+    relation is |groups| x that bound — the same linear-in-groups
+    state as per-group KMV/HLL."""
+    li = load(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    leaves = (
+        li.select(
+            "rf",
+            F.least(
+                F.expr(f"cents DIV {_QD_DIVISOR}"), F.lit(_QD_U - 1)
+            ).alias("bucket"),
+        )
+        .groupBy("rf", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tots = leaves.groupBy("rf").agg(F.sum("cnt").alias("n")).select(
+        "rf",
+        "n",
+        F.greatest(
+            F.lit(1).cast("bigint"), F.expr(f"n DIV {_QD_SIGMA_FRAC}")
+        ).alias("sigma"),
+    )
+    leaves_s = leaves.join(F.broadcast(tots), "rf").persist()
+    digest = qdigest_intervals(
+        qdigest_compress(
+            leaves_s.select(
+                "rf",
+                (F.lit(_QD_U) + F.col("bucket")).cast("bigint").alias("id"),
+                "cnt",
+                "sigma",
+            ),
+            _QD_BITS,
+            keys=("rf",),
+        ),
+        _QD_BITS,
+        keys=("rf",),
+    )
+    wd = Window.partitionBy("rf").orderBy("hi", "id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dcum = digest.select(
+        "rf", "hi", F.sum("cnt").over(wd).alias("cum")
+    )
+    wl = Window.partitionBy("rf").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lcum = leaves_s.select(
+        "rf", "bucket", F.sum("cnt").over(wl).alias("cum")
+    )
+    qs = (
+        spark.createDataFrame([(25,), (50,), (75,)], "q_pct int")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "rf",
+            "q_pct",
+            "sigma",
+            F.expr("(q_pct * n + 99) DIV 100").alias("target"),
+        )
+    )
+    est = (
+        qs.join(
+            dcum.withColumnRenamed("rf", "rf2"),
+            (F.col("rf") == F.col("rf2"))
+            & (F.col("cum") >= F.col("target")),
+        )
+        .groupBy("rf", "q_pct", "sigma", "target")
+        .agg(F.min("hi").alias("est_bucket"))
+    )
+    lc = lcum.withColumnRenamed("rf", "rf2")
+    ranks = (
+        est.join(
+            lc,
+            (F.col("rf") == F.col("rf2"))
+            & (F.col("bucket") <= F.col("est_bucket")),
+            "left",
+        )
+        .groupBy("rf", "q_pct", "sigma", "target", "est_bucket")
+        .agg(
+            F.coalesce(F.max("cum"), F.lit(0).cast("bigint")).alias(
+                "n_le"
+            ),
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("bucket") < F.col("est_bucket"),
+                        F.col("cum"),
+                    )
+                ),
+                F.lit(0).cast("bigint"),
+            ).alias("n_lt"),
+        )
+    )
+    err = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.col("target") - F.col("n_le"),
+        F.col("n_lt") + 1 - F.col("target"),
+    )
+    return ranks.select(
+        "rf",
+        "q_pct",
+        "est_bucket",
+        F.col("target").alias("target_rank"),
+        err.cast("bigint").alias("rank_err"),
+        (F.lit(2 * _QD_BITS).cast("bigint") * F.col("sigma")).alias(
+            "err_bound"
+        ),
+        (err <= F.lit(2 * _QD_BITS) * F.col("sigma")).alias(
+            "within_bound"
+        ),
+    ).orderBy("rf", "q_pct")
+
+
+SQL_QUANTILE_DIGEST_GROUPED = f"""
+WITH leaves AS (
+  SELECT l_returnflag AS rf,
+         LEAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) // {_QD_DIVISOR}, {_QD_U - 1}) AS bucket,
+         COUNT(*)::BIGINT AS cnt
+  FROM lineitem GROUP BY 1, 2
+), tots AS (
+  SELECT rf, SUM(cnt)::BIGINT AS n,
+         GREATEST(1, SUM(cnt)::BIGINT // {_QD_SIGMA_FRAC}) AS sigma
+  FROM leaves GROUP BY 1
+), r15 AS (
+  SELECT leaves.rf, ({_QD_U} + bucket)::BIGINT AS id, cnt, sigma
+  FROM leaves JOIN tots USING (rf)
+),
+{_sql_rounds("rf, ")},
+digest AS (
+  SELECT rf, id, cnt,
+         (id - {_QD_U} // (CASE {_sql_width_case()} END))
+           * (CASE {_sql_width_case()} END)
+           + (CASE {_sql_width_case()} END) - 1 AS hi
+  FROM r1
+), dcum AS (
+  SELECT rf, hi,
+         SUM(cnt) OVER (PARTITION BY rf ORDER BY hi, id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM digest
+), lcum AS (
+  SELECT rf, bucket,
+         SUM(cnt) OVER (PARTITION BY rf ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM leaves
+), qs AS (
+  SELECT rf, q_pct, sigma, (q_pct * n + 99) // 100 AS target
+  FROM (VALUES (25), (50), (75)) AS v(q_pct), tots
+), est AS (
+  SELECT q.rf, q.q_pct, q.sigma, q.target, MIN(d.hi) AS est_bucket
+  FROM qs q JOIN dcum d ON d.rf = q.rf AND d.cum >= q.target
+  GROUP BY 1, 2, 3, 4
+), ranks AS (
+  SELECT e.rf, e.q_pct, e.sigma, e.target, e.est_bucket,
+         COALESCE(MAX(l.cum), 0)::BIGINT AS n_le,
+         COALESCE(MAX(CASE WHEN l.bucket < e.est_bucket
+                           THEN l.cum END), 0)::BIGINT AS n_lt
+  FROM est e LEFT JOIN lcum l
+    ON l.rf = e.rf AND l.bucket <= e.est_bucket
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT rf, q_pct, est_bucket,
+       target AS target_rank,
+       GREATEST(0, target - n_le, n_lt + 1 - target)::BIGINT
+         AS rank_err,
+       (2 * {_QD_BITS} * sigma)::BIGINT AS err_bound,
+       GREATEST(0, target - n_le, n_lt + 1 - target)
+         <= 2 * {_QD_BITS} * sigma AS within_bound
+FROM ranks
+ORDER BY rf, q_pct
+"""
+
+
 SPARK_QUERIES = {
     "quantile_digest_accuracy": q_quantile_digest_accuracy,
+    "quantile_digest_grouped": q_quantile_digest_grouped,
 }
 
 ORACLE_SQL = {
     "quantile_digest_accuracy": SQL_QUANTILE_DIGEST_ACCURACY,
+    "quantile_digest_grouped": SQL_QUANTILE_DIGEST_GROUPED,
 }

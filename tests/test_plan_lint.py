@@ -67,7 +67,9 @@ _CARTESIAN_OK = {"embedding_top_pairs", "embedding_neardup", "knn_join",
                  "matryoshka_overlap_report",
                  # 5 quantile rows theta-joined to the universe-
                  # bounded (<= 2^14 rows) digest / leaf-cumsum rels
-                 "quantile_digest_accuracy"}
+                 "quantile_digest_accuracy",
+                 # |pcts| x |groups| spine generator (3 x 3 rows)
+                 "quantile_digest_grouped"}
 #: iterative operators (O(rounds) shuffle chains are the algorithm)
 #: and deliberately multi-stage composites (three ANN indexes + exact
 #: ground truth; triangle enumeration = 2 joins over 2 dedup passes)
@@ -84,7 +86,7 @@ _DEEP_OK = {"brand_pagerank", "dedup_clusters", "dedup_keep_canonical",
             "matryoshka_overlap_report",
             # 14 compression rounds (one groupBy each) over the
             # universe-bounded node relation: O(bits) by construction
-            "quantile_digest_accuracy"}
+            "quantile_digest_accuracy", "quantile_digest_grouped"}
 
 
 def test_whole_registry_lints_clean(spark):

@@ -110,3 +110,39 @@ def test_merge_is_one_more_compress_pass(spark):
     # each input digest carries <= 2*sigma*BITS uncertainty and the
     # merge pass adds its own <= 2*sigma*BITS
     assert max(errs) <= 6 * sigma * BITS
+
+
+def test_grouped_digests_are_independent(spark):
+    """keys= builds one digest per group: a group's digest must be
+    byte-identical to the digest of that group's data built alone."""
+    rng = random.Random(5)
+    a = {b: rng.randint(1, 20) for b in range(0, U, 2)}
+    b = {k: rng.randint(1, 20) for k in range(1, U, 5)}
+    sigma_a = max(1, sum(a.values()) // 16)
+    sigma_b = max(1, sum(b.values()) // 16)
+
+    def rows(counts, grp, sigma):
+        return [
+            (grp, U + k, int(c), int(sigma)) for k, c in counts.items()
+        ]
+
+    both = spark.createDataFrame(
+        rows(a, "A", sigma_a) + rows(b, "B", sigma_b),
+        "grp string, id bigint, cnt bigint, sigma bigint",
+    )
+    grouped = {
+        ("A" if r.grp == "A" else "B", r.id): r.cnt
+        for r in qdigest_compress(both, BITS, keys=("grp",)).collect()
+    }
+    for grp, counts, sigma in (("A", a, sigma_a), ("B", b, sigma_b)):
+        solo = spark.createDataFrame(
+            [(U + k, int(c), int(sigma)) for k, c in counts.items()],
+            "id bigint, cnt bigint, sigma bigint",
+        )
+        want = {
+            r.id: r.cnt for r in qdigest_compress(solo, BITS).collect()
+        }
+        got = {
+            i: c for (g, i), c in grouped.items() if g == grp
+        }
+        assert got == want, grp
