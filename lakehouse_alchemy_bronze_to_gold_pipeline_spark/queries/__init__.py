@@ -18,9 +18,10 @@ from .corpus import SPARK_QUERIES as _CP_Q, ORACLE_SQL as _CP_SQL
 from .decision import SPARK_QUERIES as _DS_Q, ORACLE_SQL as _DS_SQL
 from .digest import SPARK_QUERIES as _DG_Q, ORACLE_SQL as _DG_SQL
 from .llm_ops import SPARK_QUERIES as _LLM_Q, ORACLE_SQL as _LLM_SQL
+from .mlaudit import SPARK_QUERIES as _MA_Q, ORACLE_SQL as _MA_SQL
 
 _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q, **_ADV_Q, **_DS_Q,
-        **_DG_Q}
+        **_DG_Q, **_MA_Q}
 
 # The external correctness harness checks the FIRST 50 entries in
 # dict order (of len(SPARK_QUERIES) total).  We (a) run ALL queries
@@ -91,7 +92,7 @@ SPARK_QUERIES = {k: _ALL[k] for k in _PRIORITY}
 SPARK_QUERIES.update({k: v for k, v in _ALL.items() if k not in SPARK_QUERIES})
 
 ORACLE_SQL = {**_LLM_SQL, **_CP_SQL, **_CORE_SQL, **_AN_SQL, **_BR_SQL,
-              **_ADV_SQL, **_DS_SQL, **_DG_SQL}
+              **_ADV_SQL, **_DS_SQL, **_DG_SQL, **_MA_SQL}
 
 #: O(n^2) correctness baselines kept ONLY as small-sf oracle
 #: cross-checks for their LSH-bucketed scale twins

@@ -50,7 +50,12 @@ def test_lint_clean_on_partitioned_window(spark):
 _WINDOW_OK = {"order_backlog_daily", "vocab_top_terms",
               # cumsums over the q-digest / leaf histogram: both
               # bounded by the 2^14 universe regardless of input size
-              "quantile_digest_accuracy"}
+              "quantile_digest_accuracy",
+              # total/rank windows over relations bounded by
+              # construction: 10 price bands, 9 digits, and the
+              # calendar-bounded day grain (~2.4k rows at any SF)
+              "feature_drift_report", "benford_digit_audit",
+              "revenue_anomaly_mad"}
 #: small-sf oracle baselines for the LSH twins: cartesian BY DESIGN,
 #: excluded from the bench for the same reason
 _CARTESIAN_OK = {"embedding_top_pairs", "embedding_neardup", "knn_join",

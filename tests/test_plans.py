@@ -432,7 +432,7 @@ def _unpartitioned_window_count(plan: str) -> int:
 def test_unpartitioned_window_inventory(spark):
     """A WindowExec with no PARTITION BY moves the whole relation to
     one task — a 100x-scale incident unless the input is bounded by
-    construction.  Exactly three registry queries are allowed any:
+    construction.  Exactly six registry queries are allowed any:
 
     - ``order_backlog_daily`` (1): sweep-line running sum over
       per-day deltas — at most 2·|distinct days| rows by
@@ -443,7 +443,14 @@ def test_unpartitioned_window_inventory(spark):
       q-digest node and leaf-histogram relations, both bounded by
       the 2^14 universe regardless of input size (the leaf cumsum
       window prints twice — the true-bucket and rank-readout
-      branches each reference it).
+      branches each reference it);
+    - ``feature_drift_report`` (1) / ``benford_digit_audit`` (1):
+      period/total sums over spine-joined relations of exactly 10
+      bands / 9 digits by construction;
+    - ``revenue_anomaly_mad`` (5): two rank + two order-statistic
+      broadcast + one count window over the DAY-grain aggregate —
+      bounded by the calendar (~2.4k rows at any SF), the
+      ``order_backlog_daily`` class.
 
     Any future query that grows a global window fails HERE instead
     of surfacing as a single-task straggler at scale."""
@@ -451,6 +458,9 @@ def test_unpartitioned_window_inventory(spark):
         "order_backlog_daily": 1,
         "vocab_top_terms": 1,
         "quantile_digest_accuracy": 3,
+        "feature_drift_report": 1,
+        "benford_digit_audit": 1,
+        "revenue_anomaly_mad": 5,
     }
     offenders = {}
     for name in SPARK_QUERIES:
