@@ -2205,7 +2205,75 @@ ORDER BY walk_id
 """
 
 
+# ------------------------------------------------ k-core peeling
+
+#: fixed peel parameters shared by query and oracle
+_KCORE_K = 90
+_KCORE_ROUNDS = 6
+
+
+def q_part_kcore_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core peel trajectory of the part co-purchase graph
+    (``operators.kcore``): per round, the surviving node and edge
+    counts at k={k} — the density diagnostic run before community
+    mining (a cascading collapse like this synthetic basket graph's
+    is itself the finding: no dense core exists).  Rounds are FIXED
+    so the DuckDB twin unrolls the identical chain; counts are exact
+    integers.  The per-order pair fanout is bounded by basket size
+    (<= 7 lineitems/order), so edge generation is linear in
+    lineitem.""".format(k=_KCORE_K)
+    from ..operators.kcore import kcore_profile
+
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    ob = li.distinct()
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return kcore_profile(edges, _KCORE_K, _KCORE_ROUNDS).orderBy("round")
+
+
+def sql_part_kcore_profile() -> str:
+    """Unrolled peel rounds: n{{r}} = degree filter, e{{r}} = edges
+    with both endpoints surviving.  Every CTE is MATERIALIZED:
+    inlined, each round references the previous one three times and
+    DuckDB re-expands the whole chain exponentially (measured ~60 s
+    at sf0.001 vs sub-second materialized)."""
+    steps = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        steps.append(f"""n{r} AS MATERIALIZED (
+  SELECT src FROM e{r - 1} GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
+), e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  JOIN n{r} a ON e.src = a.src
+  JOIN n{r} b ON e.dst = b.src
+)""")
+    unions = "\nUNION ALL\n".join(
+            f"SELECT {r}::BIGINT AS round,"
+            f" COUNT(DISTINCT src)::BIGINT AS n_nodes,"
+            f" COUNT(*)::BIGINT AS n_edges FROM e{r}"
+            for r in range(1, _KCORE_ROUNDS + 1)
+        )
+    return f"""
+WITH ob AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+{", ".join(steps)}
+{unions}
+ORDER BY round
+"""
+
+
 SPARK_QUERIES = {
+    "part_kcore_profile": q_part_kcore_profile,
     "brand_random_walks": q_brand_random_walks,
     "join_size_estimate": q_join_size_estimate,
     "temporal_split_leakage": q_temporal_split_leakage,
@@ -2286,4 +2354,5 @@ ORACLE_SQL = {
     "embedding_top_pairs": SQL_EMBEDDING_TOP_PAIRS,
     "embedding_top_pairs_lsh": sql_embedding_top_pairs_lsh(),
     "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
+    "part_kcore_profile": sql_part_kcore_profile(),
 }
