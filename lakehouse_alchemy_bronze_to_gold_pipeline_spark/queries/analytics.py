@@ -2208,24 +2208,39 @@ ORDER BY walk_id
 # ------------------------------------------------ k-core peeling
 
 #: fixed peel parameters shared by query and oracle
-_KCORE_K = 90
+_KCORE_K = 16
 _KCORE_ROUNDS = 6
+#: one order-year of baskets: a 7x smaller graph than all-time whose
+#: peel actually cascades (all-time degrees sit far above any useful
+#: k at bench scale), and a predicate the scan prunes
+_KCORE_YEAR = ("1995-01-01", "1996-01-01")
 
 
 def q_part_kcore_profile(spark: SparkSession, sf: str) -> DataFrame:
     """k-core peel trajectory of the part co-purchase graph
-    (``operators.kcore``): per round, the surviving node and edge
-    counts at k={k} — the density diagnostic run before community
-    mining (a cascading collapse like this synthetic basket graph's
-    is itself the finding: no dense core exists).  Rounds are FIXED
+    over one order-year (``operators.kcore``): per round, the
+    surviving node and edge counts at k={k} — the density diagnostic
+    run before community mining; on this basket graph the peel
+    cascades over all six rounds at every SF.  Rounds are FIXED
     so the DuckDB twin unrolls the identical chain; counts are exact
     integers.  The per-order pair fanout is bounded by basket size
     (<= 7 lineitems/order), so edge generation is linear in
     lineitem.""".format(k=_KCORE_K)
     from ..operators.kcore import kcore_profile
 
+    lo, hi = _KCORE_YEAR
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    ob = li.distinct()
+    o95 = (
+        load(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("date"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("date"))
+        )
+        .select("o_orderkey")
+    )
+    ob = li.join(
+        o95, li["l_orderkey"] == o95["o_orderkey"], "left_semi"
+    ).distinct()
     a = ob.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = ob.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     edges = (
@@ -2261,6 +2276,9 @@ def sql_part_kcore_profile() -> str:
     return f"""
 WITH ob AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderdate >= DATE '{_KCORE_YEAR[0]}'
+    AND o_orderdate < DATE '{_KCORE_YEAR[1]}'
 ), e0 AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
   FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
