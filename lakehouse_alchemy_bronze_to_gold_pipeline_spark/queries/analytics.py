@@ -1344,6 +1344,149 @@ ORDER BY event_type
 """
 
 
+def q_rolling_reach_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day audience reach from MERGEABLE HLL registers —
+    the sketch-column swap ``rolling_distinct_users`` documents for
+    extreme audiences, actually built: day-grain (day, bucket)
+    registers (<= 16 rows/day forever, any history), merged across
+    the window by a plain MAX over a RANGE frame — register
+    mergeability IS max, so the windowed sketch is exactly the sketch
+    of the windowed union.  The m=16 relational HLL pipeline is the
+    one ``reach_hll_relational`` certifies (pure string ranks, exact
+    integer harmonic denominator, ONE double division at the edge);
+    the exact rolling distinct rides beside it as the accuracy
+    readout.
+
+    Scale: the register relation is |days|*16 rows regardless of
+    event volume — the rolling window runs over THAT, not the events;
+    the exact readout's set-union window is the calendar-bounded
+    ``rolling_distinct_users`` class (and is the part you drop at
+    extreme scale, keeping only the sketch)."""
+    from ..operators.sketch import (
+        HLL16_NUMERATOR,
+        HLL16_TWO33,
+        hll_bucket_rank,
+    )
+
+    ev = load(spark, sf, "events")
+    day = F.expr("ts_us DIV 86400000000")
+    bucket, rank = hll_bucket_rank("user_id")
+    day_regs = (
+        ev.select(day.alias("day"), bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rank").alias("reg"))
+    )
+    days = ev.select(day.alias("day")).distinct()
+    spine = days.crossJoin(
+        F.broadcast(spark.range(16).select(F.col("id").alias("bucket")))
+    )
+    w = Window.partitionBy("bucket").orderBy("day").rangeBetween(-6, 0)
+    rolled = spine.join(day_regs, ["day", "bucket"], "left").select(
+        "day", "bucket", F.max("reg").over(w).alias("reg7")
+    )
+    est = rolled.groupBy("day").agg(
+        F.sum(F.when(F.col("reg7").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("hit"),
+        F.sum(
+            F.when(
+                F.col("reg7").isNotNull(),
+                F.expr(
+                    "shiftleft(cast(1 as bigint), cast(33 - reg7 as int))"
+                ),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("s_int"),
+    )
+    den = (F.lit(16).cast("bigint") - F.col("hit")) * F.lit(
+        HLL16_TWO33
+    ).cast("bigint") + F.col("s_int")
+    daily_sets = (
+        ev.select(day.alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.collect_set("user_id").alias("us"))
+    )
+    wx = Window.orderBy("day").rangeBetween(-6, 0)
+    exact = daily_sets.select(
+        "day",
+        F.size(F.array_distinct(F.flatten(F.collect_list("us").over(wx))))
+        .cast("bigint")
+        .alias("exact_7d"),
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            "exact_7d",
+            (F.lit(16).cast("bigint") - F.col("hit")).alias(
+                "zero_registers"
+            ),
+            den.cast("bigint").alias("harmonic_den_scaled"),
+            (F.lit(HLL16_NUMERATOR) / den.cast("double")).alias(
+                "hll_raw_estimate"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_ROLLING_REACH_HLL = """
+WITH base AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events
+), ranked AS (
+  SELECT day,
+         strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS bucket,
+         CASE WHEN length(rest) = 0 THEN 33
+              ELSE (8 - length(rest)) * 4
+                   + CASE WHEN substr(rest, 1, 1) = '1' THEN 3
+                          WHEN substr(rest, 1, 1) IN ('2','3') THEN 2
+                          WHEN substr(rest, 1, 1) IN ('4','5','6','7') THEN 1
+                          ELSE 0 END
+                   + 1 END AS rank
+  FROM (SELECT day, h, trim(LEADING '0' FROM substr(h, 2, 8)) AS rest
+        FROM base)
+), regs AS (
+  SELECT day, bucket, MAX(rank) AS reg FROM ranked GROUP BY 1, 2
+), spine AS (
+  SELECT d.day, r.range AS bucket
+  FROM (SELECT DISTINCT day FROM base) d, range(16) r
+), rolled AS (
+  SELECT s.day, s.bucket,
+         MAX(reg) OVER (PARTITION BY s.bucket ORDER BY s.day
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS reg7
+  FROM spine s LEFT JOIN regs ON regs.day = s.day
+                             AND regs.bucket = s.bucket
+), est AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN reg7 IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS hit,
+         CAST(SUM(CASE WHEN reg7 IS NOT NULL
+                       THEN CAST(1 AS BIGINT) << CAST(33 - reg7 AS INT)
+                       ELSE 0 END) AS BIGINT) AS s_int
+  FROM rolled GROUP BY 1
+), exact AS (
+  SELECT DISTINCT day,
+         CAST(COUNT(DISTINCT user_id) OVER (
+           ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS exact_7d
+  FROM base
+)
+SELECT est.day, exact_7d,
+       CAST(16 - hit AS BIGINT) AS zero_registers,
+       CAST((16 - hit) * 8589934592 + s_int AS BIGINT)
+         AS harmonic_den_scaled,
+       CAST(1479942650986.496 AS DOUBLE)
+         / CAST((16 - hit) * 8589934592 + s_int AS DOUBLE)
+         AS hll_raw_estimate
+FROM est JOIN exact ON est.day = exact.day
+ORDER BY est.day
+"""
+
+
 def q_event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """First-order Markov transition matrix over the event stream:
     for every user, pair each event with the NEXT event (lead over
@@ -2292,6 +2435,7 @@ ORDER BY round
 
 SPARK_QUERIES = {
     "part_kcore_profile": q_part_kcore_profile,
+    "rolling_reach_hll": q_rolling_reach_hll,
     "brand_random_walks": q_brand_random_walks,
     "join_size_estimate": q_join_size_estimate,
     "temporal_split_leakage": q_temporal_split_leakage,
@@ -2373,4 +2517,5 @@ ORACLE_SQL = {
     "embedding_top_pairs_lsh": sql_embedding_top_pairs_lsh(),
     "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
     "part_kcore_profile": sql_part_kcore_profile(),
+    "rolling_reach_hll": SQL_ROLLING_REACH_HLL,
 }

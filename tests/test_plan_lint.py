@@ -55,7 +55,11 @@ _WINDOW_OK = {"order_backlog_daily", "vocab_top_terms",
               # construction: 10 price bands, 9 digits, and the
               # calendar-bounded day grain (~2.4k rows at any SF)
               "feature_drift_report", "benford_digit_audit",
-              "revenue_anomaly_mad"}
+              "revenue_anomaly_mad",
+              # exact-readout set-union window over the day grain
+              # (the rolling_distinct_users class; the sketch side is
+              # bucket-partitioned and |days|x16 by construction)
+              "rolling_reach_hll"}
 #: small-sf oracle baselines for the LSH twins: cartesian BY DESIGN,
 #: excluded from the bench for the same reason
 _CARTESIAN_OK = {"embedding_top_pairs", "embedding_neardup", "knn_join",
@@ -74,7 +78,9 @@ _CARTESIAN_OK = {"embedding_top_pairs", "embedding_neardup", "knn_join",
                  # bounded (<= 2^14 rows) digest / leaf-cumsum rels
                  "quantile_digest_accuracy",
                  # |pcts| x |groups| spine generator (3 x 3 rows)
-                 "quantile_digest_grouped"}
+                 "quantile_digest_grouped",
+                 # |days| x 16-register broadcast spine generator
+                 "rolling_reach_hll"}
 #: iterative operators (O(rounds) shuffle chains are the algorithm)
 #: and deliberately multi-stage composites (three ANN indexes + exact
 #: ground truth; triangle enumeration = 2 joins over 2 dedup passes)

@@ -432,7 +432,7 @@ def _unpartitioned_window_count(plan: str) -> int:
 def test_unpartitioned_window_inventory(spark):
     """A WindowExec with no PARTITION BY moves the whole relation to
     one task — a 100x-scale incident unless the input is bounded by
-    construction.  Exactly six registry queries are allowed any:
+    construction.  Exactly seven registry queries are allowed any:
 
     - ``order_backlog_daily`` (1): sweep-line running sum over
       per-day deltas — at most 2·|distinct days| rows by
@@ -450,7 +450,11 @@ def test_unpartitioned_window_inventory(spark):
     - ``revenue_anomaly_mad`` (5): two rank + two order-statistic
       broadcast + one count window over the DAY-grain aggregate —
       bounded by the calendar (~2.4k rows at any SF), the
-      ``order_backlog_daily`` class.
+      ``order_backlog_daily`` class;
+    - ``rolling_reach_hll`` (1): the EXACT-readout set-union window
+      over the day grain (the ``rolling_distinct_users`` class — and
+      the part you drop at extreme scale, keeping the
+      bucket-partitioned sketch window).
 
     Any future query that grows a global window fails HERE instead
     of surfacing as a single-task straggler at scale."""
@@ -461,6 +465,7 @@ def test_unpartitioned_window_inventory(spark):
         "feature_drift_report": 1,
         "benford_digit_audit": 1,
         "revenue_anomaly_mad": 5,
+        "rolling_reach_hll": 1,
     }
     offenders = {}
     for name in SPARK_QUERIES:
