@@ -438,6 +438,57 @@ FROM events
 """
 
 
+def q_props_variant_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured stats through Spark 4's VARIANT type:
+    ``parse_json`` once into a variant column, then typed
+    ``variant_get`` extraction and a ``schema_of_variant_agg``
+    readout per event type — the shredding-friendly path that
+    replaces repeated string JSON parsing at scale (the variant
+    binary is parsed ONCE per row; every downstream access is a
+    field lookup, not a re-parse).  Certified value-for-value
+    against classic JSON-path extraction in DuckDB, which is the
+    point: the new storage path changes nothing about the answers.
+    """
+    ev = load(spark, sf, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    ).select(
+        "event_type",
+        F.variant_get(F.col("v"), "$.k", "bigint").alias("k"),
+        F.col("v"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("k").cast("bigint").alias("n_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.schema_of_variant_agg("v").alias("merged_schema"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PROPS_VARIANT_STATS = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k,
+       'OBJECT<k: BIGINT>' AS merged_schema
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (30 min) -> per-session stats."""
     ev = load(spark, sf, "events").withColumn(
@@ -606,6 +657,7 @@ SPARK_QUERIES = {
     "revenue_rollup": q_revenue_rollup,
     "events_hourly": q_events_hourly,
     "events_json_kv": q_events_json_kv,
+    "props_variant_stats": q_props_variant_stats,
     "sessionize_events": q_sessionize_events,
     "session_conversion_daily": q_session_conversion_daily,
     "dedup_events_keep_latest": q_dedup_events_keep_latest,
@@ -625,6 +677,7 @@ ORACLE_SQL = {
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_json_kv": SQL_EVENTS_JSON_KV,
+    "props_variant_stats": SQL_PROPS_VARIANT_STATS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "session_conversion_daily": SQL_SESSION_CONVERSION_DAILY,
     "dedup_events_keep_latest": SQL_DEDUP_EVENTS_KEEP_LATEST,
