@@ -489,6 +489,44 @@ ORDER BY 1
 """
 
 
+def q_pipe_syntax_flag_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The Q1 pricing-summary shape written in Spark 4's SQL PIPE
+    syntax (`FROM ... |> WHERE |> AGGREGATE ... GROUP BY |> ORDER
+    BY`) — same Catalyst plan as the classic form, so the feature
+    costs nothing at scale; certified value-for-value against the
+    classic formulation in DuckDB.  Money sums ride the cent-scaled
+    BIGINT rail."""
+    load(spark, sf, "lineitem").createOrReplaceTempView(
+        "pipe_lineitem_v"
+    )
+    return spark.sql(
+        """
+        FROM pipe_lineitem_v
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n_rows,
+                     CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                     SUM(cents) AS sum_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+SQL_PIPE_SYNTAX_FLAG_STATS = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS sum_cents
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (30 min) -> per-session stats."""
     ev = load(spark, sf, "events").withColumn(
@@ -658,6 +696,7 @@ SPARK_QUERIES = {
     "events_hourly": q_events_hourly,
     "events_json_kv": q_events_json_kv,
     "props_variant_stats": q_props_variant_stats,
+    "pipe_syntax_flag_stats": q_pipe_syntax_flag_stats,
     "sessionize_events": q_sessionize_events,
     "session_conversion_daily": q_session_conversion_daily,
     "dedup_events_keep_latest": q_dedup_events_keep_latest,
@@ -678,6 +717,7 @@ ORACLE_SQL = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_json_kv": SQL_EVENTS_JSON_KV,
     "props_variant_stats": SQL_PROPS_VARIANT_STATS,
+    "pipe_syntax_flag_stats": SQL_PIPE_SYNTAX_FLAG_STATS,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "session_conversion_daily": SQL_SESSION_CONVERSION_DAILY,
     "dedup_events_keep_latest": SQL_DEDUP_EVENTS_KEEP_LATEST,
