@@ -69,14 +69,22 @@ _PRIORITY = (
     "large_order_customers", "bracket_disjunction_revenue",
     "excess_share_suppliers",
     # this session's additions (never driver-certified, full-precision
-    # green locally before queueing): slots 43-45
+    # green locally before queueing): slots 43-50.  The registry now
+    # holds MORE never-certified entries than the window has slots,
+    # so the window is PACKED entirely with never-certified queries +
+    # the one mandated re-cert (gap_fill) — the r2-stale certified
+    # entries that used to fill the tail would waste driver slots and
+    # move beyond the boundary instead.
     "quantile_digest_accuracy", "quantile_digest_grouped",
-    "dsir_importance_report",
-    # stalest driver rows fill the remaining slots (46-50): the five
-    # r2-certified entries
+    "dsir_importance_report", "feature_drift_report",
+    "revenue_anomaly_mad", "benford_digit_audit",
+    "part_kcore_profile", "rolling_reach_hll",
+    # ---- 50-slot window boundary ----
+    # never-certified overflow leads the r7 rotation, then the
+    # stalest-certified entries (r2, then r3)
+    "props_variant_stats", "pipe_syntax_flag_stats",
     "customer_string_funcs", "event_date_spine", "order_metrics_melt",
     "orders_stratified_sample", "signup_purchase_funnel",
-    # r3 rotation continues beyond the window boundary (r7 work list)
     "minhash_neardup_md5", "dedup_clusters", "dedup_keep_canonical",
     "embedding_lsh_topk", "domain_mix_sample", "doc_pack_chunks",
     "doc_repetition_filter", "filter_attrition_report",

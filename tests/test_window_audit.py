@@ -29,4 +29,8 @@ def test_window_audit_smoke():
     # round-6 driver run) must sit INSIDE the 50-entry window
     for name in ("min_cost_supplier", "reach_hll_relational"):
         assert name in text, f"{name} missing from audit output"
-    assert "window OK" in text, text[-500:]
+    # healthy states: every never-certified entry inside the window
+    # ("window OK"), or more never-certified entries than slots with
+    # every slot spent on one ("window PACKED") — a WARNING means a
+    # certified entry occupies a slot a never-certified one needs
+    assert ("window OK" in text) or ("window PACKED" in text), text[-500:]
