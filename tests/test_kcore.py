@@ -64,3 +64,48 @@ def test_kcore_collapse_to_empty(spark):
     prof = {r.round: r.n_nodes for r in kcore_profile(edges, 3, 3).collect()}
     assert prof == {1: 0, 2: 0, 3: 0}
     assert kcore(edges, 3, 3).count() == 0
+
+
+# ------------------------------------------------ differential fuzz
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=3,
+        max_size=36,
+    ),
+    k=st.integers(2, 4),
+)
+def test_kcore_matches_python_reference_peel(spark, raw, k):
+    """Differential fuzz (the test_differential_fuzz pattern applied
+    to the iterative operator): hypothesis-generated random graphs,
+    the SAME fixed number of peel rounds executed by a pure-python
+    reference and by the distributed operator — parity must be exact
+    whether or not the peel has converged, since both run the
+    identical round count."""
+    edges = {(a, b) for a, b in raw if a != b}
+    sym = sorted(edges | {(b, a) for a, b in edges})
+    if not sym:
+        return
+    rounds = 5
+    cur = set(sym)
+    for _ in range(rounds):
+        deg = Counter(s for s, _ in cur)
+        keep = {x for x, c in deg.items() if c >= k}
+        cur = {(s, d) for s, d in cur if s in keep and d in keep}
+    ref = dict(Counter(s for s, _ in cur))
+
+    df = spark.createDataFrame(sym, "src bigint, dst bigint")
+    got = {r.node: r.core_deg for r in kcore(df, k, rounds).collect()}
+    assert got == ref, (sorted(sym), k)
