@@ -18,6 +18,7 @@ import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.stateful import (
     dedup_ttl,
@@ -234,3 +235,86 @@ def test_dedup_ttl_tws_wall_clock(rocksdb, tmp_path):
     ])
     rows2 = _run(spark, src, cp, short_ttl)
     assert {r.key for r in rows2} == {"u1"}
+
+
+# --------------------------------------- batch/stream differential
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 7200)),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_stream_sessions_match_batch_sessionize(rocksdb, tmp_path_factory, raw):
+    """Differential: the SAME events sessionized by the batch
+    lag/cumsum operator and by the streaming timer operator must
+    yield identical (user, start, end, n_events) sessions once a
+    far-future clock event flushes every open session through the
+    watermark.  Both split on gap > gap_seconds (strict), so the
+    boundary semantics must agree event-for-event."""
+    import time as _time
+
+    spark = rocksdb
+    gap = 600
+    base = 1_700_000_000  # fixed epoch so timestamps are stable
+    events = sorted({(f"u{u}", base + off) for u, off in raw})
+
+    # ---- batch reference
+    bdf = spark.createDataFrame(
+        [(u, t) for u, t in events], "user_id string, sec bigint"
+    ).withColumn("ts", F.col("sec").cast("timestamp"))
+    ref = {
+        (r.user_id, int(r.session_start.timestamp()),
+         int(r.session_end.timestamp()), r.n_events)
+        for r in session_stats(
+            sessionize(bdf, "user_id", "ts", gap_seconds=gap)
+        ).collect()
+    }
+
+    # ---- streaming run: one availableNow pass + a clock that pushes
+    # the watermark past every possible close instant
+    tmp = tmp_path_factory.mktemp("sessdiff")
+    src, cp = str(tmp / "src"), str(tmp / "cp")
+    clock = max(t for _, t in events) + gap + 3600 + 120
+    rows = [
+        {"user_id": u,
+         "ts": _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime(t)),
+         "value": 1.0}
+        for u, t in events
+    ] + [{"user_id": "zz_clock",
+          "ts": _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime(clock)),
+          "value": 0.0}]
+    _write(src, "a.json", rows)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        got_rows = _run(
+            spark, src, cp,
+            lambda s: timer_sessions_gst(
+                s, gap_seconds=gap, watermark="30 minutes"
+            ),
+        )
+    finally:
+        spark.conf.unset("spark.sql.session.timeZone")
+    got = {
+        (r.user, r.session_start_ms // 1000, r.session_end_ms // 1000,
+         r.n_events)
+        for r in got_rows
+        if r.user != "zz_clock"
+    }
+    assert got == ref
