@@ -256,3 +256,50 @@ def test_window_fragment_parity(spark, part_ix, fn_ix, pred_ix):
         f"window fragment diverged: {over} {sel}\nfirst diffs "
         f"(spark, duckdb): {diff}"
     )
+
+
+# ------------------------------------------------- set operations
+
+_SIDES = [
+    ("l_returnflag = 'A'", lambda df: df.where(F.col("l_returnflag") == "A")),
+    ("l_quantity > 30", lambda df: df.where(F.col("l_quantity") > 30)),
+    ("l_suppkey % 4 = 1", lambda df: df.where(F.col("l_suppkey") % 4 == 1)),
+    ("l_shipdate >= DATE '1996-01-01'",
+     lambda df: df.where(F.col("l_shipdate") >= "1996-01-01")),
+]
+
+
+@settings(**SETTINGS)
+@given(
+    op_ix=st.sampled_from(range(3)),
+    a_ix=st.sampled_from(range(len(_SIDES))),
+    b_ix=st.sampled_from(range(len(_SIDES))),
+)
+def test_setop_parity(spark, op_ix, a_ix, b_ix):
+    """UNION / INTERSECT / EXCEPT fragments over projected key sets:
+    SQL set operators are DISTINCT semantics, so the Spark side pairs
+    union/intersect/subtract with the matching distinct-preserving
+    API calls — any row-set divergence is a real engine-parity bug
+    (keys are integers, no float noise possible)."""
+    sql_op = ["UNION", "INTERSECT", "EXCEPT"][op_ix]
+    a_sql, a_fn = _SIDES[a_ix]
+    b_sql, b_fn = _SIDES[b_ix]
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    a = a_fn(li).select("l_orderkey", "l_partkey")
+    b = b_fn(li).select("l_orderkey", "l_partkey")
+    if sql_op == "UNION":
+        got_df = a.union(b).distinct()
+    elif sql_op == "INTERSECT":
+        got_df = a.intersect(b)
+    else:
+        got_df = a.subtract(b)
+    got = sorted((r[0], r[1]) for r in got_df.collect())
+
+    sql = (
+        f"SELECT l_orderkey, l_partkey FROM lineitem WHERE {a_sql} "
+        f"{sql_op} "
+        f"SELECT l_orderkey, l_partkey FROM lineitem WHERE {b_sql}"
+    )
+    want = sorted(_duck(sql))
+    assert got == want, sql
