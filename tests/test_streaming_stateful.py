@@ -318,3 +318,57 @@ def test_stream_sessions_match_batch_sessionize(rocksdb, tmp_path_factory, raw):
         if r.user != "zz_clock"
     }
     assert got == ref
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    raw=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 7200)),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_dedup_ttl_matches_python_reference(rocksdb, tmp_path_factory, raw):
+    """Differential: event-time TTL dedup vs a pure-python reference
+    of the same rule (first event admits; ts - first < ttl
+    suppresses; ts - first >= ttl re-admits and restarts the window).
+    Deterministic under replay is the operator's contract — the
+    reference IS the replay."""
+    import time as _time
+
+    spark = rocksdb
+    ttl_s = 900
+    base = 1_700_000_000
+    events = sorted({(f"u{u}", base + off) for u, off in raw})
+
+    ref = set()
+    first: dict[str, int] = {}
+    for u, t in events:  # sorted by (user, ts): per-user ts order
+        if u not in first or t - first[u] >= ttl_s:
+            first[u] = t
+            ref.add((u, t))
+
+    tmp = tmp_path_factory.mktemp("ttldiff")
+    src, cp = str(tmp / "src"), str(tmp / "cp")
+    rows = [
+        {"user_id": u,
+         "ts": _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime(t)),
+         "value": 1.0}
+        for u, t in events
+    ]
+    _write(src, "a.json", rows)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        got_rows = _run(
+            spark, src, cp,
+            lambda s: dedup_ttl_gst(s, "user_id", ttl_ms=ttl_s * 1000),
+        )
+    finally:
+        spark.conf.unset("spark.sql.session.timeZone")
+    got = {(r.key, r.first_ts_ms // 1000) for r in got_rows}
+    assert got == ref
