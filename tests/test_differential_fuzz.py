@@ -303,3 +303,61 @@ def test_setop_parity(spark, op_ix, a_ix, b_ix):
     )
     want = sorted(_duck(sql))
     assert got == want, sql
+
+
+# ------------------------------------------- having + top-k order
+
+_HAVINGS = [
+    ("COUNT(*) > 50", lambda: F.count(F.lit(1)) > 50),
+    ("SUM(CAST(l_quantity AS BIGINT)) > 500",
+     lambda: F.sum(F.col("l_quantity").cast("bigint")) > 500),
+    ("COUNT(DISTINCT l_suppkey) >= 3",
+     lambda: F.countDistinct("l_suppkey") >= 3),
+]
+
+
+@settings(**SETTINGS)
+@given(
+    mod=st.sampled_from([7, 13, 29, 97]),
+    hav_ix=st.sampled_from(range(len(_HAVINGS))),
+    k=st.sampled_from([1, 5, 20]),
+)
+def test_having_topk_parity(spark, mod, hav_ix, k):
+    """Grouped aggregate -> HAVING -> total-order top-k: the rank is
+    made TOTAL (sum DESC, group key ASC) so LIMIT is deterministic in
+    both engines; all values integer-exact."""
+    hav_sql, _ = _HAVINGS[hav_ix]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    # the HAVING predicate references aggregate expressions, so the
+    # Spark side filters computed columns after the aggregation
+    agg = li.groupBy((F.col("l_partkey") % mod).alias("grp")).agg(
+        F.sum(F.expr(_CENTS)).cast("bigint").alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sq"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("nds"),
+    )
+    hav_col = [
+        F.col("n") > 50,
+        F.col("sq") > 500,
+        F.col("nds") >= 3,
+    ][hav_ix]
+    got = [
+        (r.grp, r.cents, r.n)
+        for r in agg.where(hav_col)
+        .orderBy(F.desc("cents"), "grp")
+        .select("grp", "cents", "n")
+        .limit(k)
+        .collect()
+    ]
+    sql = f"""
+    SELECT l_partkey % {mod} AS grp,
+           CAST(SUM({_CENTS}) AS BIGINT) AS cents,
+           COUNT(*)::BIGINT AS n
+    FROM lineitem
+    GROUP BY 1
+    HAVING {hav_sql}
+    ORDER BY cents DESC, grp
+    LIMIT {k}
+    """
+    want = [tuple(r) for r in _duck(sql)]
+    assert got == want, sql
