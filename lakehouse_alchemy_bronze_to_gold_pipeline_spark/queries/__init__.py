@@ -34,57 +34,19 @@ _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q, **_ADV_Q, **_DS_Q,
 # last-certified entries (r2, then r3).  tools/window_audit.py
 # recomputes the never-certified set for the next rotation.
 _PRIORITY = (
-    # never driver-certified (r5 verdict's mandated r6 window, all
-    # local-sweep green at FULL float precision): the 21 entries with
-    # no driver row in any of r1..r5
-    "sole_late_supplier", "pair_containment", "zipf_fit_report",
-    "tokenizer_fertility", "ann_hubness_report_sampled",
-    "weekly_stickiness", "bloom_semijoin_prune",
-    "cms_bigram_accuracy", "weighted_reservoir_sample",
-    "dow_seasonality", "ordered_funnel_3step",
-    "brand_label_propagation", "reach_kmv_accuracy",
-    "top_supplier_revenue", "nation_revenue_share",
-    "doc_cleaning_report", "holt_revenue_forecast",
-    "pit_feature_join", "ab_test_zscore",
-    "daily_revenue_autocorr", "referential_integrity_sweep",
-    # RE-certification: the r5 red cell, rewritten to exact integer
-    # lerp statistics (cent-scaled BIGINT num/den) this round
-    "gap_fill_interpolate",
-    # never driver-certified, round-6 additions (slots 23-31) — all
-    # local-sweep green at FULL float precision before queueing
-    "mg_heavy_hitters_fixed", "simhash_accuracy",
-    "embedding_whitening_fixed", "important_part_value",
-    "customer_order_distribution", "supplier_part_breadth",
-    "dormant_wealth_report", "matryoshka_overlap_report",
-    "perplexity_bucket_report",
-    # never driver-certified, round-6 continuation additions (slots
-    # 32-42): the HLL register twin + the ten TPC-H decision shapes —
-    # also full-precision green locally, so they enter the window NOW
-    # rather than waiting a round (every never-certified entry must
-    # sit inside the driver's first 50; tools/window_audit.py checks)
-    "reach_hll_relational", "min_cost_supplier",
-    "nation_volume_shipping", "nation_market_share",
-    "product_profit_by_nation", "returned_revenue_customers",
-    "shipping_delay_buckets", "promo_revenue_share",
-    "large_order_customers", "bracket_disjunction_revenue",
-    "excess_share_suppliers",
-    # this session's additions (never driver-certified, full-precision
-    # green locally before queueing): slots 43-50.  The registry now
-    # holds MORE never-certified entries than the window has slots,
-    # so the window is PACKED entirely with never-certified queries +
-    # the one mandated re-cert (gap_fill) — the r2-stale certified
-    # entries that used to fill the tail would waste driver slots and
-    # move beyond the boundary instead.
-    "quantile_digest_accuracy", "quantile_digest_grouped",
-    "dsir_importance_report", "feature_drift_report",
-    "revenue_anomaly_mad", "benford_digit_audit",
-    "part_kcore_profile", "rolling_reach_hll",
-    # ---- 50-slot window boundary ----
-    # never-certified overflow leads the r7 rotation, then the
-    # stalest-certified entries (r2, then r3)
+    # ---- r7 driver window (slots 1-50): mechanical staleness
+    # rotation per the r6 verdict.  The 2 never-driver-certified
+    # entries lead (added after the r6 window froze, both local-sweep
+    # green at full float precision), then the oldest-certified pool
+    # in (last-certified round, registry order): the 5 r2 entries,
+    # the 35 r3 entries, and the first 8 of the r4 pool.  Computed by
+    # sorted(names, key=(last_round, index)) over CORRECTNESS_r01..r06
+    # — tools/window_audit.py reproduces the ordering.
     "props_variant_stats", "pipe_syntax_flag_stats",
+    # r2-stale (slots 3-7)
     "customer_string_funcs", "event_date_spine", "order_metrics_melt",
     "orders_stratified_sample", "signup_purchase_funnel",
+    # r3-stale (slots 8-42)
     "minhash_neardup_md5", "dedup_clusters", "dedup_keep_canonical",
     "embedding_lsh_topk", "domain_mix_sample", "doc_pack_chunks",
     "doc_repetition_filter", "filter_attrition_report",
@@ -93,6 +55,40 @@ _PRIORITY = (
     "embedding_ivf_topk", "embedding_quantize_int8", "embedding_topk",
     "eval_contamination", "knn_join", "lang_id_confusion",
     "minhash_neardup", "simhash_bits_md5", "simhash_fingerprints",
+    "text_token_stats", "token_count_bpe", "embedding_neardup",
+    "ngram_jaccard_query", "multimodal_frames", "multimodal_features",
+    "multimodal_image_features", "multimodal_audio_features",
+    "training_corpus_prep", "tfidf_top_terms", "vocab_top_terms",
+    "terms_heavy_hitters",
+    # r4-stale head (slots 43-50)
+    "fact_sales", "dim_customer", "dim_part", "dq_violation_counts",
+    "dq_failing_rows", "orphan_orders", "orders_with_big_items",
+    "pricing_summary",
+    # ---- 50-slot window boundary ----
+    # r8 queue: the remaining 42 r4-certified entries, already in
+    # rotation order — by end of r8 no entry should be older than r4
+    # (r6 verdict task 4).  New queries added mid-round must be
+    # inserted ABOVE this queue but INSIDE the window (displacing the
+    # window's r4 tail down here) so a post-close driver artifact can
+    # never strand a never-certified entry outside the window.
+    "top_customers_per_segment", "revenue_rollup", "events_hourly",
+    "events_json_kv", "sessionize_events", "session_conversion_daily",
+    "dedup_events_keep_latest", "set_ops_customers",
+    "customer_running_spend", "order_priority_cube",
+    "returnflag_pivot", "segment_distinct_customers",
+    "asof_latest_order", "scd1_upsert", "brand_supplier_hhi",
+    "brand_cooccurrence_top", "order_backlog_daily",
+    "user_retention_cohorts", "price_percentiles",
+    "price_percentiles_approx", "revenue_grouping_sets",
+    "events_band_join", "late_shipment_orders",
+    "brand_small_quantity_revenue", "daily_activity",
+    "customer_recent_spend", "top_unshipped_orders",
+    "order_date_math", "token_array_ops", "orders_profile",
+    "events_window_fn", "asia_nation_revenue", "embedding_top_pairs",
+    "embedding_top_pairs_lsh", "embedding_neardup_lsh",
+    "snapshot_diff_orders", "scd2_customer_history",
+    "order_rank_functions", "price_histogram", "lineitem_moments",
+    "user_activity_streaks", "lineitem_hash_sample",
 )
 assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))
 

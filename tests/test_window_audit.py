@@ -25,12 +25,12 @@ def test_window_audit_smoke():
     text = out.stdout
     assert "registry entries" in text
     assert "never driver-certified" in text
-    # the continuation additions (still never-certified until the
-    # round-6 driver run) must sit INSIDE the 50-entry window
-    for name in ("min_cost_supplier", "reach_hll_relational"):
-        assert name in text, f"{name} missing from audit output"
     # healthy states: every never-certified entry inside the window
-    # ("window OK"), or more never-certified entries than slots with
-    # every slot spent on one ("window PACKED") — a WARNING means a
-    # certified entry occupies a slot a never-certified one needs
-    assert ("window OK" in text) or ("window PACKED" in text), text[-500:]
+    # ("window OK"), or every slot spent on a never-certified or
+    # latest-round-certified entry ("window PACKED" — the state a
+    # post-close driver artifact produces).  A WARNING means a
+    # STALE-certified entry occupies a slot a never-certified one
+    # needs: that is the only rotation defect, and it cannot be
+    # produced by a CORRECTNESS file landing after the builder's
+    # close (those rows are latest-round by definition).
+    assert ("window OK" in text) or ("window PACKED" in text), text[-800:]

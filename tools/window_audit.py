@@ -44,22 +44,29 @@ def main() -> None:
             print(f"  r{last_round[n]}  {n}")
     window = list(SPARK_QUERIES)[:50]
     overflow = [n for n in never if n not in window]
-    #: deliberate re-certifications of CHANGED queries occupy window
-    #: slots even though they have prior driver rows
-    recerts = {"gap_fill_interpolate"}
-    wasted = [
-        n for n in window if n in last_round and n not in recerts
+    max_round = max(last_round.values(), default=0)
+    #: a window slot is only WASTED if its occupant was certified in
+    #: a round BEFORE the newest artifact — an entry whose only row
+    #: is the latest round was a never-certified entry the driver
+    #: just consumed (the artifact lands in the tree after the
+    #: builder's close, so this state must read as healthy), and the
+    #: stale-rotation occupants are deliberate re-certifications the
+    #: moment no never-certified entry is stranded outside.
+    stale_in_window = [
+        n for n in window
+        if n in last_round and last_round[n] < max_round
     ]
-    if overflow and wasted:
+    if overflow and stale_in_window:
         print(f"\nWARNING: {len(overflow)} never-certified entries "
               f"are OUTSIDE the 50-entry driver window while "
-              f"{len(wasted)} already-certified entries occupy slots "
-              f"(displace these): {wasted}\noverflow: {overflow}")
+              f"{len(stale_in_window)} stale-certified entries occupy "
+              f"slots (displace these): {stale_in_window}\n"
+              f"overflow: {overflow}")
     elif overflow:
-        print(f"\nwindow PACKED: every slot is never-certified or a "
-              f"mandated re-cert; {len(overflow)} never-certified "
-              f"entries queue beyond the boundary as the next "
-              f"round's head: {overflow}")
+        print(f"\nwindow PACKED: every slot is never-certified or "
+              f"freshly r{max_round}-certified; {len(overflow)} "
+              f"never-certified entries queue beyond the boundary as "
+              f"the next round's head: {overflow}")
     else:
         print("\nwindow OK: every never-certified entry is inside "
               "the first 50")
