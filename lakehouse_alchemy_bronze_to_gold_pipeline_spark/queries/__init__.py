@@ -43,10 +43,14 @@ _PRIORITY = (
     # sorted(names, key=(last_round, index)) over CORRECTNESS_r01..r06
     # — tools/window_audit.py reproduces the ordering.
     "props_variant_stats", "pipe_syntax_flag_stats",
-    # r2-stale (slots 3-7)
+    # r7 addition (never-certified, inserted INSIDE the window per
+    # the policy below; displaces the r4 tail's pricing_summary to
+    # the r8 queue): the oracle-backed recall-readout twin
+    "ann_recall_exact_fixed",
+    # r2-stale (slots 4-8)
     "customer_string_funcs", "event_date_spine", "order_metrics_melt",
     "orders_stratified_sample", "signup_purchase_funnel",
-    # r3-stale (slots 8-42)
+    # r3-stale (slots 9-43)
     "minhash_neardup_md5", "dedup_clusters", "dedup_keep_canonical",
     "embedding_lsh_topk", "domain_mix_sample", "doc_pack_chunks",
     "doc_repetition_filter", "filter_attrition_report",
@@ -60,11 +64,11 @@ _PRIORITY = (
     "multimodal_image_features", "multimodal_audio_features",
     "training_corpus_prep", "tfidf_top_terms", "vocab_top_terms",
     "terms_heavy_hitters",
-    # r4-stale head (slots 43-50)
+    # r4-stale head (slots 44-50)
     "fact_sales", "dim_customer", "dim_part", "dq_violation_counts",
     "dq_failing_rows", "orphan_orders", "orders_with_big_items",
-    "pricing_summary",
     # ---- 50-slot window boundary ----
+    "pricing_summary",
     # r8 queue: the remaining 42 r4-certified entries, already in
     # rotation order — by end of r8 no entry should be older than r4
     # (r6 verdict task 4).  New queries added mid-round must be
@@ -98,11 +102,17 @@ SPARK_QUERIES.update({k: v for k, v in _ALL.items() if k not in SPARK_QUERIES})
 ORACLE_SQL = {**_LLM_SQL, **_CP_SQL, **_CORE_SQL, **_AN_SQL, **_BR_SQL,
               **_ADV_SQL, **_DS_SQL, **_DG_SQL, **_MA_SQL}
 
-#: O(n^2) correctness baselines kept ONLY as small-sf oracle
-#: cross-checks for their LSH-bucketed scale twins
-#: (``embedding_top_pairs_lsh`` / ``embedding_neardup_lsh``).  The
-#: bench skips them: a cartesian self-join is never the plan we'd run
-#: at 100 TB, so timing it misrepresents the engine's headline path.
-BENCH_EXCLUDE = frozenset({"embedding_top_pairs", "embedding_neardup"})
+#: Exact small-sf correctness baselines kept ONLY as oracle
+#: cross-checks for their bucketed/indexed scale twins: the O(n^2)
+#: pair baselines behind ``embedding_top_pairs_lsh`` /
+#: ``embedding_neardup_lsh``, and the exact-kNN-ground-truth recall
+#: readouts (``ann_recall_report`` + its deterministic oracle twin)
+#: whose component index paths are benched as their own entries.
+#: The bench skips them: an exact corpus-wide scan is never the plan
+#: we'd run at 100 TB, so timing it misrepresents the headline path.
+BENCH_EXCLUDE = frozenset({
+    "embedding_top_pairs", "embedding_neardup",
+    "ann_recall_report", "ann_recall_exact_fixed",
+})
 
 __all__ = ["SPARK_QUERIES", "ORACLE_SQL", "BENCH_EXCLUDE"]

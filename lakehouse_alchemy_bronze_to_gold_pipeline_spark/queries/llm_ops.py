@@ -559,13 +559,10 @@ def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk_banded(emb, queries, k=5, **_LSH_TOPK)
 
 
-def sql_embedding_lsh_topk() -> str:
-    """DuckDB twin of the BANDED probe: per-band sign-bit signatures
-    as CASE sums over the seeded hyperplane literals, OR-of-bands
-    candidate join (DISTINCT on the pair), exact cosine rerank +
-    row_number cut.  Same construction as
-    ``analytics._sql_lsh_pairs``; determinism makes the approximate
-    operator value-checkable."""
+def _lsh_sigs_union_sql() -> str:
+    """The ``sigs`` CTE body shared by the LSH oracles: per-band
+    sign-bit signatures as CASE sums over the seeded hyperplane
+    literals (one SELECT per band, UNION ALL)."""
     from ..operators.similarity import band_hyperplanes
 
     p = _LSH_TOPK
@@ -584,7 +581,17 @@ def sql_embedding_lsh_topk() -> str:
             f"SELECT vec_id, v, {b} AS band,\n"
             f"  CAST({sig} AS BIGINT) AS sig\nFROM v"
         )
-    union = "\nUNION ALL\n".join(bands)
+    return "\nUNION ALL\n".join(bands)
+
+
+def sql_embedding_lsh_topk() -> str:
+    """DuckDB twin of the BANDED probe: per-band sign-bit signatures
+    as CASE sums over the seeded hyperplane literals, OR-of-bands
+    candidate join (DISTINCT on the pair), exact cosine rerank +
+    row_number cut.  Same construction as
+    ``analytics._sql_lsh_pairs``; determinism makes the approximate
+    operator value-checkable."""
+    union = _lsh_sigs_union_sql()
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 sigs AS ({union}),
@@ -654,6 +661,16 @@ def q_embedding_ivf_topk_fixed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ivf_cents_values_sql() -> str:
+    """The fixed-centroid VALUES rows shared by the fixed-IVF
+    oracles: one ``(list_id, [64 double literals])`` row per head."""
+    cents = _ivf_fixed_centroids()
+    return ",\n  ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+
+
 def sql_embedding_ivf_topk_fixed() -> str:
     """DuckDB twin of ``q_embedding_ivf_topk_fixed``: the fixed
     centroids as list literals, nearest-list assignment and n_probe=4
@@ -661,11 +678,7 @@ def sql_embedding_ivf_topk_fixed() -> str:
     (ties by larger list_id, matching the reversed array_sort in
     ``operators.ivf._nearest_lists``), exact cosine rerank with the
     fold formula that hash-matches at 6 dp in SQL_EMBEDDING_TOPK."""
-    cents = _ivf_fixed_centroids()
-    rows = ",\n  ".join(
-        f"({i}, [{', '.join(repr(float(x)) for x in c)}])"
-        for i, c in enumerate(cents)
-    )
+    rows = _ivf_cents_values_sql()
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents(list_id, cv) AS (VALUES
@@ -2743,7 +2756,13 @@ def q_ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: ground truth is the broadcast-bounded ``knn_join`` (20
     queries, corpus-side scan); each index runs its own documented
-    scale path; the compare is a tiny join on (query, neighbor)."""
+    scale path; the compare is a tiny join on (query, neighbor).
+
+    BENCH_EXCLUDEd (r6 verdict task 2a): the exact ground truth
+    dominates the runtime and is never the plan at 100 TB — the four
+    index paths are benched as their own registry entries, and the
+    recall READOUT itself is value-certified by the deterministic
+    ``ann_recall_exact_fixed`` twin."""
     from ..operators.ivf import ivf_topk
     from ..operators.pq import pq_topk, pq_topk_refined, pq_train
 
@@ -2790,6 +2809,166 @@ def q_ann_recall_report(spark: SparkSession, sf: str) -> DataFrame:
         )
         out = rep if out is None else out.unionByName(rep)
     return out.orderBy("method")
+
+
+def q_ann_recall_exact_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-backed twin of the ``ann_recall_report`` READOUT: the
+    recall@5 intersect-join + per-query aggregation, run over the two
+    fully deterministic index paths — fixed-centroid IVF (n_probe=4,
+    the ``embedding_ivf_topk_fixed`` heads) and the seeded banded
+    hyperplane LSH — against the exact knn ground truth for the SAME
+    20 query vectors.  Emitted as EXACT integer sufficient statistics
+    (hits / expected / recall as ppm by integer division) so the
+    readout gets a value-level driver hash; the trained variants stay
+    rows-only in ``ann_recall_report`` (the ``_fixed`` pattern, sixth
+    application).
+
+    Scale: ground truth is the broadcast-bounded ``knn_join`` (20
+    query rows against the corpus scan); the compare is a tiny join
+    on (query, neighbor).  BENCH_EXCLUDEd alongside the other exact
+    small-sf baselines: exact kNN over the corpus is never the 100 TB
+    plan, and the index paths this certifies are benched as their own
+    registry entries (``embedding_lsh_topk``,
+    ``embedding_ivf_topk_fixed``)."""
+    from ..operators.ivf import ivf_topk
+    from ..operators.similarity import lsh_topk_banded
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    k = 5
+    exact = knn_join(queries, emb, k=k).select("query_id", "neighbor_id")
+    methods = {
+        "ivf_fixed": ivf_topk(
+            emb, queries, k=k, n_probe=4, centroids=_ivf_fixed_centroids()
+        ),
+        "lsh": lsh_topk_banded(emb, queries, k=k, **_LSH_TOPK),
+    }
+    out = None
+    for name, approx in methods.items():
+        inter = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        base = exact.agg(
+            F.count_distinct("query_id").cast("bigint").alias("n_queries"),
+            F.count(F.lit(1)).cast("bigint").alias("n_expected"),
+        )
+        hits = inter.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        rep = base.crossJoin(hits).select(
+            F.lit(name).alias("method"),
+            "n_queries",
+            "n_hits",
+            "n_expected",
+            F.expr("(1000000 * n_hits) div n_expected").alias("recall_ppm"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("method")
+
+
+def sql_ann_recall_exact_fixed() -> str:
+    """DuckDB twin of ``q_ann_recall_exact_fixed``: exact top-5 per
+    query (the SQL_KNN_JOIN construction at 20 queries), the fixed-IVF
+    probe/rerank (``sql_embedding_ivf_topk_fixed`` construction) and
+    the banded-LSH probe (``sql_embedding_lsh_topk`` construction),
+    then the integer recall readout per method."""
+    cents_rows = _ivf_cents_values_sql()
+    sigs_union = _lsh_sigs_union_sql()
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 20),
+exact_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_raw
+  FROM v e CROSS JOIN q
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM exact_scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY ROUND(cos_raw, 12) DESC,
+                                      neighbor_id) <= 5
+),
+cents(list_id, cv) AS (VALUES
+  {cents_rows}
+),
+dots AS (
+  SELECT v.vec_id, v.v, c.list_id,
+         list_dot_product(v.v, c.cv) AS dot
+  FROM v CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, v, list_id FROM dots
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY dot DESC, list_id DESC) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, list_id FROM dots
+  WHERE vec_id < 20
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY dot DESC, list_id DESC) <= 4
+),
+ivf_scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(p.qv, a.v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos_raw
+  FROM probes p JOIN assigned a ON p.list_id = a.list_id
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM ivf_scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY ROUND(cos_raw, 12) DESC,
+                                      neighbor_id) <= 5
+),
+sigs AS ({sigs_union}),
+cand AS (
+  SELECT DISTINCT s.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs s
+  JOIN sigs c ON s.band = c.band AND s.sig = c.sig
+  WHERE s.vec_id < 20
+),
+lsh_scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(list_zip(qq.v, cc.v), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(qq.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(cc.v, x -> x * x)))) AS cos_raw
+  FROM cand
+  JOIN v qq ON qq.vec_id = cand.query_id
+  JOIN v cc ON cc.vec_id = cand.neighbor_id
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM lsh_scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY ROUND(cos_raw, 12) DESC,
+                                      neighbor_id) <= 5
+),
+base AS (
+  SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         CAST(COUNT(*) AS BIGINT) AS n_expected
+  FROM exact
+),
+ivf_hits AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact JOIN ivf USING (query_id, neighbor_id)
+),
+lsh_hits AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM exact JOIN lsh USING (query_id, neighbor_id)
+)
+SELECT method, n_queries, n_hits, n_expected,
+       CAST((1000000 * n_hits) // n_expected AS BIGINT) AS recall_ppm
+FROM (
+  SELECT 'ivf_fixed' AS method, b.n_queries, h.n_hits, b.n_expected
+  FROM base b, ivf_hits h
+  UNION ALL
+  SELECT 'lsh' AS method, b.n_queries, h.n_hits, b.n_expected
+  FROM base b, lsh_hits h
+)
+ORDER BY method
+"""
 
 
 def q_bpe_train_report(spark: SparkSession, sf: str) -> DataFrame:
@@ -3947,6 +4126,7 @@ SPARK_QUERIES = {
     "context_budget_report": q_context_budget_report,
     "bpe_train_report": q_bpe_train_report,
     "ann_recall_report": q_ann_recall_report,
+    "ann_recall_exact_fixed": q_ann_recall_exact_fixed,
     "ngram_novelty": q_ngram_novelty,
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "media_triage_report": q_media_triage_report,
@@ -4049,6 +4229,7 @@ ORACLE_SQL = {
     "source_dup_matrix": SQL_SOURCE_DUP_MATRIX,
     "embedding_lsh_topk": sql_embedding_lsh_topk(),
     "embedding_ivf_topk_fixed": sql_embedding_ivf_topk_fixed(),
+    "ann_recall_exact_fixed": sql_ann_recall_exact_fixed(),
     "embedding_kmeans_profile_fixed": sql_embedding_kmeans_profile_fixed(),
     "embedding_pq_topk_fixed": sql_embedding_pq_topk_fixed(),
     "source_weighted_median_quality": SQL_SOURCE_WEIGHTED_MEDIAN_QUALITY,

@@ -64,6 +64,9 @@ _WINDOW_OK = {"order_backlog_daily", "vocab_top_terms",
 #: excluded from the bench for the same reason
 _CARTESIAN_OK = {"embedding_top_pairs", "embedding_neardup", "knn_join",
                  "embedding_topk", "ann_recall_report",
+                 # same bounded-broadcast knn ground truth + 1-row
+                 # aggregate join-backs (BENCH_EXCLUDEd baseline)
+                 "ann_recall_exact_fixed",
                  "ngram_jaccard_query",
                  # |sample| x |corpus| broadcast knn by contract
                  # (knn_join's bounded-query-side guard applies)
@@ -88,6 +91,9 @@ _DEEP_OK = {"brand_pagerank", "dedup_clusters", "dedup_keep_canonical",
             "embedding_kmeans_profile", "bpe_train_report",
             "training_corpus_prep", "source_dup_matrix",
             "ann_recall_report", "brand_triangles",
+            # exact ground truth + 2 deterministic indexes + integer
+            # readout: deliberately multi-stage composite
+            "ann_recall_exact_fixed",
             # 4 unrolled LPA rounds: join + vote groupBy + rank per
             # round by construction (same class as pagerank)
             "brand_label_propagation",
