@@ -319,16 +319,52 @@ def qdigest_intervals(
     )
 
 
-def qdigest_quantiles(nodes: DataFrame, bits: int, pcts=(50,)) -> DataFrame:
-    """(q_pct, est_bucket) quantile readout from a digest: order
-    nodes by interval upper bound, cumulative-sum counts, and take
-    the first node covering each target rank (nodes past the target
-    form a suffix of the order, so MIN(hi) over them is that node's
-    upper bound — one bounded window, no per-quantile sort)."""
+def qdigest_quantiles(
+    nodes: DataFrame, bits: int, pcts=(50,), keys=()
+) -> DataFrame:
+    """(*keys, q_pct, est_bucket) quantile readout from a digest:
+    order nodes by interval upper bound, cumulative-sum counts, and
+    take the first node covering each target rank (nodes past the
+    target form a suffix of the order, so MIN(hi) over them is that
+    node's upper bound — one bounded window, no per-quantile sort).
+
+    With ``keys`` every group reads from its own digest alone: the
+    cumsum window is key-partitioned, targets come from per-group
+    totals, and the theta-join spine is |pcts| x |groups| rows.  The
+    global form keeps its unpartitioned window — the digest relation
+    is universe-bounded (<= sigma_frac + bits rows) by construction."""
     spark = nodes.sparkSession
     from pyspark.sql import Window
 
-    iv = qdigest_intervals(nodes, bits)
+    keys = tuple(keys)
+    iv = qdigest_intervals(nodes, bits, keys=keys)
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("hi", "id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = iv.select(*keys, "hi", "id", F.sum("cnt").over(w).alias("cum"))
+        tot = nodes.groupBy(*keys).agg(F.sum("cnt").alias("n"))
+        qs = (
+            spark.createDataFrame([(int(p),) for p in pcts], "q_pct int")
+            .crossJoin(tot)
+            .select(
+                *keys,
+                "q_pct",
+                F.expr("(q_pct * n + 99) DIV 100").alias("target"),
+            )
+        )
+        cum2 = cum
+        for k in keys:
+            cum2 = cum2.withColumnRenamed(k, f"__{k}")
+        cond = F.col("cum") >= F.col("target")
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__{k}"))
+        return (
+            qs.join(cum2, cond)
+            .groupBy(*keys, "q_pct")
+            .agg(F.min("hi").alias("est_bucket"))
+            .orderBy(*keys, "q_pct")
+        )
     w = Window.orderBy("hi", "id").rowsBetween(
         Window.unboundedPreceding, 0
     )

@@ -286,6 +286,7 @@ def merge_qdigest_batch(
     bucket_col: str,
     bits: int = 14,
     sigma_frac: int = 1024,
+    keys=(),
 ) -> None:
     """Merge one batch into a stored q-digest (quantile sketch) —
     the fourth mergeable rollup next to CMS (cell SUM), KMV (k-min)
@@ -296,19 +297,30 @@ def merge_qdigest_batch(
     bits rows forever while the freeze threshold tracks the mass
     streamed so far.
 
+    ``keys`` maintains one INDEPENDENT digest per key group — the
+    grouped form that matches the per-group KMV/HLL rollups: sigma is
+    recomputed from each group's OWN merged mass (a key-partitioned
+    groupBy, joined back without a broadcast hint so the plan holds
+    at |groups| scale — AQE broadcasts when the totals are small),
+    the compression rounds hash-partition by (keys, id), and state is
+    |groups| x (sigma_frac + bits) rows.
+
     Unlike the other three, maintenance is NOT bit-identical to a
     one-shot build (compression order moves counts up the tree
-    differently); what IS exact is mass conservation, and rank-query
-    uncertainty adds across merge passes (<= 2*sigma_pass*bits per
-    pass — the q-digest merge property, public literature), which
-    the pytest measures against exact quantiles of the full union.
+    differently); what IS exact is mass conservation (per group), and
+    rank-query uncertainty adds across merge passes (<= 2*sigma_pass*
+    bits per pass — the q-digest merge property, public literature),
+    which the pytest measures against exact quantiles of the full
+    union, per group.
     """
     from ..operators.sketch import qdigest_compress
 
+    keys = tuple(keys)
     spark = batch.sparkSession
     u = 1 << bits
     fresh = (
         batch.select(
+            *keys,
             (
                 F.lit(u)
                 + F.least(
@@ -317,28 +329,29 @@ def merge_qdigest_batch(
                 )
             )
             .cast("bigint")
-            .alias("id")
+            .alias("id"),
         )
-        .groupBy("id")
+        .groupBy(*keys, "id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     if spark.catalog.tableExists(table):
         fresh = (
             io.read(table)
-            .select("id", "cnt")
+            .select(*keys, "id", "cnt")
             .unionByName(fresh)
-            .groupBy("id")
+            .groupBy(*keys, "id")
             .agg(F.sum("cnt").alias("cnt"))
         )
-    tot = fresh.agg(
-        F.greatest(
-            F.lit(1).cast("bigint"),
-            F.expr(f"sum(cnt) DIV {sigma_frac}"),
-        ).alias("sigma")
-    )
-    merged = qdigest_compress(
-        fresh.crossJoin(F.broadcast(tot)), bits
-    )
+    sigma = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.expr(f"sum(cnt) DIV {sigma_frac}"),
+    ).alias("sigma")
+    if keys:
+        tots = fresh.groupBy(*keys).agg(sigma)
+        leaves = fresh.join(tots, list(keys))
+    else:
+        leaves = fresh.crossJoin(F.broadcast(fresh.agg(sigma)))
+    merged = qdigest_compress(leaves, bits, keys=keys)
     _replace_table(spark, io, f"{table}__qd_tmp", merged, table)
 
 
@@ -350,16 +363,19 @@ def streaming_qdigest(
     checkpoint: str,
     bits: int = 14,
     sigma_frac: int = 1024,
+    keys=(),
 ):
     """writeStream maintaining ``table`` as a q-digest of every value
     ever streamed — bounded state, any-time quantile reads via
-    ``operators.sketch.qdigest_quantiles``."""
+    ``operators.sketch.qdigest_quantiles``.  ``keys`` maintains one
+    independent digest per key group (pass the same ``keys`` to the
+    quantile readout)."""
 
     def _merge(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
         merge_qdigest_batch(
-            batch, io, table, bucket_col, bits, sigma_frac
+            batch, io, table, bucket_col, bits, sigma_frac, keys
         )
 
     return (

@@ -22,7 +22,13 @@ from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.sketch_rollup imp
     streaming_qdigest,
 )
 
+from pyspark.sql.types import StringType
+
 SCHEMA = StructType([StructField("bucket", IntegerType())])
+GSCHEMA = StructType([
+    StructField("grp", StringType()),
+    StructField("bucket", IntegerType()),
+])
 BITS = 8
 U = 1 << BITS
 SIGMA_FRAC = 64
@@ -92,3 +98,110 @@ def test_streaming_qdigest_two_runs(spark, tmp_path):
         n_lt = cum[est - 1] if est > 0 else 0
         err = max(0, target - n_le, n_lt + 1 - target)
         assert err <= 2 * 2 * sigma * BITS, (q_pct, est, err)
+
+
+def _write_grouped(dirpath, name, rows):
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for g, v in rows:
+            f.write(json.dumps({"grp": g, "bucket": int(v)}) + "\n")
+
+
+def test_streaming_qdigest_grouped_two_runs(spark, tmp_path):
+    """Grouped twin of the rollup above: one INDEPENDENT digest per
+    key, per-group sigma from each group's own streamed mass.  Two
+    checkpointed runs with different per-group distributions must
+    conserve each group's mass exactly, bound each group's state, and
+    answer each group's quantiles within that group's accumulated
+    merge error bound — the same per-group contract as the KMV/HLL
+    rollups."""
+    import collections
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.sketch_rollup import (  # noqa: E501
+        merge_qdigest_batch,
+    )
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("qd_stream_grouped",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    io = TableIO(spark, fmt="parquet")
+    src, cp = str(tmp_path / "gsrc"), str(tmp_path / "gcp")
+
+    rng = random.Random(11)
+    # group "u": uniform; group "g": gaussian — different shapes so a
+    # cross-group state or sigma leak would move a quantile visibly
+    batch1 = [("u", rng.randint(0, U - 1)) for _ in range(3000)] + [
+        ("g", min(U - 1, int(abs(rng.gauss(40, 15))))) for _ in range(1500)
+    ]
+    batch2 = [("u", rng.randint(0, U - 1)) for _ in range(1000)] + [
+        ("g", min(U - 1, int(abs(rng.gauss(180, 25))))) for _ in range(2500)
+    ]
+
+    def run():
+        stream = spark.readStream.schema(GSCHEMA).json(src)
+        q = streaming_qdigest(
+            stream, io, "qd_stream_grouped", "bucket", cp,
+            bits=BITS, sigma_frac=SIGMA_FRAC, keys=("grp",),
+        ).start()
+        q.awaitTermination(120)
+
+    _write_grouped(src, "b1.json", batch1)
+    run()
+    _write_grouped(src, "b2.json", batch2)
+    run()  # checkpoint: b1 not re-counted
+
+    nodes = io.read("qd_stream_grouped")
+    rows = nodes.collect()
+    streamed = collections.defaultdict(list)
+    for g, v in batch1 + batch2:
+        streamed[g].append(v)
+    # per-group mass conservation is EXACT across merges
+    mass = collections.Counter()
+    state = collections.Counter()
+    for r in rows:
+        mass[r.grp] += r.cnt
+        state[r.grp] += 1
+    assert set(mass) == {"u", "g"}
+    for g, vals in streamed.items():
+        assert mass[g] == len(vals), g
+        # bounded state PER GROUP regardless of history
+        assert state[g] <= SIGMA_FRAC + BITS + 1, g
+
+    got = collections.defaultdict(dict)
+    for r in qdigest_quantiles(
+        nodes, BITS, pcts=(10, 50, 90), keys=("grp",)
+    ).collect():
+        got[r.grp][r.q_pct] = r.est_bucket
+    for g, vals in streamed.items():
+        n = len(vals)
+        sigma = max(1, n // SIGMA_FRAC)
+        counts = collections.Counter(vals)
+        cum, run_total = {}, 0
+        for b in range(U):
+            run_total += counts.get(b, 0)
+            cum[b] = run_total
+        for q_pct, est in got[g].items():
+            target = (q_pct * n + 99) // 100
+            n_le = cum[min(est, U - 1)]
+            n_lt = cum[est - 1] if est > 0 else 0
+            err = max(0, target - n_le, n_lt + 1 - target)
+            assert err <= 2 * 2 * sigma * BITS, (g, q_pct, est, err)
+
+    # third merge through the batch-level API: still exact per-group
+    # mass and bounded state (the path a foreachBatch clone exercises)
+    extra = spark.createDataFrame(
+        [("u", 5)] * 40 + [("g", 200)] * 60, GSCHEMA
+    )
+    merge_qdigest_batch(
+        extra, io, "qd_stream_grouped", "bucket",
+        bits=BITS, sigma_frac=SIGMA_FRAC, keys=("grp",),
+    )
+    rows3 = io.read("qd_stream_grouped").collect()
+    mass3 = collections.Counter()
+    for r in rows3:
+        mass3[r.grp] += r.cnt
+    assert mass3["u"] == len(streamed["u"]) + 40
+    assert mass3["g"] == len(streamed["g"]) + 60
