@@ -305,6 +305,230 @@ def test_setop_parity(spark, op_ix, a_ix, b_ix):
     assert got == want, sql
 
 
+# ------------------------------------------------------ join types
+
+#: (duckdb join keyword, spark how) — every join family the engine
+#: exposes, probed over the same orders⋈lineitem pair
+_JTYPES = [
+    ("JOIN", "inner"),
+    ("LEFT JOIN", "left"),
+    ("RIGHT JOIN", "right"),
+    ("FULL JOIN", "full"),
+    ("SEMI JOIN", "left_semi"),
+    ("ANTI JOIN", "left_anti"),
+]
+
+#: (duckdb on-clause, spark condition builder) — the natural FK key
+#: and a deliberately many-to-many residue key (multi-match rows per
+#: key probe duplicate-expansion parity)
+_JKEYS = [
+    (
+        "l.l_orderkey = o.o_orderkey",
+        lambda li, o: li["l_orderkey"] == o["o_orderkey"],
+    ),
+    (
+        "l.l_orderkey % 97 = o.o_orderkey % 97",
+        lambda li, o: li["l_orderkey"] % 97 == o["o_orderkey"] % 97,
+    ),
+]
+
+_LPREDS = [None, "l_quantity <= 10", "l_partkey % 3 = 0"]
+_OPREDS = [None, "o_orderstatus = 'F'", "o_custkey % 2 = 1"]
+
+
+@settings(**SETTINGS)
+@given(
+    jt_ix=st.sampled_from(range(len(_JTYPES))),
+    key_ix=st.sampled_from(range(len(_JKEYS))),
+    lp_ix=st.sampled_from(range(len(_LPREDS))),
+    op_ix=st.sampled_from(range(len(_OPREDS))),
+)
+def test_join_type_parity(spark, jt_ix, key_ix, lp_ix, op_ix):
+    """(join type x key shape x side predicates) over orders⋈lineitem:
+    inner/left/right/full/semi/anti, FK key and many-to-many residue
+    key, predicates applied PRE-join on each side so outer-join null
+    semantics are unambiguous.  Readout is integer-exact aggregates
+    with NULL-coalescing sentinels so outer-null rows count
+    distinctly — any divergence is a join-semantics bug."""
+    duck_kw, spark_how = _JTYPES[jt_ix]
+    on_sql, on_fn = _JKEYS[key_ix]
+    lp, op = _LPREDS[lp_ix], _OPREDS[op_ix]
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    if lp:
+        li = li.where(lp)
+    if op:
+        o = o.where(op)
+    joined = li.join(o, on_fn(li, o), spark_how)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.coalesce(F.col("l_quantity").cast("bigint"), F.lit(-7))
+        ).cast("bigint").alias("sum_l"),
+    ]
+    sel = [
+        "COUNT(*)::BIGINT AS n_rows",
+        "CAST(SUM(COALESCE(CAST(l_quantity AS BIGINT), -7)) AS BIGINT)"
+        " AS sum_l",
+    ]
+    if spark_how not in ("left_semi", "left_anti"):
+        aggs.append(
+            F.sum(F.coalesce(F.col("o_custkey"), F.lit(-13)))
+            .cast("bigint")
+            .alias("sum_o")
+        )
+        sel.append(
+            "CAST(SUM(COALESCE(o_custkey, -13)) AS BIGINT) AS sum_o"
+        )
+    got = tuple(joined.agg(*aggs).collect()[0])
+
+    lsrc = f"(SELECT * FROM lineitem WHERE {lp or 'TRUE'}) l"
+    osrc = f"(SELECT * FROM orders WHERE {op or 'TRUE'}) o"
+    sql = (
+        f"SELECT {', '.join(sel)} FROM {lsrc} {duck_kw} {osrc} "
+        f"ON {on_sql}"
+    )
+    want = _duck(sql)[0]
+    assert got == want, f"join fragment diverged\nSQL: {sql}"
+
+
+# ---------------------------------------------------- window frames
+
+#: (duckdb order+frame clause, spark frame builder) — ROWS frames
+#: order on the unique (orderkey, linenumber) pair so offsets are
+#: deterministic; RANGE frames order on the single numeric qty where
+#: tied peers enter the frame together in both engines by definition
+_FRAMES = [
+    (
+        "ORDER BY l_orderkey, l_linenumber "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        lambda W, p: W.partitionBy(*p)
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow),
+    ),
+    (
+        "ORDER BY l_orderkey, l_linenumber "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+        lambda W, p: W.partitionBy(*p)
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(-2, 0),
+    ),
+    (
+        "ORDER BY l_orderkey, l_linenumber "
+        "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+        lambda W, p: W.partitionBy(*p)
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(-1, 1),
+    ),
+    (
+        "ORDER BY l_orderkey, l_linenumber "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        lambda W, p: W.partitionBy(*p)
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(W.currentRow, W.unboundedFollowing),
+    ),
+    (
+        "ORDER BY qty "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        lambda W, p: W.partitionBy(*p)
+        .orderBy("qty")
+        .rangeBetween(W.unboundedPreceding, W.currentRow),
+    ),
+    (
+        "ORDER BY qty RANGE BETWEEN 5 PRECEDING AND CURRENT ROW",
+        lambda W, p: W.partitionBy(*p).orderBy("qty").rangeBetween(-5, 0),
+    ),
+    (
+        "ORDER BY qty RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING",
+        lambda W, p: W.partitionBy(*p).orderBy("qty").rangeBetween(-3, 3),
+    ),
+]
+
+_FRAME_FUNCS = [
+    (
+        "fsum",
+        lambda w: F.sum("qty").over(w).cast("bigint"),
+        "CAST(SUM(qty) OVER w AS BIGINT)",
+    ),
+    (
+        "fcnt",
+        lambda w: F.count(F.lit(1)).over(w).cast("bigint"),
+        "CAST(COUNT(*) OVER w AS BIGINT)",
+    ),
+    (
+        "fmin",
+        lambda w: F.min("pk").over(w).cast("bigint"),
+        "CAST(MIN(pk) OVER w AS BIGINT)",
+    ),
+    (
+        "fmax",
+        lambda w: F.max("sk").over(w).cast("bigint"),
+        "CAST(MAX(sk) OVER w AS BIGINT)",
+    ),
+]
+
+
+@settings(**SETTINGS)
+@given(
+    frame_ix=st.sampled_from(range(len(_FRAMES))),
+    part_ix=st.sampled_from(range(len(WIN_PARTS))),
+    fn_ix=st.lists(
+        st.sampled_from(range(len(_FRAME_FUNCS))),
+        min_size=1,
+        max_size=2,
+        unique=True,
+    ),
+)
+def test_window_frame_parity(spark, frame_ix, part_ix, fn_ix):
+    """(frame x partition x aggregate) over the deduped base
+    relation: ROWS offsets on a total order, RANGE offsets on a
+    numeric key where peers are frame-mates by definition — the
+    frame-boundary arithmetic (inclusive bounds, peer groups,
+    unbounded ends) checked value-for-value on integer columns."""
+    from pyspark.sql import Window
+
+    frame_sql, frame_fn = _FRAMES[frame_ix]
+    parts = WIN_PARTS[part_ix]
+    fns = [_FRAME_FUNCS[i] for i in sorted(fn_ix)]
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.min("l_partkey").alias("pk"),
+        F.min("l_suppkey").alias("sk"),
+        F.min(F.col("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("qty"),
+        F.min("l_returnflag").alias("rf"),
+        F.min("l_linestatus").alias("ls"),
+    )
+    w = frame_fn(Window, parts)
+    got = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[fn(w).alias(name) for name, fn, _ in fns],
+    ).collect()
+
+    over = f"(PARTITION BY {', '.join(parts)} {frame_sql})"
+    sel = ", ".join(
+        f"{sql.replace('OVER w', 'OVER ' + over)} AS {name}"
+        for name, _, sql in fns
+    )
+    want = _duck(
+        f"WITH base AS ({_BASE_SQL}) "
+        f"SELECT l_orderkey, l_linenumber, {sel} FROM base"
+    )
+
+    cols = ["l_orderkey", "l_linenumber"] + [n for n, _, _ in fns]
+    got_t = sorted(tuple(r[c] for c in cols) for r in got)
+    want_t = sorted(tuple(r) for r in want)
+    diff = [(a, b) for a, b in zip(got_t, want_t) if a != b][:5]
+    assert got_t == want_t, (
+        f"frame fragment diverged: {over} {sel}\nfirst diffs "
+        f"(spark, duckdb): {diff}"
+    )
+
+
 # ------------------------------------------- having + top-k order
 
 _HAVINGS = [
