@@ -136,6 +136,180 @@ def test_starting_version_skips_history(spark, tmp_path):
     assert sorted(x[0] for x in out) == [3, 4]
 
 
+def _ext_commit(log, v, actions):
+    import json
+    import os
+
+    with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _ext_add(rel, lo, hi, n):
+    import json
+
+    return {
+        "add": {
+            "path": rel,
+            "partitionValues": {},
+            "size": 512,
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+            "stats": json.dumps(
+                {
+                    "numRecords": n,
+                    "minValues": {"id": lo},
+                    "maxValues": {"id": hi},
+                }
+            ),
+        }
+    }
+
+
+def test_external_writer_fixture_cdc(spark, tmp_path):
+    """CDC over a _delta_log written BY HAND in the shapes an
+    external writer (delta-rs) produces — never touched by
+    DeltaLogTable.write: commitInfo timestamps deliberately
+    NON-MONOTONIC across versions (wall clocks of different writers),
+    a checkpoint parquet + _last_checkpoint landing MID-stream, and
+    log retention truncating the pre-checkpoint JSON head.  Offsets
+    are commit VERSIONS, so replay must be identical regardless of
+    the timestamps; the mid-stream checkpoint must not perturb
+    offsets, and must carry batch reads + stats skipping after the
+    head is gone."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    register(spark)
+    path = str(tmp_path / "ext")
+    log = os.path.join(path, "_delta_log")
+    os.makedirs(log)
+
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {},
+                }
+            ],
+        }
+    )
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = {
+        "id": "11111111-2222-3333-4444-555555555555",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_str,
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 1700000000000,
+    }
+
+    def _data(name, ids):
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64())}),
+            os.path.join(path, name),
+        )
+
+    for i in range(4):
+        _data(f"part-{i:05d}.parquet", [2 * i, 2 * i + 1])
+
+    def _ci(ts):
+        return {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "WRITE",
+                "engineInfo": "delta-rs.0.17.0",
+            }
+        }
+
+    # timestamps: v0 NEWEST, then 1000 < 3000 < 2000 — thoroughly
+    # out of order; versions are the only ordering that matters
+    _ext_commit(log, 0, [_ci(1700000005000), {"protocol": proto},
+                         {"metaData": meta},
+                         _ext_add("part-00000.parquet", 0, 1, 2)])
+    _ext_commit(log, 1, [_ci(1700000001000),
+                         _ext_add("part-00001.parquet", 2, 3, 2)])
+    _ext_commit(log, 2, [_ci(1700000003000),
+                         _ext_add("part-00002.parquet", 4, 5, 2)])
+
+    # hand-built checkpoint AT v2 (protocol checkpoint schema: one
+    # action per row, empty structs stored as null)
+    def _nz(obj):
+        if isinstance(obj, dict):
+            out = {k: _nz(v) for k, v in obj.items()}
+            return out or None
+        return obj
+
+    cp_rows = [{"protocol": proto}, {"metaData": _nz(meta)}] + [
+        {"add": _nz(_ext_add(f"part-{i:05d}.parquet",
+                             2 * i, 2 * i + 1, 2)["add"])}
+        for i in range(3)
+    ]
+    cols = ("protocol", "metaData", "txn", "add", "remove")
+    pq.write_table(
+        pa.Table.from_pylist([{c: r.get(c) for c in cols} for r in cp_rows]),
+        os.path.join(log, f"{2:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 2, "size": len(cp_rows)}, fh)
+
+    # one more JSON commit AFTER the checkpoint
+    _ext_commit(log, 3, [_ci(1700000002000),
+                         _ext_add("part-00003.parquet", 6, 7, 2)])
+
+    # batch read replays checkpoint + tail
+    t = DeltaLogTable(spark, path)
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(8))
+
+    # CDC from scratch: every add, version order, timestamps ignored
+    out: list = []
+    ckpt = str(tmp_path / "eck")
+    _run_once(spark, path, out, ckpt)
+    assert sorted(x[0] for x in out) == list(range(8))
+
+    # identical replay: same checkpoint, nothing new -> empty
+    out2: list = []
+    _run_once(spark, path, out2, ckpt)
+    assert out2 == []
+
+    # log retention drops the pre-checkpoint JSON head; the RESUMED
+    # stream (offset v3) continues across the gap untouched
+    for v in (0, 1, 2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    _data("part-00004.parquet", [8, 9])
+    _ext_commit(log, 4, [_ci(1700000000500),
+                         _ext_add("part-00004.parquet", 8, 9, 2)])
+    out3: list = []
+    _run_once(spark, path, out3, ckpt)
+    assert sorted(x[0] for x in out3) == [8, 9]
+
+    # batch read + stats skipping still work from the checkpoint
+    assert sorted(r["id"] for r in t.read().collect()) == list(range(10))
+    df, total, read = t.pruned_read("id", 6, 7)
+    assert (total, read) == (5, 1)
+    assert sorted(r["id"] for r in df.collect()) == [6, 7]
+
+    # a FRESH stream can no longer replay the truncated head
+    q = (
+        spark.readStream.format("delta_log_cdc")
+        .option("path", path)
+        .load()
+        .writeStream.foreachBatch(lambda b, i: None)
+        .option("checkpointLocation", str(tmp_path / "eck_fresh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="retention"):
+        q.awaitTermination(120)
+
+
 def test_stream_checkpoint_predating_retention_raises(spark, tmp_path):
     """A stream whose checkpoint points before the table's retained
     log must fail with the clear 'predates log retention' error, not
