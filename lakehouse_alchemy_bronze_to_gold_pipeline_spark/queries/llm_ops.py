@@ -2642,9 +2642,15 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     first-arrival + a join back — the TF-IDF/span-coverage shape."""
     d = load(spark, sf, "documents")
     grams = TX.word_shingles(TX.nonempty_tokens("text"), 5)
-    g = d.select(
-        "doc_id", F.explode(grams).alias("gram")
-    ).select("doc_id", F.md5("gram").alias("gram"))
+    # persisted: BOTH the first-arrival aggregate and the join-back
+    # consume this relation — without it the corpus scan + explode +
+    # md5 run twice (the _doc_terms persist lesson; measured ~1 s of
+    # the query's ~3.5 s at sf0.1)
+    g = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.md5("gram").alias("gram"))
+        .persist()
+    )
     first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     return (
         g.join(first, "gram")
