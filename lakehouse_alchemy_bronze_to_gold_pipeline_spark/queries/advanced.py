@@ -1777,6 +1777,11 @@ def q_cms_bigram_accuracy(spark: SparkSession, sf: str) -> DataFrame:
         F.slice("t", 2, F.size("t") - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    # NOT persisted (measured): caching the exploded bigram strings
+    # costs as much as the re-scan it saves — unlike ngram_novelty's
+    # md5-narrowed relation, the raw explode is cheap next to
+    # materializing it (A/B at sf0.1: 2.68 s unpersisted vs 2.90 s
+    # persisted, min of 3 alternated runs)
     bigrams = toks.select(F.explode(pair).alias("bigram"))
     cells = cms_cells(bigrams, "bigram", _CMS_DEPTH, _CMS_WIDTH)
     exact = (

@@ -1617,6 +1617,9 @@ def q_doc_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     tf, lens = _doc_terms(spark, sf)
     term_freq = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = term_freq.agg(F.sum("cnt").cast("double").alias("total"))
+    # persisted: the decile threshold and the final flag projection
+    # both consume the doc-grain scores — without it the LM join +
+    # aggregation over the (cached) term relation runs twice
     scored = (
         tf.join(term_freq, "term")
         .crossJoin(F.broadcast(total))
@@ -1629,6 +1632,7 @@ def q_doc_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
                 - F.log(F.first("total"))
             ).alias("avg_logprob"),
         )
+        .persist()
     )
     thr = scored.agg(
         F.expr("percentile(avg_logprob, 0.1)").alias("p10")
