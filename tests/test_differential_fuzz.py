@@ -305,6 +305,65 @@ def test_setop_parity(spark, op_ix, a_ix, b_ix):
     assert got == want, sql
 
 
+# ----------------------------------------- rollup / cube / gsets
+
+_GDIMS = ["l_returnflag", "l_linestatus", "l_partkey % 5"]
+_GALIAS = ["rf", "ls", "pk5"]
+
+
+@settings(**SETTINGS)
+@given(
+    mode=st.sampled_from(["ROLLUP", "CUBE"]),
+    dim_ix=st.lists(
+        st.sampled_from(range(len(_GDIMS))), min_size=1, max_size=3,
+        unique=True,
+    ),
+    agg_ix=st.lists(
+        st.sampled_from(range(len(AGGS))), min_size=1, max_size=2,
+        unique=True,
+    ),
+)
+def test_rollup_cube_parity(spark, mode, dim_ix, agg_ix):
+    """ROLLUP / CUBE fragments: the multi-grain aggregate lattice —
+    every grouping-set combination including the grand total, with
+    NULL grouping placeholders — compared value-for-value on
+    integer-exact aggregates.  A wrong grouping-id expansion or a
+    NULL-vs-value collision in the placeholder rows diverges here."""
+    dims = [(_GDIMS[i], _GALIAS[i]) for i in sorted(dim_ix)]
+    aggs = [AGGS[i] for i in sorted(agg_ix)]
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    proj = li.select(
+        *[F.expr(d).alias(a) for d, a in dims],
+        "l_extendedprice", "l_orderkey", "l_quantity", "l_partkey",
+        "l_suppkey",
+    )
+    names = [a for _, a in dims]
+    grouped = (
+        proj.rollup(*names) if mode == "ROLLUP" else proj.cube(*names)
+    )
+    got_df = grouped.agg(*[fn().alias(name) for name, fn, _ in aggs])
+    got = got_df.collect()
+
+    sel_dims = ", ".join(f"{d} AS {a}" for d, a in dims)
+    sel_aggs = ", ".join(f"{sql} AS {name}" for name, _, sql in aggs)
+    sql = (
+        f"SELECT {', '.join(names)}, {sel_aggs} "
+        f"FROM (SELECT {sel_dims}, l_extendedprice, l_orderkey, "
+        f"l_quantity, l_partkey, l_suppkey FROM lineitem) "
+        f"GROUP BY {mode} ({', '.join(names)})"
+    )
+    want = _duck(sql)
+
+    cols = names + [name for name, _, _ in aggs]
+    key = lambda t: tuple(  # noqa: E731
+        (v is None, v) for v in t
+    )
+    got_t = sorted((tuple(r[c] for c in cols) for r in got), key=key)
+    want_t = sorted((tuple(r) for r in want), key=key)
+    assert got_t == want_t, f"{mode} fragment diverged\nSQL: {sql}"
+
+
 # ------------------------------------------------------ join types
 
 #: (duckdb join keyword, spark how) — every join family the engine
