@@ -132,13 +132,49 @@ def ivf_topk(
     else:
         raise ValueError(f"train must be 'sample' or 'full', got {train!r}")
 
-    c = corpus.select(
+    return ivf_probe(
+        ivf_assign(corpus, centroids, id_col, vec_col),
+        queries, centroids, id_col=id_col, vec_col=vec_col,
+        k=k, n_probe=n_probe,
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ASSIGN stage as its own relation: (neighbor_id, cv, list_id).
+    A narrow per-row argmin over the list heads — no shuffle — which
+    makes it the unit of INCREMENTAL index maintenance: assigning a
+    partition of the corpus batch-by-batch and unioning (appending)
+    the results is definitionally identical to assigning the whole
+    corpus at once, so an append-only inverted-list table stays
+    probe-equivalent to a one-shot build forever (see
+    streaming.ivf_maintain.IncrementalIVFIndex)."""
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cv"),
     ).withColumn(
         "list_id",
         F.element_at(_nearest_lists(F.col("cv"), centroids, 1), 1),
     )
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """PROBE stage over a pre-assigned inverted-list relation
+    (neighbor_id, cv, list_id) — whether it came from ``ivf_assign``
+    in the same plan or from a persisted index table maintained
+    incrementally.  Output matches ``knn_join``."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -148,7 +184,7 @@ def ivf_topk(
             F.explode(_nearest_lists(F.col("qv"), centroids, n_probe)),
         )
     )
-    scored = q.join(c, "list_id").withColumn(
+    scored = q.join(assigned, "list_id").withColumn(
         "cos_raw", cosine(F.col("qv"), F.col("cv"))
     )
     w = Window.partitionBy("query_id").orderBy(

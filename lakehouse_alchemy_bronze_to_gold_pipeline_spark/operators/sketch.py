@@ -356,9 +356,12 @@ def qdigest_quantiles(
         cum2 = cum
         for k in keys:
             cum2 = cum2.withColumnRenamed(k, f"__{k}")
+        # eqNullSafe: NULL is a legal group key (the digest's groupBy
+        # keeps it as its own group), so plain == would silently drop
+        # the NULL-keyed group from the quantile readout.
         cond = F.col("cum") >= F.col("target")
         for k in keys:
-            cond = cond & (F.col(k) == F.col(f"__{k}"))
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__{k}"))
         return (
             qs.join(cum2, cond)
             .groupBy(*keys, "q_pct")

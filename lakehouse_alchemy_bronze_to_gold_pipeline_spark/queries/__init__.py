@@ -34,47 +34,18 @@ _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q, **_ADV_Q, **_DS_Q,
 # last-certified entries (r2, then r3).  tools/window_audit.py
 # recomputes the never-certified set for the next rotation.
 _PRIORITY = (
-    # ---- r7 driver window (slots 1-50): mechanical staleness
-    # rotation per the r6 verdict.  The 2 never-driver-certified
-    # entries lead (added after the r6 window froze, both local-sweep
-    # green at full float precision), then the oldest-certified pool
-    # in (last-certified round, registry order): the 5 r2 entries,
-    # the 35 r3 entries, and the first 8 of the r4 pool.  Computed by
-    # sorted(names, key=(last_round, index)) over CORRECTNESS_r01..r06
-    # — tools/window_audit.py reproduces the ordering.
-    "props_variant_stats", "pipe_syntax_flag_stats",
-    # r7 addition (never-certified, inserted INSIDE the window per
-    # the policy below; displaces the r4 tail's pricing_summary to
-    # the r8 queue): the oracle-backed recall-readout twin
-    "ann_recall_exact_fixed",
-    # r2-stale (slots 4-8)
-    "customer_string_funcs", "event_date_spine", "order_metrics_melt",
-    "orders_stratified_sample", "signup_purchase_funnel",
-    # r3-stale (slots 9-43)
-    "minhash_neardup_md5", "dedup_clusters", "dedup_keep_canonical",
-    "embedding_lsh_topk", "domain_mix_sample", "doc_pack_chunks",
-    "doc_repetition_filter", "filter_attrition_report",
-    "embedding_dim_stats", "bm25_search", "dedup_documents_exact",
-    "doc_chunking", "doc_fingerprint", "doc_quality_score",
-    "embedding_ivf_topk", "embedding_quantize_int8", "embedding_topk",
-    "eval_contamination", "knn_join", "lang_id_confusion",
-    "minhash_neardup", "simhash_bits_md5", "simhash_fingerprints",
-    "text_token_stats", "token_count_bpe", "embedding_neardup",
-    "ngram_jaccard_query", "multimodal_frames", "multimodal_features",
-    "multimodal_image_features", "multimodal_audio_features",
-    "training_corpus_prep", "tfidf_top_terms", "vocab_top_terms",
-    "terms_heavy_hitters",
-    # r4-stale head (slots 44-50)
-    "fact_sales", "dim_customer", "dim_part", "dq_violation_counts",
-    "dq_failing_rows", "orphan_orders", "orders_with_big_items",
-    # ---- 50-slot window boundary ----
+    # ---- r8 driver window (slots 1-50): the pre-queued rotation
+    # promoted per the r7 verdict (task 1) — this retires the last
+    # certification staleness: after this window lands, every
+    # registry entry's newest driver row is r5+.  Ordering =
+    # never-certified first, then sorted(names, key=(last_round,
+    # registry index)) over CORRECTNESS_r01..r07 — tools/
+    # window_audit.py reproduces it.
+    # never-certified (added this round): the incremental-IVF
+    # decomposition entry, oracle-pinned to the one-shot build
+    "ivf_stream_topk_fixed",
+    # r4-stale pool, complete (slots 2-44)
     "pricing_summary",
-    # r8 queue: the remaining 42 r4-certified entries, already in
-    # rotation order — by end of r8 no entry should be older than r4
-    # (r6 verdict task 4).  New queries added mid-round must be
-    # inserted ABOVE this queue but INSIDE the window (displacing the
-    # window's r4 tail down here) so a post-close driver artifact can
-    # never strand a never-certified entry outside the window.
     "top_customers_per_segment", "revenue_rollup", "events_hourly",
     "events_json_kv", "sessionize_events", "session_conversion_daily",
     "dedup_events_keep_latest", "set_ops_customers",
@@ -93,6 +64,18 @@ _PRIORITY = (
     "snapshot_diff_orders", "scd2_customer_history",
     "order_rank_functions", "price_histogram", "lineitem_moments",
     "user_activity_streaks", "lineitem_hash_sample",
+    # r5-stale head (slots 45-50): the six stalest remaining entries
+    # in (last-certified round, registry order)
+    "feature_hash_embed", "event_sequence_prep", "label_noise_scan",
+    "context_budget_report", "bpe_train_report", "ann_recall_report",
+    # ---- 50-slot window boundary ----
+    # r9 queue: the remaining r5-certified pool continues in rotation
+    # order.  New queries added mid-round must be inserted ABOVE this
+    # queue but INSIDE the window (displacing the window's r5 tail
+    # down here) so a post-close driver artifact can never strand a
+    # never-certified entry outside the window.
+    "ngram_novelty", "bpe_merge_candidates", "media_triage_report",
+    "embedding_whitening",
 )
 assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))
 

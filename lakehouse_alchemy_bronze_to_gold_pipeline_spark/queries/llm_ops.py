@@ -661,6 +661,28 @@ def q_embedding_ivf_topk_fixed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ivf_stream_topk_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Probe over an INCREMENTALLY-BUILT inverted-list relation: the
+    corpus arrives as two hash-split batches, each assigned to the
+    fixed list heads independently (``ivf_assign`` — the micro-batch
+    unit of ``streaming.ivf_maintain.IncrementalIVFIndex``) and
+    appended (union — what the index's append-only lists table
+    holds), then queried through the unchanged ``ivf_probe``.  The
+    oracle certifying this equals the one-shot build over the union
+    IS the incremental-maintenance correctness claim; the writeStream
+    /checkpoint/replay-guard machinery around the same two stages is
+    pinned by tests/test_ivf_stream.py."""
+    from ..operators.ivf import ivf_assign, ivf_probe
+
+    cents = _ivf_fixed_centroids()
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    b1 = emb.filter(F.xxhash64("vec_id") % 2 == 0)
+    b2 = emb.filter(F.xxhash64("vec_id") % 2 != 0)
+    lists = ivf_assign(b1, cents).unionByName(ivf_assign(b2, cents))
+    return ivf_probe(lists, queries, cents, k=5, n_probe=4)
+
+
 def _ivf_cents_values_sql() -> str:
     """The fixed-centroid VALUES rows shared by the fixed-IVF
     oracles: one ``(list_id, [64 double literals])`` row per head."""
@@ -4165,6 +4187,7 @@ SPARK_QUERIES = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_ivf_topk_fixed": q_embedding_ivf_topk_fixed,
+    "ivf_stream_topk_fixed": q_ivf_stream_topk_fixed,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_features": q_multimodal_features,
     "multimodal_image_features": q_multimodal_image_features,
@@ -4239,6 +4262,8 @@ ORACLE_SQL = {
     "source_dup_matrix": SQL_SOURCE_DUP_MATRIX,
     "embedding_lsh_topk": sql_embedding_lsh_topk(),
     "embedding_ivf_topk_fixed": sql_embedding_ivf_topk_fixed(),
+    # incremental build == one-shot build: the same SQL twin pins it
+    "ivf_stream_topk_fixed": sql_embedding_ivf_topk_fixed(),
     "ann_recall_exact_fixed": sql_ann_recall_exact_fixed(),
     "embedding_kmeans_profile_fixed": sql_embedding_kmeans_profile_fixed(),
     "embedding_pq_topk_fixed": sql_embedding_pq_topk_fixed(),

@@ -342,17 +342,31 @@ def merge_qdigest_batch(
             .groupBy(*keys, "id")
             .agg(F.sum("cnt").alias("cnt"))
         )
+    # ``fresh`` (stored-table read + the data-scale batch groupBy)
+    # feeds BOTH the per-group sigma totals and the join below —
+    # persist so the micro-batch aggregation runs once, not twice.
+    fresh = fresh.persist()
     sigma = F.greatest(
         F.lit(1).cast("bigint"),
         F.expr(f"sum(cnt) DIV {sigma_frac}"),
     ).alias("sigma")
     if keys:
+        # NULL is a legal group key (groupBy keeps it as its own
+        # group), so the totals join must be null-safe or NULL-keyed
+        # rows silently vanish from the stored digest — breaking the
+        # per-group mass-conservation contract.
         tots = fresh.groupBy(*keys).agg(sigma)
-        leaves = fresh.join(tots, list(keys))
+        for k in keys:
+            tots = tots.withColumnRenamed(k, f"__{k}")
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__{k}"))
+        leaves = fresh.join(tots, cond).drop(*[f"__{k}" for k in keys])
     else:
         leaves = fresh.crossJoin(F.broadcast(fresh.agg(sigma)))
     merged = qdigest_compress(leaves, bits, keys=keys)
     _replace_table(spark, io, f"{table}__qd_tmp", merged, table)
+    fresh.unpersist()
 
 
 def streaming_qdigest(

@@ -1,0 +1,121 @@
+"""Incrementally maintained IVF index: appending embedding batches
+assigned to FIXED trained list heads must leave the stored index
+probe-EQUAL (exact row equality, not approximately) to a one-shot
+batch build over the union — and checkpoint replays / re-presented
+ids must not double-fold."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.ivf import (
+    ivf_topk,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.tables import (
+    TableIO,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.ivf_maintain import (
+    IncrementalIVFIndex,
+)
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+SCHEMA = StructType([
+    StructField("vec_id", LongType()),
+    StructField("embedding", ArrayType(DoubleType())),
+])
+
+
+def _centroids():
+    rng = np.random.default_rng(7)
+    return rng.standard_normal((16, 64))
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in df.collect()
+    )
+
+
+def _drop(spark, *tables):
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+
+
+def test_incremental_ivf_matches_batch_build(spark, tmp_path):
+    _drop(spark, "ivf_inc_lists")
+    io = TableIO(spark, fmt="parquet")
+    cents = _centroids()
+    idx = IncrementalIVFIndex(io, "ivf_inc", cents)
+
+    emb = (
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    # stream the corpus in two checkpointed runs (hash-split halves)
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+    os.makedirs(src, exist_ok=True)
+    b1 = emb.filter(F.xxhash64("vec_id") % 2 == 0)
+    b2 = emb.filter(F.xxhash64("vec_id") % 2 != 0)
+    b1.write.parquet(os.path.join(src, "p1"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = idx.writer(stream, cp).start()
+        q.awaitTermination(120)
+
+    run()
+    n1 = io.read("ivf_inc_lists").count()
+    assert n1 == b1.count()
+
+    b2.write.parquet(os.path.join(src, "p2"))
+    run()  # checkpoint: p1 not re-folded
+
+    stored = io.read("ivf_inc_lists")
+    assert stored.count() == emb.count()
+    # ids fold exactly once
+    assert stored.select("neighbor_id").distinct().count() == emb.count()
+
+    # probe-equality vs the one-shot batch build: EXACT row equality
+    got = _rows(idx.topk(queries, k=5, n_probe=4))
+    want = _rows(ivf_topk(emb, queries, k=5, n_probe=4, centroids=cents))
+    assert got == want
+    assert len(got) == 25  # 5 queries x 5
+
+    # replay guard: re-presenting already-folded rows is a no-op
+    idx.append_batch(b1)
+    assert io.read("ivf_inc_lists").count() == emb.count()
+    assert _rows(idx.topk(queries, k=5, n_probe=4)) == want
+
+    # genuinely new vectors DO fold in and become findable
+    nv = spark.createDataFrame(
+        [(900001, [float(x) for x in cents[3]])], SCHEMA
+    )
+    idx.append_batch(nv)
+    assert io.read("ivf_inc_lists").count() == emb.count() + 1
+    hits = idx.topk(nv, k=1, n_probe=1).collect()
+    assert hits[0].neighbor_id == 900001  # finds itself (cos=1)
+    _drop(spark, "ivf_inc_lists")

@@ -205,3 +205,59 @@ def test_streaming_qdigest_grouped_two_runs(spark, tmp_path):
         mass3[r.grp] += r.cnt
     assert mass3["u"] == len(streamed["u"]) + 40
     assert mass3["g"] == len(streamed["g"]) + 60
+
+
+def test_qdigest_grouped_null_key(spark, tmp_path):
+    """NULL is a legal group key: groupBy keeps it as its own group,
+    so the per-group sigma join (merge path) and the theta-join
+    readout must be null-safe — a plain == would silently drop every
+    NULL-keyed row, violating per-group mass conservation without an
+    error."""
+    import collections
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.sketch_rollup import (  # noqa: E501
+        merge_qdigest_batch,
+    )
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("qd_null_grouped",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    io = TableIO(spark, fmt="parquet")
+
+    rng = random.Random(7)
+    b1 = [("a", rng.randint(0, U - 1)) for _ in range(500)] + [
+        (None, rng.randint(0, 63)) for _ in range(400)
+    ]
+    b2 = [("a", rng.randint(0, U - 1)) for _ in range(300)] + [
+        (None, rng.randint(64, 127)) for _ in range(600)
+    ]
+    for batch in (b1, b2):
+        merge_qdigest_batch(
+            spark.createDataFrame(batch, GSCHEMA), io,
+            "qd_null_grouped", "bucket",
+            bits=BITS, sigma_frac=SIGMA_FRAC, keys=("grp",),
+        )
+
+    rows = io.read("qd_null_grouped").collect()
+    mass = collections.Counter()
+    for r in rows:
+        mass[r.grp] += r.cnt
+    # NULL-keyed mass is conserved exactly across both merges
+    assert mass[None] == 1000
+    assert mass["a"] == 800
+
+    got = collections.defaultdict(dict)
+    for r in qdigest_quantiles(
+        io.read("qd_null_grouped"), BITS, pcts=(50,), keys=("grp",)
+    ).collect():
+        got[r.grp][r.q_pct] = r.est_bucket
+    # the NULL group answers quantiles from its own digest
+    assert None in got and 50 in got[None]
+    assert "a" in got and 50 in got["a"]
+    # NULL group's values all lie in [0, 127]; its median estimate
+    # must too (plus merge slack bounded by sigma*BITS)
+    sigma = max(1, 1000 // SIGMA_FRAC)
+    assert got[None][50] <= 127 + 2 * 2 * sigma * BITS

@@ -63,10 +63,23 @@ def main() -> None:
               f"slots (displace these): {stale_in_window}\n"
               f"overflow: {overflow}")
     elif overflow:
+        fresh_in_window = [
+            n for n in window
+            if n in last_round and last_round[n] == max_round
+        ]
         print(f"\nwindow PACKED: every slot is never-certified or "
               f"freshly r{max_round}-certified; {len(overflow)} "
               f"never-certified entries queue beyond the boundary as "
               f"the next round's head: {overflow}")
+        if fresh_in_window:
+            # A post-close artifact makes this state healthy, but a
+            # rotation AUTHOR editing _PRIORITY right now should still
+            # see the displacement option: freshly-certified occupants
+            # can yield their slots to the overflow immediately.
+            print(f"note: {len(fresh_in_window)} slots hold "
+                  f"r{max_round}-certified entries; if you are "
+                  f"authoring the next rotation, displace these to "
+                  f"admit the overflow now: {fresh_in_window}")
     else:
         print("\nwindow OK: every never-certified entry is inside "
               "the first 50")
