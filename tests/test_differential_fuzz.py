@@ -644,3 +644,192 @@ def test_having_topk_parity(spark, mod, hav_ix, k):
     """
     want = [tuple(r) for r in _duck(sql)]
     assert got == want, sql
+
+
+# --------------------------------------------------------------- flatten
+# Nested-data dimension: the engine's recursive schema flattener
+# (operators.flatten — the reference's signature operator,
+# silver_transformation.py:31-52) vs a DuckDB UNNEST twin built by
+# MIRRORING the flattener's pass loop as chained CTEs: each pass
+# expands every struct ("s"."p" AS s_p) and unnests every targeted
+# array-of-struct (comma-join UNNEST = inner explode; LEFT JOIN
+# UNNEST ON true = explode_outer).  Covers both L3/L4 parity
+# semantics (cross-product grain, inner-explode row drop) and the
+# fixed modes (explode_targets, outer=True).
+
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: id + null-able struct (with inner struct) + two arrays-of-struct
+#: (items carries a NESTED array, exercising multi-pass explode) +
+#: an array<int> that must pass through unexploded.
+_FLAT_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("s", StructType([
+        StructField("p", IntegerType()),
+        StructField("t", StructType([StructField("r", IntegerType())])),
+    ])),
+    StructField("items", ArrayType(StructType([
+        StructField("a", IntegerType()),
+        StructField("tags", ArrayType(
+            StructType([StructField("g", IntegerType())])
+        )),
+    ]))),
+    StructField("meta", ArrayType(StructType([
+        StructField("k", StringType()),
+    ]))),
+    StructField("nums", ArrayType(IntegerType())),
+])
+
+
+def _flat_rows(shape):
+    """Deterministic values from the hypothesis-sampled SHAPE list of
+    (items_len|None, meta_len|None, tags_len, s_null) — hypothesis
+    explores structure (lengths, nulls), not values."""
+    rows = []
+    for i, (ilen, mlen, tlen, s_null) in enumerate(shape):
+        s = None if s_null else (i * 7, (i * 11,))
+        items = None if ilen is None else [
+            (i * 100 + j,
+             [(i * 1000 + j * 10 + t,) for t in range(tlen)])
+            for j in range(ilen)
+        ]
+        meta = None if mlen is None else [(f"k{i}_{j}",) for j in range(mlen)]
+        rows.append((i, s, items, meta, [i, i + 1]))
+    return rows
+
+
+def _duck_flatten_sql(src, sep, outer, targets):
+    """Chained-CTE DuckDB twin of operators.flatten: one CTE per
+    engine pass (struct expansion select, then one UNNEST join per
+    exploded array), driven by the same plan-time schema walk."""
+    fields = list(_FLAT_SCHEMA.fields)
+    ctes = [f"c0 AS (SELECT * FROM read_parquet('{src}/*.parquet'))"]
+    prev, n = "c0", 0
+    for _ in range(32):
+        structs = [f.name for f in fields
+                   if isinstance(f.dataType, StructType)]
+        arrays = [f.name for f in fields
+                  if isinstance(f.dataType, ArrayType)
+                  and isinstance(f.dataType.elementType, StructType)
+                  and (targets is None or f.name in targets)]
+        if not structs and not arrays:
+            break
+        if structs:
+            cols, nf = [], []
+            for f in fields:
+                if f.name in structs:
+                    for ch in f.dataType.fields:
+                        cols.append(
+                            f'"{f.name}"."{ch.name}" AS '
+                            f'"{f.name}{sep}{ch.name}"'
+                        )
+                        nf.append(StructField(
+                            f"{f.name}{sep}{ch.name}", ch.dataType
+                        ))
+                else:
+                    cols.append(f'"{f.name}"')
+                    nf.append(f)
+            n += 1
+            ctes.append(
+                f"c{n} AS (SELECT {', '.join(cols)} FROM {prev})"
+            )
+            prev, fields = f"c{n}", nf
+        for name in arrays:
+            if name not in [f.name for f in fields]:
+                continue  # renamed by the struct expansion above
+            elem = next(
+                f for f in fields if f.name == name
+            ).dataType.elementType
+            others = ", ".join(
+                f'"{f.name}"' for f in fields if f.name != name
+            )
+            join = (
+                f'LEFT JOIN UNNEST({prev}."{name}") AS __u(__e) ON true'
+                if outer
+                else f', UNNEST({prev}."{name}") AS __u(__e)'
+            )
+            n += 1
+            ctes.append(
+                f'c{n} AS (SELECT {others}, __u.__e AS "{name}" '
+                f"FROM {prev} {join})"
+            )
+            prev = f"c{n}"
+            fields = [
+                StructField(name, elem) if f.name == name else f
+                for f in fields
+            ]
+    return ",\n".join(ctes), prev, fields
+
+
+@settings(**SETTINGS)
+@given(
+    shape=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 3)),   # items len
+            st.one_of(st.none(), st.integers(0, 2)),   # meta len
+            st.integers(0, 2),                         # tags len
+            st.booleans(),                             # s is NULL
+        ),
+        min_size=1, max_size=6,
+    ),
+    outer=st.booleans(),
+    targets_ix=st.sampled_from(range(3)),
+)
+def test_flatten_parity(spark, tmp_path_factory, shape, outer, targets_ix):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.flatten import (  # noqa: E501
+        flatten,
+    )
+
+    targets = [None, {"items"}, set()][targets_ix]
+    src = str(tmp_path_factory.mktemp("flatfuzz"))
+    df = spark.createDataFrame(_flat_rows(shape), _FLAT_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    got_df = flatten(
+        spark.read.parquet(src), outer=outer, explode_targets=targets
+    )
+    ctes, prev, fields = _duck_flatten_sql(src, "_", outer, targets)
+    # identical flattened schemas (names AND order) first
+    assert got_df.columns == [f.name for f in fields]
+
+    # comparable projection: scalars and array<int> compare directly;
+    # any remaining array-of-struct (an un-targeted array) compares
+    # by cardinality (NULL -> -1) on both sides
+    sel_spark, sel_sql = [], []
+    for f in fields:
+        if isinstance(f.dataType, ArrayType) and isinstance(
+            f.dataType.elementType, StructType
+        ):
+            sel_spark.append(
+                F.coalesce(F.size(f'`{f.name}`'), F.lit(-1))
+                .alias(f.name)
+            )
+            sel_sql.append(
+                f'COALESCE(LEN("{f.name}"), -1) AS "{f.name}"'
+            )
+        else:
+            sel_spark.append(F.col(f"`{f.name}`"))
+            sel_sql.append(f'"{f.name}"')
+
+    def canon(v):
+        return tuple(tuple(x) if isinstance(x, list) else x for x in v)
+
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted(
+        (canon(tuple(r)) for r in got_df.select(*sel_spark).collect()),
+        key=key,
+    )
+    sql = f"WITH {ctes} SELECT {', '.join(sel_sql)} FROM {prev}"
+    con = duckdb.connect()
+    try:
+        want = sorted((canon(r) for r in con.sql(sql).fetchall()), key=key)
+    finally:
+        con.close()
+    assert got == want, (outer, targets, sql)
