@@ -62,15 +62,26 @@ def _source_fingerprint() -> str:
     return h.hexdigest()
 
 
+#: Merge-series cap (BASELINE.md protocol): the headline is the
+#: per-query min over at most this many runs — the current one plus
+#: the most recent MERGE_CAP-1 same-fingerprint priors.  An unbounded
+#: series only ratchets downward as runs accumulate (r7 merged 17
+#: runs; raw 217 s vs merged 195 s), which makes round-over-round
+#: numbers depend on how long each round benched.  A fixed cap keeps
+#: the metric comparable; raw single-run totals ship beside it
+#: (``this_run_total``).
+MERGE_CAP = 8
+
+
 def _merge_prior_mins(
     out_dir: str, fingerprint: str, sf: float, times: dict[str, float]
 ) -> tuple[dict[str, float], int]:
-    """Per-query min across prior detail files with the SAME source
-    fingerprint, sf, and query set.  Returns (merged, n_runs_merged)."""
+    """Per-query min across the most recent MERGE_CAP-1 prior detail
+    files with the SAME source fingerprint, sf, and query set.
+    Returns (merged, n_runs_merged)."""
     import glob
 
-    merged = dict(times)
-    n = 1
+    priors = []
     for path in sorted(glob.glob(os.path.join(out_dir, "BENCH_DETAIL_*.json"))):
         try:
             with open(path) as fh:
@@ -83,7 +94,11 @@ def _merge_prior_mins(
             or set(d.get("this_run", d.get("queries", {}))) != set(times)
         ):
             continue
-        prior = d.get("this_run", d["queries"])
+        priors.append(d.get("this_run") or d.get("queries", {}))
+
+    merged = dict(times)
+    n = 1
+    for prior in priors[-(MERGE_CAP - 1):]:
         for k, v in prior.items():
             if v < merged[k]:
                 merged[k] = v

@@ -46,6 +46,29 @@ def test_merge_prior_mins_guards(tmp_path):
     assert merged == {"q1": 1.5, "q2": 3.0}
 
 
+def test_merge_series_capped_at_most_recent(tmp_path):
+    """The BASELINE.md protocol cap: only the MERGE_CAP-1 most recent
+    same-fingerprint priors join the merge — an old outlier run (here
+    the very fast q1=0.1 in the OLDEST detail) ages out of the series
+    instead of pinning the headline down forever."""
+    bench = _load("bench_under_test3", "/root/repo/bench.py")
+    cap = bench.MERGE_CAP
+    times = {"q1": 5.0}
+    # oldest first (sorted glob order = filename order): one stale
+    # outlier, then cap-1 recent runs that are all slower than it
+    with open(tmp_path / "BENCH_DETAIL_000.json", "w") as fh:
+        json.dump({"fingerprint": "FP", "sf": 0.1,
+                   "this_run": {"q1": 0.1}}, fh)
+    for i in range(cap - 1):
+        with open(tmp_path / f"BENCH_DETAIL_{i+1:03d}.json", "w") as fh:
+            json.dump({"fingerprint": "FP", "sf": 0.1,
+                       "this_run": {"q1": 4.0 + i * 0.1}}, fh)
+
+    merged, n = bench._merge_prior_mins(str(tmp_path), "FP", 0.1, times)
+    assert n == cap                  # current + cap-1 priors, not cap+1
+    assert merged == {"q1": 4.0}     # the aged-out 0.1 is NOT merged
+
+
 def test_source_fingerprint_is_stable_and_content_sensitive(tmp_path):
     bench = _load("bench_under_test2", "/root/repo/bench.py")
     a = bench._source_fingerprint()
