@@ -659,3 +659,29 @@ def test_label_noise_and_sequence_prep_shapes(spark):
     assert "CartesianProduct" not in _ops(plan2)
     # one user-key aggregation exchange (+ output sort)
     assert plan2.count("Arguments: hashpartitioning") <= 1
+
+
+def test_ivf_stream_assign_narrow_probe_broadcast(spark):
+    """Incremental-IVF decomposition (r8): the unioned per-batch
+    assignments must stay NARROW (scan -> filter -> project, no
+    exchange below the probe join — at scale each appended batch is
+    written without shuffling the index), the broadcast side of the
+    probe join must be the exploded QUERY relation (never the
+    corpus-sized lists), and the only shuffle is the per-query top-k
+    window."""
+    plan = _formatted(spark, "ivf_stream_topk_fixed")
+    ops = _ops(plan)
+    assert "Union" in ops
+    assert ops.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in ops and "CartesianProduct" not in ops
+    # queries explode to (query, list_id) then broadcast: the Generate
+    # sits INSIDE the broadcast subtree (parent-first tree text:
+    # BroadcastExchange, then its Generate child, then the Union
+    # sibling), so the corpus-sized union is never the build side
+    tree = plan.split("\n\n")[0]
+    assert (tree.index("BroadcastExchange") < tree.index("Generate")
+            < tree.index("Union"))
+    # one shuffle total: the rank window on query_id
+    assert _shuffles(plan) == 1
+    # partial top-k pushed below that exchange (WindowGroupLimit)
+    assert ops.count("WindowGroupLimit") == 2
