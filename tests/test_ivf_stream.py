@@ -119,3 +119,56 @@ def test_incremental_ivf_matches_batch_build(spark, tmp_path):
     hits = idx.topk(nv, k=1, n_probe=1).collect()
     assert hits[0].neighbor_id == 900001  # finds itself (cos=1)
     _drop(spark, "ivf_inc_lists")
+
+
+# ------------------------------------------------------------ property
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_batches=st.integers(1, 4),
+    salt=st.integers(0, 1_000_000),
+)
+def test_any_batch_split_matches_one_shot(spark, n_batches, salt):
+    """The decomposition invariant behind the incremental index, as a
+    property: for ANY partition of the corpus into batches (random
+    seeded hash split), union-of-per-batch-assignments fed to
+    ivf_probe returns EXACTLY the one-shot ivf_topk rows.  The
+    registry entry pins one split (2 halves) against the SQL oracle;
+    this covers the family."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.ivf import (
+        ivf_assign,
+        ivf_probe,
+        ivf_topk,
+    )
+
+    cents = _centroids()
+    emb = (
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    parts = [
+        emb.filter(
+            F.pmod(F.xxhash64("vec_id", F.lit(salt)), F.lit(n_batches))
+            == i
+        )
+        for i in range(n_batches)
+    ]
+    lists = ivf_assign(parts[0], cents)
+    for p in parts[1:]:
+        lists = lists.unionByName(ivf_assign(p, cents))
+
+    got = _rows(ivf_probe(lists, queries, cents, k=5, n_probe=3))
+    want = _rows(ivf_topk(emb, queries, k=5, n_probe=3, centroids=cents))
+    assert got == want and len(got) == 15

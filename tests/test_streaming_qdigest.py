@@ -261,3 +261,64 @@ def test_qdigest_grouped_null_key(spark, tmp_path):
     # must too (plus merge slack bounded by sigma*BITS)
     sigma = max(1, 1000 // SIGMA_FRAC)
     assert got[None][50] <= 127 + 2 * 2 * sigma * BITS
+
+
+# ------------------------------------------------------------ property
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),   # NULL is a legal key
+            st.integers(0, (1 << 8) - 1),
+            st.integers(0, 2),                   # batch assignment
+        ),
+        min_size=1, max_size=60,
+    ),
+)
+def test_grouped_merge_mass_conservation_any_split(spark, rows):
+    """Property form of the grouped-merge contract: for ANY
+    assignment of rows (including NULL-keyed ones) to up to three
+    merge batches, the stored digest conserves every group's mass
+    EXACTLY and keeps per-group state bounded.  The example-based
+    tests pin two specific splits; this samples the family."""
+    import collections
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.sketch_rollup import (  # noqa: E501
+        merge_qdigest_batch,
+    )
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("qd_fuzz_grouped",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    io = TableIO(spark, fmt="parquet")
+
+    batches = collections.defaultdict(list)
+    for g, v, b in rows:
+        batches[b].append((g, v))
+    for b in sorted(batches):
+        merge_qdigest_batch(
+            spark.createDataFrame(batches[b], GSCHEMA), io,
+            "qd_fuzz_grouped", "bucket",
+            bits=BITS, sigma_frac=SIGMA_FRAC, keys=("grp",),
+        )
+
+    want = collections.Counter(g for g, _v, _b in rows)
+    mass = collections.Counter()
+    state = collections.Counter()
+    for r in io.read("qd_fuzz_grouped").collect():
+        mass[r.grp] += r.cnt
+        state[r.grp] += 1
+    assert mass == want
+    for g, n in state.items():
+        assert n <= SIGMA_FRAC + BITS + 1, g
