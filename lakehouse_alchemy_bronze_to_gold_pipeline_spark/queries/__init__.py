@@ -41,9 +41,11 @@ _PRIORITY = (
     # never-certified first, then sorted(names, key=(last_round,
     # registry index)) over CORRECTNESS_r01..r07 — tools/
     # window_audit.py reproduces it.
-    # never-certified (added this round): the incremental-IVF
-    # decomposition entry, oracle-pinned to the one-shot build
-    "ivf_stream_topk_fixed",
+    # never-certified (added this round): the incremental-IVF and
+    # incremental-PQ decomposition entries, each oracle-pinned to its
+    # one-shot build (the PQ addition displaces the window's r5 tail
+    # `ann_recall_report` to the r9 queue, per the insertion policy)
+    "ivf_stream_topk_fixed", "pq_stream_topk_fixed",
     # r4-stale pool, complete (slots 2-44)
     "pricing_summary",
     "top_customers_per_segment", "revenue_rollup", "events_hourly",
@@ -64,16 +66,17 @@ _PRIORITY = (
     "snapshot_diff_orders", "scd2_customer_history",
     "order_rank_functions", "price_histogram", "lineitem_moments",
     "user_activity_streaks", "lineitem_hash_sample",
-    # r5-stale head (slots 45-50): the six stalest remaining entries
+    # r5-stale head (slots 46-50): the five stalest remaining entries
     # in (last-certified round, registry order)
     "feature_hash_embed", "event_sequence_prep", "label_noise_scan",
-    "context_budget_report", "bpe_train_report", "ann_recall_report",
+    "context_budget_report", "bpe_train_report",
     # ---- 50-slot window boundary ----
     # r9 queue: the remaining r5-certified pool continues in rotation
     # order.  New queries added mid-round must be inserted ABOVE this
     # queue but INSIDE the window (displacing the window's r5 tail
     # down here) so a post-close driver artifact can never strand a
     # never-certified entry outside the window.
+    "ann_recall_report",
     "ngram_novelty", "bpe_merge_candidates", "media_triage_report",
     "embedding_whitening",
 )

@@ -2111,6 +2111,34 @@ def q_embedding_pq_topk_fixed(spark: SparkSession, sf: str) -> DataFrame:
     return pq_topk(emb, queries, _pq_fixed_codebooks(), k=5)
 
 
+def q_pq_stream_topk_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """ADC top-k over an INCREMENTALLY-BUILT compressed corpus: two
+    hash-split batches each encode against the fixed codebooks
+    (``pq_encode`` — the micro-batch unit of
+    ``streaming.ivf_maintain.IncrementalPQIndex``), union (what the
+    index's append-only codes table holds), then the unchanged
+    ``pq_topk`` reads the codes column.  Sharing
+    ``embedding_pq_topk_fixed``'s oracle pins incremental-encode ==
+    one-shot-encode; the writeStream/replay machinery is
+    tests/test_ivf_stream.py's PQ case."""
+    from ..operators.pq import pq_encode, pq_topk
+
+    books = _pq_fixed_codebooks()
+    emb = load(spark, sf, "embeddings")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    b1 = emb.filter(F.xxhash64("vec_id") % 2 == 0)
+    b2 = emb.filter(F.xxhash64("vec_id") % 2 != 0)
+    codes = pq_encode(b1, books, "embedding", "pq_codes").unionByName(
+        pq_encode(b2, books, "embedding", "pq_codes")
+    )
+    return pq_topk(codes, queries, books, k=5, codes_col="pq_codes")
+
+
 def sql_embedding_pq_topk_fixed() -> str:
     """DuckDB twin: the 128 sub-centroids as list literals; corpus
     codes via per-(vector, subspace) argmin rank (ties by smaller
@@ -4211,6 +4239,7 @@ SPARK_QUERIES = {
     "embedding_kmeans_profile_fixed": q_embedding_kmeans_profile_fixed,
     "embedding_pq_topk": q_embedding_pq_topk,
     "embedding_pq_topk_fixed": q_embedding_pq_topk_fixed,
+    "pq_stream_topk_fixed": q_pq_stream_topk_fixed,
     "source_weighted_median_quality": q_source_weighted_median_quality,
     "source_dup_matrix": q_source_dup_matrix,
     "mg_heavy_hitters_fixed": q_mg_heavy_hitters_fixed,
@@ -4267,6 +4296,8 @@ ORACLE_SQL = {
     "ann_recall_exact_fixed": sql_ann_recall_exact_fixed(),
     "embedding_kmeans_profile_fixed": sql_embedding_kmeans_profile_fixed(),
     "embedding_pq_topk_fixed": sql_embedding_pq_topk_fixed(),
+    # incremental encode == one-shot encode: the same SQL twin pins it
+    "pq_stream_topk_fixed": sql_embedding_pq_topk_fixed(),
     "source_weighted_median_quality": SQL_SOURCE_WEIGHTED_MEDIAN_QUALITY,
     "mg_heavy_hitters_fixed": SQL_MG_HEAVY_HITTERS_FIXED,
     "simhash_accuracy": SQL_SIMHASH_ACCURACY,

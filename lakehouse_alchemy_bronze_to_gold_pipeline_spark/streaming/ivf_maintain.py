@@ -1,4 +1,5 @@
-"""Incrementally maintained IVF (inverted-file) ANN index.
+"""Incrementally maintained ANN indexes: IVF inverted lists and the
+PQ-compressed corpus (the two halves of the classic IVF-PQ stack).
 
 The batch ``operators.ivf.ivf_topk`` builds its inverted lists from
 the whole corpus in one plan; a training-data pipeline ingests
@@ -124,4 +125,93 @@ class IncrementalIVFIndex:
             vec_col=self.vec_col,
             k=k,
             n_probe=n_probe,
+        )
+
+
+class IncrementalPQIndex:
+    """Append-only PQ-compressed index over an embedding stream —
+    the memory half of the incremental IVF-PQ stack (same pattern as
+    ``IncrementalIVFIndex``: per-row work at ingest, corpus knowledge
+    as a table, readout unchanged).
+
+    - ``{name}_codes``: (vec_id, pq_codes array<int>) — m small ints
+      per vector instead of d floats (~30x narrower at m=8, d=64).
+
+    Encoding against FIXED codebooks (``operators.pq.pq_encode``) is
+    a per-row Arrow argmin, so appending per-batch encodings equals
+    encoding the union — the stored compressed corpus is
+    ADC-probe-equivalent to a one-shot ``pq_topk`` forever.  Queries
+    run the unchanged ``pq_topk`` with ``codes_col`` pointed at the
+    table: the compressed-storage deployment it was designed for,
+    arriving incrementally.  Codebook retraining = build a new
+    ``{name2}_codes`` table offline and cut over (the FAISS contract,
+    same as the IVF list heads)."""
+
+    def __init__(
+        self,
+        io: TableIO,
+        name: str,
+        codebooks: np.ndarray,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.io = io
+        self.name = name
+        self.codebooks = np.asarray(codebooks, dtype=float)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @property
+    def codes_table(self) -> str:
+        return f"{self.name}_codes"
+
+    # ------------------------------------------------------ batch core
+    def append_batch(self, batch: DataFrame) -> None:
+        """Encode one batch against the fixed codebooks and append,
+        with the standard replay guard (ids already folded are
+        dropped, so checkpoint replays are idempotent)."""
+        from pyspark.sql import functions as F
+
+        from ..operators.pq import pq_encode
+
+        spark = batch.sparkSession
+        coded = pq_encode(
+            batch, self.codebooks, self.vec_col, "pq_codes"
+        ).select(F.col(self.id_col), "pq_codes")
+        if spark.catalog.tableExists(self.codes_table):
+            seen = self.io.read(self.codes_table).select(self.id_col)
+            coded = coded.join(seen, self.id_col, "left_anti")
+        coded = coded.localCheckpoint(eager=True)
+        self.io.write_append(coded, self.codes_table)
+        try:
+            self.io.spark.catalog.refreshTable(self.codes_table)
+        except Exception:
+            pass
+
+    # ------------------------------------------------------- streaming
+    def writer(self, stream: DataFrame, checkpoint: str):
+        def run(batch: DataFrame, _batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            self.append_batch(batch)
+
+        return (
+            stream.writeStream.foreachBatch(run)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+        )
+
+    # --------------------------------------------------------- queries
+    def topk(self, queries, k: int = 5) -> DataFrame:
+        """Unchanged ``pq_topk`` over the stored compressed corpus
+        (queries: [(query_id, vector)] — the one-vs-corpus shape)."""
+        from ..operators.pq import pq_topk
+
+        return pq_topk(
+            self.io.read(self.codes_table),
+            queries,
+            self.codebooks,
+            k=k,
+            id_col=self.id_col,
+            codes_col="pq_codes",
         )

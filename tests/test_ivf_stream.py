@@ -172,3 +172,75 @@ def test_any_batch_split_matches_one_shot(spark, n_batches, salt):
     got = _rows(ivf_probe(lists, queries, cents, k=5, n_probe=3))
     want = _rows(ivf_topk(emb, queries, k=5, n_probe=3, centroids=cents))
     assert got == want and len(got) == 15
+
+
+# ---------------------------------------------------------------- PQ
+def test_incremental_pq_matches_batch_build(spark, tmp_path):
+    """PQ twin of the incremental-IVF equality: per-batch encoding
+    appended to the codes table must leave ADC top-k EXACTLY equal to
+    the one-shot pq_topk over the raw corpus, across two checkpointed
+    runs, replays, and late additions."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.pq import (
+        pq_topk,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.ivf_maintain import (  # noqa: E501
+        IncrementalPQIndex,
+    )
+
+    _drop(spark, "pq_inc_codes")
+    io = TableIO(spark, fmt="parquet")
+    rng = np.random.default_rng(23)
+    books = rng.standard_normal((8, 16, 8))
+    idx = IncrementalPQIndex(io, "pq_inc", books)
+
+    emb = (
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("embedding"))
+    )
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+
+    src, cp = str(tmp_path / "pqsrc"), str(tmp_path / "pqcp")
+    os.makedirs(src, exist_ok=True)
+    b1 = emb.filter(F.xxhash64("vec_id") % 2 == 0)
+    b2 = emb.filter(F.xxhash64("vec_id") % 2 != 0)
+    b1.write.parquet(os.path.join(src, "p1"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = idx.writer(stream, cp).start()
+        q.awaitTermination(120)
+
+    run()
+    b2.write.parquet(os.path.join(src, "p2"))
+    run()  # checkpoint: p1 not re-encoded
+
+    stored = io.read("pq_inc_codes")
+    assert stored.count() == emb.count()
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.approx_dist, r.rank)
+            for r in df.collect()
+        )
+
+    got = rows(idx.topk(queries, k=5))
+    want = rows(pq_topk(emb, queries, books, k=5))
+    assert got == want and len(got) == 20
+
+    # replay guard: no double-encode
+    idx.append_batch(b1)
+    assert io.read("pq_inc_codes").count() == emb.count()
+    assert rows(idx.topk(queries, k=5)) == want
+    _drop(spark, "pq_inc_codes")
