@@ -875,6 +875,246 @@ ORDER BY m.event_type
 """
 
 
+# ---------------------------------------------------------------------
+# KMV set algebra: union / intersection / Jaccard between sketches
+# ---------------------------------------------------------------------
+
+
+def q_audience_overlap_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """Audience-overlap matrix between event types via KMV *set
+    algebra* — the theta-sketch capability (Beyer et al. 2007;
+    Dasgupta et al., the DataSketches theta paper): given one
+    bottom-k sketch per cohort, estimate |A ∪ B|, |A ∩ B| and
+    Jaccard for every cohort pair WITHOUT re-touching the raw data.
+    Items are (user_id, day) "active user-days", so the overlap
+    question is "how much does the click audience-time overlap the
+    purchase audience-time" — the canonical pre-join overlap probe
+    at 100 TB, where the exact pairwise distinct-intersection over
+    raw events would be a self-join of the whole fact table.
+
+    Sketch math (all public literature): the union sketch of A, B
+    is the bottom-k of the merged samples; K_union = (k-1)/u_k
+    estimates |A ∪ B|; rho = |{h in union sketch : h in A and in
+    B}| / |union sketch| estimates Jaccard; intersection = rho *
+    K_union.  Everything after the one data-scale pass (distinct +
+    per-cohort rank) runs on <= k rows per cohort — the pair matrix
+    costs |cohorts|^2 * k tiny rows, NEVER a data-scale self-join.
+    The exact counterparts computed alongside are the small-sf
+    accuracy readout (realized relative error lands in the output,
+    so the driver hash-certifies estimator quality, not just shape).
+    DuckDB replays bit-for-bit: md5 bottom-k order statistics and
+    double arithmetic with identical expression shape."""
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.expr("ts_us DIV 86400000000").alias("day"),
+        "user_id",
+    )
+    h = F.expr(
+        "CAST(conv(substring(md5(concat('kmvset:', "
+        "CAST(user_id AS STRING), ':', CAST(day AS STRING))), "
+        "1, 13), 16, 10) AS BIGINT)"
+    )
+    items = ev.select("event_type", h.alias("h")).distinct()
+    wt = Window.partitionBy("event_type").orderBy("h")
+    # persist: the <= |cohorts| * k sketch feeds THREE consumers
+    # (the type spine and both pair-membership joins); without it
+    # lazy evaluation re-runs the data-scale distinct+rank per
+    # consumer (the crossdoc_span_coverage lesson).
+    sk = (
+        items.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+        .persist()
+    )
+    # |cohorts|^2 spine (<= 25 rows by construction — plan-lint
+    # allowlisted with the other bounded spine generators)
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    pa = pairs.join(
+        sk.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select(
+        "type_a", "type_b", "h",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    pb = pairs.join(
+        sk.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select(
+        "type_a", "type_b", "h",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    pool = (
+        pa.unionByName(pb)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    kk = (
+        pool.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_min"),
+            F.max("h").alias("h_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        )
+    )
+    u_est = F.when(
+        F.col("n_min") < _KMV_K, F.col("n_min").cast("double")
+    ).otherwise(
+        (_KMV_K - 1) * 4503599627370496.0 / (F.col("h_k") + 1)
+    )
+    j_est = F.col("n_both").cast("double") / F.col("n_min").cast("double")
+    # exact counterparts (small-sf accuracy readout; the sketch path
+    # above is the 100 TB path)
+    du = ev.select("event_type", "user_id", "day").distinct().persist()
+    ca = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_items"))
+    inter = (
+        du.select(F.col("event_type").alias("type_a"), "user_id", "day")
+        .join(
+            du.select(
+                F.col("event_type").alias("type_b"), "user_id", "day"
+            ),
+            ["user_id", "day"],
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    exact = (
+        pairs.join(
+            ca.withColumnRenamed("event_type", "type_a")
+            .withColumnRenamed("n_items", "na"),
+            "type_a",
+        )
+        .join(
+            ca.withColumnRenamed("event_type", "type_b")
+            .withColumnRenamed("n_items", "nb"),
+            "type_b",
+        )
+        .join(inter, ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b",
+            (
+                F.col("na") + F.col("nb")
+                - F.coalesce(F.col("exact_inter"), F.lit(0))
+            ).alias("exact_union"),
+            F.coalesce(F.col("exact_inter"), F.lit(0)).alias(
+                "exact_inter"
+            ),
+        )
+    )
+    return (
+        kk.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_union",
+            "exact_inter",
+            F.round(u_est, 4).alias("union_est"),
+            F.round(j_est * u_est, 4).alias("inter_est"),
+            F.round(j_est, 4).alias("jaccard_est"),
+            F.round(
+                F.abs(u_est - F.col("exact_union"))
+                / F.col("exact_union"),
+                4,
+            ).alias("union_rel_err"),
+            F.when(
+                F.col("exact_inter") > 0,
+                F.round(
+                    F.abs(j_est * u_est - F.col("exact_inter"))
+                    / F.col("exact_inter"),
+                    4,
+                ),
+            ).alias("inter_rel_err"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_AUDIENCE_OVERLAP_KMV = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, user_id
+  FROM events
+), items AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5('kmvset:' || user_id::VARCHAR
+                                  || ':' || day::VARCHAR),
+                              1, 13)) AS BIGINT) AS h
+  FROM ev
+), sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY h) AS rn
+    FROM items
+  ) WHERE rn <= {_KMV_K}
+), types AS (
+  SELECT DISTINCT event_type FROM sk
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a, types b WHERE a.event_type < b.event_type
+), pool AS (
+  SELECT type_a, type_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.type_a, p.type_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN sk s ON s.event_type = p.type_b
+  ) GROUP BY 1, 2, 3
+), kk AS (
+  SELECT type_a, type_b, COUNT(*) AS n_min, MAX(h) AS h_k,
+         SUM(in_a * in_b) AS n_both
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                                 ORDER BY h) AS rn
+    FROM pool
+  ) WHERE rn <= {_KMV_K} GROUP BY 1, 2
+), du AS (
+  SELECT DISTINCT event_type, user_id, day FROM ev
+), ca AS (
+  SELECT event_type, COUNT(*) AS n_items FROM du GROUP BY 1
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS exact_inter
+  FROM du a JOIN du b ON a.user_id = b.user_id AND a.day = b.day
+  WHERE a.event_type < b.event_type GROUP BY 1, 2
+), exact AS (
+  SELECT p.type_a, p.type_b,
+         ca1.n_items + ca2.n_items
+           - COALESCE(i.exact_inter, 0) AS exact_union,
+         COALESCE(i.exact_inter, 0) AS exact_inter
+  FROM pairs p
+  JOIN ca ca1 ON ca1.event_type = p.type_a
+  JOIN ca ca2 ON ca2.event_type = p.type_b
+  LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+), raw AS (
+  SELECT k.type_a, k.type_b, e.exact_union, e.exact_inter,
+         CASE WHEN k.n_min < {_KMV_K} THEN k.n_min::DOUBLE
+              ELSE ({_KMV_K} - 1)::DOUBLE * 4503599627370496.0::DOUBLE
+                   / (k.h_k + 1) END AS u_est,
+         k.n_both::DOUBLE / k.n_min::DOUBLE AS j_est
+  FROM kk k JOIN exact e
+    ON e.type_a = k.type_a AND e.type_b = k.type_b
+)
+SELECT type_a, type_b, exact_union, exact_inter,
+       ROUND(u_est, 4) AS union_est,
+       ROUND(j_est * u_est, 4) AS inter_est,
+       ROUND(j_est, 4) AS jaccard_est,
+       ROUND(ABS(u_est - exact_union) / exact_union, 4)
+         AS union_rel_err,
+       CASE WHEN exact_inter > 0
+            THEN ROUND(ABS(j_est * u_est - exact_inter)
+                       / exact_inter, 4)
+            ELSE NULL END AS inter_rel_err
+FROM raw ORDER BY type_a, type_b
+"""
+
+
 
 # ---------------------------------------------------------------------
 # Q15-shape: scalar-subquery-equality (the max-of-aggregate filter)
@@ -1615,6 +1855,7 @@ def _register() -> tuple[dict, dict]:
         "ordered_funnel_3step": q_ordered_funnel_3step,
         "brand_label_propagation": q_brand_label_propagation,
         "reach_kmv_accuracy": q_reach_kmv_accuracy,
+        "audience_overlap_kmv": q_audience_overlap_kmv,
         "top_supplier_revenue": q_top_supplier_revenue,
         "nation_revenue_share": q_nation_revenue_share,
         "doc_cleaning_report": q_doc_cleaning_report,
@@ -1638,6 +1879,7 @@ def _register() -> tuple[dict, dict]:
         "ordered_funnel_3step": SQL_ORDERED_FUNNEL_3STEP,
         "brand_label_propagation": _sql_label_propagation(),
         "reach_kmv_accuracy": SQL_REACH_KMV_ACCURACY,
+        "audience_overlap_kmv": SQL_AUDIENCE_OVERLAP_KMV,
         "top_supplier_revenue": SQL_TOP_SUPPLIER_REVENUE,
         "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
         "doc_cleaning_report": SQL_DOC_CLEANING_REPORT,

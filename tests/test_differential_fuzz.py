@@ -833,3 +833,74 @@ def test_flatten_parity(spark, tmp_path_factory, shape, outer, targets_ix):
     finally:
         con.close()
     assert got == want, (outer, targets, sql)
+
+
+# ---------------------------------------------------------------------
+# dimension 10: as-of join vs DuckDB's native ASOF LEFT JOIN
+# ---------------------------------------------------------------------
+#
+# The engine's asof_join (operators/asof.py — the single-shuffle
+# union+window formulation) against DuckDB's built-in ASOF JOIN on
+# hypothesis-generated (key, ts) streams: random left probes, random
+# right states with UNIQUE (key, ts) (the tiebreak-free contract both
+# engines define identically), including empty sides, keys with no
+# right history, and exact ts collisions (backward semantics include
+# right_ts == left_ts).  Integer-exact throughout, so any divergence
+# is a real defect in the window formulation, not float noise.
+
+_ASOF_SCHEMA_L = "lid INT, k INT, ts INT"
+_ASOF_SCHEMA_R = "k INT, ts INT, val INT"
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=0, max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 20), st.integers(-5, 5)
+        ),
+        min_size=0, max_size=12,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_asof_join_parity(spark, left, right):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.asof import asof_join
+
+    import pandas as pd
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)], _ASOF_SCHEMA_L
+    )
+    rdf = spark.createDataFrame(list(right), _ASOF_SCHEMA_R)
+    got = sorted(
+        tuple(r)
+        for r in asof_join(
+            ldf, rdf, "k", "k", "ts", "ts", ["val"]
+        ).collect()
+    )
+
+    lpd = pd.DataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        columns=["lid", "k", "ts"],
+    ).astype("int32")
+    rpd = pd.DataFrame(
+        list(right), columns=["k", "ts", "val"]
+    ).astype("int32")
+    con = duckdb.connect()
+    try:
+        con.register("l", lpd)
+        con.register("r", rpd)
+        want = sorted(
+            tuple(r)
+            for r in con.sql(
+                "SELECT l.lid, l.k, l.ts, r.val, r.ts AS asof_ts "
+                "FROM l ASOF LEFT JOIN r "
+                "ON l.k = r.k AND l.ts >= r.ts"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want, (left, right)

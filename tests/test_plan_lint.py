@@ -83,7 +83,11 @@ _CARTESIAN_OK = {"embedding_top_pairs", "embedding_neardup", "knn_join",
                  # |pcts| x |groups| spine generator (3 x 3 rows)
                  "quantile_digest_grouped",
                  # |days| x 16-register broadcast spine generator
-                 "rolling_reach_hll"}
+                 "rolling_reach_hll",
+                 # |cohorts|^2 pair spine (<= 25 rows by
+                 # construction) over the persisted <= |cohorts|*k
+                 # KMV sketch
+                 "audience_overlap_kmv"}
 #: iterative operators (O(rounds) shuffle chains are the algorithm)
 #: and deliberately multi-stage composites (three ANN indexes + exact
 #: ground truth; triangle enumeration = 2 joins over 2 dedup passes)
@@ -103,7 +107,12 @@ _DEEP_OK = {"brand_pagerank", "dedup_clusters", "dedup_keep_canonical",
             "matryoshka_overlap_report",
             # 14 compression rounds (one groupBy each) over the
             # universe-bounded node relation: O(bits) by construction
-            "quantile_digest_accuracy", "quantile_digest_grouped"}
+            "quantile_digest_accuracy", "quantile_digest_grouped",
+            # sketch set-algebra + exact accuracy readout composite
+            # (ann_recall_exact_fixed's class): every post-sketch
+            # stage runs on <= |cohorts|*k persisted rows, the exact
+            # twin adds the one data-scale self-join it exists for
+            "audience_overlap_kmv"}
 
 
 def test_whole_registry_lints_clean(spark):
