@@ -51,6 +51,11 @@ _PRIORITY = (
     # the exact accuracy readout alongside (displaces the window's
     # r5 tail `bpe_train_report` to the r9 queue head)
     "audience_overlap_kmv",
+    # never-certified (added this round): Frequent Directions matrix
+    # sketch spectral profile — rows-only (SVD has no SQL form), the
+    # exact spectrum + FD bound ride in the output (displaces
+    # `context_budget_report` to the r9 queue head)
+    "embedding_fd_profile",
     # r4-stale pool, complete (slots 2-44)
     "pricing_summary",
     "top_customers_per_segment", "revenue_rollup", "events_hourly",
@@ -74,14 +79,13 @@ _PRIORITY = (
     # r5-stale head (slots 46-50): the five stalest remaining entries
     # in (last-certified round, registry order)
     "feature_hash_embed", "event_sequence_prep", "label_noise_scan",
-    "context_budget_report",
     # ---- 50-slot window boundary ----
     # r9 queue: the remaining r5-certified pool continues in rotation
     # order.  New queries added mid-round must be inserted ABOVE this
     # queue but INSIDE the window (displacing the window's r5 tail
     # down here) so a post-close driver artifact can never strand a
     # never-certified entry outside the window.
-    "bpe_train_report", "ann_recall_report",
+    "context_budget_report", "bpe_train_report", "ann_recall_report",
     "ngram_novelty", "bpe_merge_candidates", "media_triage_report",
     "embedding_whitening",
 )

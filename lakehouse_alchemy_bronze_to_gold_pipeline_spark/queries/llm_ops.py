@@ -1774,6 +1774,52 @@ GROUP BY doc_id
 """
 
 
+def q_embedding_fd_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Spectral profile of the embedding Gram matrix via a Frequent
+    Directions sketch (operators/fd.py), with the EXACT spectrum and
+    the FD deterministic error bound alongside — the certified-
+    approximation readout pattern (reach_kmv_accuracy's shape, lifted
+    to linear algebra).  One row per top component: exact eigenvalue
+    of AᵀA, the sketch's estimate, the realized gap, and the FD
+    guarantee ‖A‖_F²/ell the gap must stay under; plus the within-
+    bound flag the pytest accuracy suite also pins.
+
+    Scale: the FD pass ships ell·d doubles per partition (vs d² for
+    the exact moment pass it replaces at large d); the exact twin
+    here is the small-sf audit, never the 100 TB plan.  Rows-only:
+    SVD has no SQL form; ``embedding_covariance_stats`` (oracle-
+    green) certifies the same moment pipeline relationally."""
+    import numpy as np
+
+    from ..operators.fd import frequent_directions
+    from ..operators.whiten import covariance_stats
+
+    e = load(spark, sf, "embeddings")
+    ell, top = 16, 8
+    b, frob_sq, n = frequent_directions(e, "embedding", ell=ell, d=64)
+    n2, mean, cov = covariance_stats(e)
+    gram = n2 * (cov + np.outer(mean, mean))
+    exact = np.sort(np.linalg.eigvalsh(gram))[::-1]
+    fd_eig = np.sort(np.linalg.svd(b, compute_uv=False) ** 2)[::-1]
+    bound = frob_sq / ell
+    rows = [
+        (
+            int(i),
+            float(round(exact[i], 4)),
+            float(round(fd_eig[i], 4)),
+            float(round(exact[i] - fd_eig[i], 4)),
+            float(round(bound, 4)),
+            bool(exact[i] - fd_eig[i] <= bound + 1e-6 * frob_sq),
+        )
+        for i in range(top)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component bigint, exact_eig double, fd_eig double, "
+        "gap double, fd_bound double, within_bound boolean",
+    )
+
+
 def q_embedding_covariance_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Covariance structure of the embedding space — the whitening /
     PCA-readiness diagnostic (high off-diagonal mass means dimensions
@@ -4235,6 +4281,7 @@ SPARK_QUERIES = {
     "multimodal_codec_mix": q_multimodal_codec_mix,
     "crossdoc_span_coverage": q_crossdoc_span_coverage,
     "embedding_covariance_stats": q_embedding_covariance_stats,
+    "embedding_fd_profile": q_embedding_fd_profile,
     "embedding_kmeans_profile": q_embedding_kmeans_profile,
     "embedding_kmeans_profile_fixed": q_embedding_kmeans_profile_fixed,
     "embedding_pq_topk": q_embedding_pq_topk,
