@@ -56,6 +56,11 @@ _PRIORITY = (
     # exact spectrum + FD bound ride in the output (displaces
     # `context_budget_report` to the r9 queue head)
     "embedding_fd_profile",
+    # never-certified (added this round): Adamic-Adar link prediction
+    # on the part co-purchase graph, customer-middled so the pair
+    # fan-out is linear in customers (displaces `label_noise_scan`
+    # to the r9 queue head)
+    "copurchase_link_prediction",
     # r4-stale pool, complete (slots 2-44)
     "pricing_summary",
     "top_customers_per_segment", "revenue_rollup", "events_hourly",
@@ -78,14 +83,15 @@ _PRIORITY = (
     "user_activity_streaks", "lineitem_hash_sample",
     # r5-stale head (slots 46-50): the five stalest remaining entries
     # in (last-certified round, registry order)
-    "feature_hash_embed", "event_sequence_prep", "label_noise_scan",
+    "feature_hash_embed", "event_sequence_prep",
     # ---- 50-slot window boundary ----
     # r9 queue: the remaining r5-certified pool continues in rotation
     # order.  New queries added mid-round must be inserted ABOVE this
     # queue but INSIDE the window (displacing the window's r5 tail
     # down here) so a post-close driver artifact can never strand a
     # never-certified entry outside the window.
-    "context_budget_report", "bpe_train_report", "ann_recall_report",
+    "label_noise_scan", "context_budget_report", "bpe_train_report",
+    "ann_recall_report",
     "ngram_novelty", "bpe_merge_candidates", "media_triage_report",
     "embedding_whitening",
 )
