@@ -2455,10 +2455,14 @@ def q_copurchase_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     the cutoff is deterministic cross-engine."""
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    # persist: the customer-part relation feeds BOTH the degree
+    # aggregate and the pair self-join (the _doc_terms lesson —
+    # without it the join+distinct runs three times)
     cp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select("o_custkey", "l_partkey")
         .distinct()
+        .persist()
     )
     deg = (
         cp.groupBy("o_custkey")
@@ -2489,7 +2493,8 @@ def q_copurchase_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
             F.col("x.l_partkey").alias("pa"),
             F.col("y.l_partkey").alias("pb"),
         )
-        .distinct()
+        # no distinct: left-anti semantics ignore right-side
+        # duplicates, so deduping here would only add a shuffle
     )
     return (
         pairs.join(edges, ["pa", "pb"], "left_anti")

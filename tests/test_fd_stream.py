@@ -1,0 +1,159 @@
+"""Incrementally maintained FD sketch: streaming batches into the
+sketch table must conserve mass/row-count EXACTLY, keep the FD
+spectral guarantee vs the exact Gram of everything ingested, survive
+checkpoint replays without double-counting, and keep all of those
+through compaction (including the replay guard, which compaction
+must not erase)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.sources.tables import (
+    TableIO,
+)
+from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.fd_maintain import (
+    IncrementalFDSketch,
+)
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+SCHEMA = StructType([
+    StructField("vec_id", LongType()),
+    StructField("embedding", ArrayType(DoubleType())),
+])
+
+ELL = 16
+
+
+def _drop(spark, *tables):
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+
+
+def _corpus(spark):
+    return (
+        spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+
+
+def _exact(df):
+    x = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in df.select("embedding").collect()]
+    )
+    return x.T @ x, float((x * x).sum()), len(x)
+
+
+def _gap(g, b):
+    return float(np.linalg.eigvalsh(g - b.T @ b).max())
+
+
+def test_incremental_fd_stream(spark, tmp_path):
+    _drop(spark, "fdinc_fd")
+    io = TableIO(spark, fmt="parquet")
+    sk = IncrementalFDSketch(io, "fdinc", ell=ELL, d=64)
+
+    emb = _corpus(spark)
+    g, mass, n_all = _exact(emb)
+
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+    os.makedirs(src, exist_ok=True)
+    b1 = emb.filter(F.xxhash64("vec_id") % 2 == 0)
+    b2 = emb.filter(F.xxhash64("vec_id") % 2 != 0)
+    b1.write.parquet(os.path.join(src, "p1"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = sk.writer(stream, cp).start()
+        q.awaitTermination(120)
+
+    run()
+    _, m1, n1 = sk.merged()
+    g1, mass1, cnt1 = _exact(b1)
+    assert n1 == cnt1
+    assert m1 == pytest.approx(mass1, rel=1e-9)
+
+    b2.write.parquet(os.path.join(src, "p2"))
+    run()  # checkpoint: p1 not re-folded
+
+    b, m, n = sk.merged()
+    assert n == n_all
+    assert m == pytest.approx(mass, rel=1e-9)
+    assert _gap(g, b) <= m / ELL + 1e-9 * m
+
+    # replay guard: re-presenting an already-folded batch_id is a
+    # no-op (mass would double without it)
+    sk.append_batch(b1, batch_id=0)
+    b_r, m_r, n_r = sk.merged()
+    assert (n_r, m_r) == (n, m)
+
+    _drop(spark, "fdinc_fd")
+
+
+def test_fd_compaction_preserves_state_and_guard(spark):
+    _drop(spark, "fdcpt_fd")
+    io = TableIO(spark, fmt="parquet")
+    sk = IncrementalFDSketch(io, "fdcpt", ell=ELL, d=64)
+
+    emb = _corpus(spark)
+    g, mass, n_all = _exact(emb)
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    b2 = emb.filter(F.col("vec_id") % 3 != 0)
+    # multi-partition batches: several partial-sketch rows per batch
+    sk.append_batch(b1.repartition(4), batch_id=0)
+    sk.append_batch(b2.repartition(4), batch_id=1)
+    _, m0, n0 = sk.merged()
+    rows_before = io.read("fdcpt_fd").count()
+    assert rows_before > 3  # something to compact
+
+    sk.compact()
+    # storage collapsed to 1 content row + 2 replay markers
+    stored = io.read("fdcpt_fd").collect()
+    assert len(stored) == 3 < rows_before
+    assert sorted(r["batch_id"] for r in stored) == [-1, 0, 1]
+
+    b, m, n = sk.merged()
+    assert (n, m) == (n0, m0)
+    assert m == pytest.approx(mass, rel=1e-9)
+    assert _gap(g, b) <= m / ELL + 1e-9 * m
+
+    # the guard SURVIVES compaction: replaying batch 1 is still a
+    # no-op...
+    sk.append_batch(b2, batch_id=1)
+    _, m2, n2 = sk.merged()
+    assert (n2, m2) == (n, m)
+
+    # ...while genuinely new batches still fold in
+    nv = spark.createDataFrame(
+        [(900001, [1.0] * 64)], SCHEMA
+    )
+    sk.append_batch(nv, batch_id=2)
+    _, m3, n3 = sk.merged()
+    assert n3 == n + 1
+    assert m3 == pytest.approx(m + 64.0, rel=1e-9)
+    _drop(spark, "fdcpt_fd")
