@@ -149,6 +149,70 @@ def kmv_estimates(summary: DataFrame, k: int = 64) -> DataFrame:
     return agg.select("grp", F.round(est, 4).alias("est_distinct"))
 
 
+def kmv_overlap(summary: DataFrame, k: int = 64) -> DataFrame:
+    """Set algebra over a stored per-group KMV summary: for every
+    unordered group pair, estimate |A ∪ B|, |A ∩ B| and Jaccard from
+    the sketches ALONE — no raw data is ever re-touched (the
+    theta-sketch capability; math as in
+    ``queries.advanced.q_audience_overlap_kmv``, which carries the
+    oracle-certified accuracy readout of the same estimator).
+
+    Union sketch = bottom-k of the two groups' merged samples;
+    K_union = (k-1)/u_k; rho = fraction of union-sketch samples
+    present in BOTH sketches estimates Jaccard; intersection =
+    rho·K_union.  Cost: every relation here is <= |groups|·k rows —
+    the readout is free at any corpus size, which is the point of
+    maintaining the sketch table."""
+    from pyspark.sql import Window
+
+    sk = summary.select("grp", "h").persist()
+    groups = sk.select("grp").distinct()
+    pairs = (
+        groups.select(F.col("grp").alias("grp_a"))
+        .crossJoin(groups.select(F.col("grp").alias("grp_b")))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    pa = pairs.join(
+        sk.withColumnRenamed("grp", "grp_a"), "grp_a"
+    ).select(
+        "grp_a", "grp_b", "h",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    pb = pairs.join(
+        sk.withColumnRenamed("grp", "grp_b"), "grp_b"
+    ).select(
+        "grp_a", "grp_b", "h",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    pool = (
+        pa.unionByName(pb)
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    kk = (
+        pool.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("grp_a", "grp_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_min"),
+            F.max("h").alias("h_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        )
+    )
+    u_est = F.when(
+        F.col("n_min") < k, F.col("n_min").cast("double")
+    ).otherwise((k - 1) * 4503599627370496.0 / (F.col("h_k") + 1))
+    j_est = F.col("n_both").cast("double") / F.col("n_min").cast("double")
+    return kk.select(
+        "grp_a",
+        "grp_b",
+        F.round(u_est, 4).alias("union_est"),
+        F.round(j_est * u_est, 4).alias("inter_est"),
+        F.round(j_est, 4).alias("jaccard_est"),
+    )
+
+
 def streaming_kmv(
     stream: DataFrame,
     io: TableIO,

@@ -280,3 +280,58 @@ def test_streaming_hll_registers_equal_batch_union(spark, tmp_path):
     true = {"a": 400, "b": 9}
     for g, t in true.items():
         assert abs(est[g] - t) / t < 0.78, (g, est[g], t)
+
+
+def test_kmv_overlap_readout(spark, tmp_path):
+    """Set algebra over a stored KMV summary (kmv_overlap): exact
+    when every group fits its sketch (n < k: the union pool is the
+    real sets), within the estimator's sigma band when estimated —
+    and computed from the sketch table alone."""
+    from pyspark.sql.types import LongType
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.sketch_rollup import (
+        kmv_overlap,
+        merge_kmv_batch,
+    )
+
+    schema = StructType(
+        [StructField("grp", StringType()), StructField("uid", LongType())]
+    )
+    for t in ("kmv_ovl_exact", "kmv_ovl_est"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    io = TableIO(spark, fmt="parquet")
+
+    # exact regime: |a|=30, |b|=20, |a ∩ b| = 10, k=64 > all
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(20, 40)]
+    merge_kmv_batch(
+        spark.createDataFrame(rows, schema), io, "kmv_ovl_exact",
+        "grp", "uid", k=64,
+    )
+    out = kmv_overlap(io.read("kmv_ovl_exact"), k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["grp_a"], r["grp_b"]) == ("a", "b")
+    assert r["union_est"] == 40.0
+    assert r["inter_est"] == 10.0
+    assert r["jaccard_est"] == 0.25
+
+    # estimated regime: |a|=400, |b|=300, inter=100, k=32
+    rows = [("a", i) for i in range(400)] + [
+        ("b", i) for i in range(300, 600)
+    ]
+    merge_kmv_batch(
+        spark.createDataFrame(rows, schema), io, "kmv_ovl_est",
+        "grp", "uid", k=32,
+    )
+    r = kmv_overlap(io.read("kmv_ovl_est"), k=32).collect()[0]
+    sigma = 1 / (32 - 2) ** 0.5
+    assert abs(r["union_est"] - 600) / 600 <= 4 * sigma
+    # intersection compounds union + jaccard noise: wider band
+    assert abs(r["inter_est"] - 100) / 100 <= 8 * sigma
+
+    for t in ("kmv_ovl_exact", "kmv_ovl_est"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
