@@ -162,10 +162,22 @@ def kmv_overlap(summary: DataFrame, k: int = 64) -> DataFrame:
     present in BOTH sketches estimates Jaccard; intersection =
     rho·K_union.  Cost: every relation here is <= |groups|·k rows —
     the readout is free at any corpus size, which is the point of
-    maintaining the sketch table."""
+    maintaining the sketch table.
+
+    NULL group keys: a NULL-keyed cohort (which ``merge_kmv_batch``
+    stores and ``kmv_estimates`` reports, per the grouped-sketch
+    null-key contract) is EXCLUDED from the pair matrix explicitly —
+    the pair spine orders groups with ``<``, which has no total
+    order over NULL; filtering up front makes the exclusion a
+    documented contract instead of a silent join-condition drop
+    (the r7 advice lesson from the grouped q-digest)."""
     from pyspark.sql import Window
 
-    sk = summary.select("grp", "h").persist()
+    sk = (
+        summary.filter(F.col("grp").isNotNull())
+        .select("grp", "h")
+        .persist()
+    )
     groups = sk.select("grp").distinct()
     pairs = (
         groups.select(F.col("grp").alias("grp_a"))

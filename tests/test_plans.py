@@ -685,3 +685,35 @@ def test_ivf_stream_assign_narrow_probe_broadcast(spark):
     assert _shuffles(plan) == 1
     # partial top-k pushed below that exchange (WindowGroupLimit)
     assert ops.count("WindowGroupLimit") == 2
+
+
+def test_audience_overlap_kmv_persisted_sketch(spark):
+    """KMV set algebra: the <= |cohorts|*k sketch relation and the
+    distinct (type, user, day) relation each feed multiple consumers
+    and must come from the cache, not recomputed data-scale passes;
+    the exact-side self-join stays an equi-join (never a nested
+    loop over data-scale inputs)."""
+    plan = _formatted(spark, "audience_overlap_kmv")
+    tree = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in tree
+    ops = _ops(plan)
+    # the only nested-loop is the <= |cohorts|^2 pair spine; the
+    # exact intersection is a hash/sort equi-join on (user, day)
+    assert "CartesianProduct" not in ops
+    assert _shuffles(plan) <= 15
+
+
+def test_copurchase_link_prediction_plan(spark):
+    """Link prediction: the customer-part relation is persisted (it
+    feeds the degree aggregate and both pair-join sides), co-order
+    edges are removed by LEFT ANTI (no distinct materialization of
+    the edge set), and nothing nested-loops."""
+    plan = _formatted(spark, "copurchase_link_prediction")
+    tree = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in tree
+    ops = _ops(plan)
+    assert "CartesianProduct" not in ops
+    assert "BroadcastNestedLoopJoin" not in ops
+    assert "LeftAnti" in plan
+    # top-k is a TakeOrdered, never a global sort of all candidates
+    assert "TakeOrderedAndProject" in ops

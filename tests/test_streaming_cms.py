@@ -335,3 +335,55 @@ def test_kmv_overlap_readout(spark, tmp_path):
 
     for t in ("kmv_ovl_exact", "kmv_ovl_est"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.sets(st.integers(0, 80), min_size=1, max_size=40),
+    b=st.sets(st.integers(0, 80), min_size=1, max_size=40),
+)
+def test_kmv_overlap_exact_regime_property(spark, a, b):
+    """When both sketches hold their full sets (n < k), kmv_overlap
+    degrades to EXACT set algebra — for any pair of sets: union and
+    intersection estimates equal the true sizes, Jaccard equals the
+    true ratio (to the 4-decimal readout)."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.sketch_rollup import (
+        kmv_overlap,
+    )
+
+    summary = spark.createDataFrame(
+        [("a", int(h)) for h in a] + [("b", int(h)) for h in b],
+        "grp string, h bigint",
+    )
+    [r] = kmv_overlap(summary, k=128).collect()
+    assert r["union_est"] == float(len(a | b))
+    assert r["inter_est"] == float(len(a & b))
+    assert abs(r["jaccard_est"] - len(a & b) / len(a | b)) <= 5.0001e-5
+
+
+def test_kmv_overlap_null_group_contract(spark):
+    """NULL-keyed cohorts stay visible in kmv_estimates but are
+    excluded from the overlap pair matrix — the documented contract
+    (pair ordering has no total order over NULL)."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.sketch_rollup import (
+        kmv_estimates,
+        kmv_overlap,
+    )
+
+    summary = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3), (None, 1), (None, 9)],
+        "grp string, h bigint",
+    )
+    est = {r["grp"]: r["est_distinct"]
+           for r in kmv_estimates(summary, k=16).collect()}
+    assert est[None] == 2.0 and est["a"] == 2.0
+    out = kmv_overlap(summary, k=16).collect()
+    assert [(r["grp_a"], r["grp_b"]) for r in out] == [("a", "b")]
