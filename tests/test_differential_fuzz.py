@@ -904,3 +904,141 @@ def test_asof_join_parity(spark, left, right):
     finally:
         con.close()
     assert got == want, (left, right)
+
+
+# ---------------------------------------------------------------------
+# dimension 11: banded range join vs DuckDB's native non-equi join
+# ---------------------------------------------------------------------
+#
+# The engine's band_join (operators/rangejoin.py — bucketed interval
+# join: explode left to <= 2 bucket ids, hash equi-join, exact band
+# post-filter) against DuckDB evaluating the band predicate directly.
+# Random probe/state streams with optional key columns, bands of
+# random width/offset (including negative lower bounds and
+# bucket-boundary-straddling matches).  Integer-exact.
+
+
+@settings(**SETTINGS)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=0, max_size=10,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 9)),
+        min_size=0, max_size=10,
+    ),
+    lower=st.integers(-10, 5),
+    width=st.integers(1, 12),
+    keyed=st.booleans(),
+)
+def test_band_join_parity(spark, left, right, lower, width, keyed):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.rangejoin import band_join
+
+    import pandas as pd
+
+    upper = lower + width
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        "lid INT, k INT, lts INT",
+    )
+    rdf = spark.createDataFrame(
+        list(right), "k INT, rts INT, val INT"
+    )
+    keys = ["k"] if keyed else []
+    got = sorted(
+        (r["lid"], r["rts"], r["val"])
+        for r in band_join(
+            ldf, rdf, "lts", "rts", lower, upper, keys=keys
+        ).collect()
+    )
+
+    lpd = pd.DataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(left)],
+        columns=["lid", "k", "lts"],
+    ).astype("int32")
+    rpd = pd.DataFrame(
+        list(right), columns=["k", "rts", "val"]
+    ).astype("int32")
+    con = duckdb.connect()
+    try:
+        con.register("l", lpd)
+        con.register("r", rpd)
+        keycond = "AND l.k = r.k " if keyed else ""
+        want = sorted(
+            tuple(r)
+            for r in con.sql(
+                f"SELECT l.lid, r.rts, r.val FROM l JOIN r ON "
+                f"r.rts - l.lts > {lower} AND r.rts - l.lts <= {upper} "
+                f"{keycond}"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want, (lower, upper, keyed, left, right)
+
+
+# ---------------------------------------------------------------------
+# dimension 12: batch sessionize vs a DuckDB lag/cumsum twin
+# ---------------------------------------------------------------------
+#
+# Gap-based sessionization (operators/sessionize.py) against the SQL
+# formulation written independently in DuckDB (lag -> boundary flag
+# -> running sum), on random event streams with duplicate timestamps
+# (the tiebreak column makes ordering total on both engines),
+# boundary-exact gaps (gap == gap_seconds stays in-session; the
+# engine uses strict >), and single-event users.
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 120)),
+        min_size=1, max_size=25,
+    ),
+    gap=st.integers(1, 40),
+)
+def test_sessionize_parity(spark, events, gap):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.sessionize import sessionize
+
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [(i, u, ts) for i, (u, ts) in enumerate(events)],
+        "eid INT, user_id INT, ts INT",
+    )
+    got = sorted(
+        (r["eid"], r["session_id"])
+        for r in sessionize(
+            df, gap_seconds=gap, order_tiebreak="eid"
+        ).collect()
+    )
+
+    pdf = pd.DataFrame(
+        [(i, u, ts) for i, (u, ts) in enumerate(events)],
+        columns=["eid", "user_id", "ts"],
+    ).astype("int64")
+    con = duckdb.connect()
+    try:
+        con.register("e", pdf)
+        want = sorted(
+            tuple(r)
+            for r in con.sql(f"""
+                WITH lagged AS (
+                  SELECT eid, user_id, ts,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                                OR ts - lag(ts) OVER w > {gap}
+                              THEN 1 ELSE 0 END AS boundary
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, eid)
+                )
+                SELECT eid,
+                       SUM(boundary) OVER (
+                         PARTITION BY user_id ORDER BY ts, eid
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM lagged
+            """).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want, (gap, events)

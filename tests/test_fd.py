@@ -112,3 +112,50 @@ def test_fd_profile_query(spark):
         assert r["within_bound"]
         assert r["gap"] >= -1e-4
         assert r["gap"] <= r["fd_bound"] + 1e-4
+
+
+# -------------------------------------------------------------- property
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 10_000),
+    cuts=st.lists(st.integers(1, 199), max_size=4, unique=True),
+    nested=st.booleans(),
+)
+def test_fd_bound_under_any_merge_tree(seed, cuts, nested):
+    """FD mergeability as a property: for ANY split of the stream
+    into chunks and EITHER merge shape (flat concat-of-all vs
+    left-deep pairwise), the merged sketch keeps the ||A||_F^2/ell
+    guarantee vs the whole-stream Gram — the invariant the
+    distributed pass and the streaming maintainer both rely on.
+    (Pure numpy: no Spark fixture, so shrinking is cheap.)"""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(200, 12)) * np.linspace(4, 0.1, 12)
+    ell = 5
+    bounds = sorted(set(cuts)) + [200]
+    chunks, lo = [], 0
+    for hi in bounds:
+        if hi > lo:
+            chunks.append(x[lo:hi])
+            lo = hi
+    sks = [_fd_stream(iter([c]), ell, 12)[0] for c in chunks]
+    if nested:
+        merged = sks[0]
+        for s in sks[1:]:
+            merged = fd_merge([merged, s], ell)
+    else:
+        merged = fd_merge(sks, ell)
+    mass = float((x * x).sum())
+    gap = _max_eig_gap(_gram(x), merged)
+    assert gap <= mass / ell + 1e-9 * mass
+    # PSD direction holds through every merge shape too
+    assert float(
+        np.linalg.eigvalsh(_gram(x) - merged.T @ merged).min()
+    ) >= -1e-6 * mass
