@@ -72,13 +72,53 @@ def _source_fingerprint() -> str:
 #: (``this_run_total``).
 MERGE_CAP = 8
 
+#: Steal-window canary threshold (BASELINE.md protocol): a prior run
+#: is DISCARDED from the merge series when its worst canary reading
+#: exceeds this factor times the best canary in the candidate series
+#: (current run included).  The canary is a fixed pure-python busy
+#: loop timed before and after the sweep; host CPU steal inflates its
+#: wall time roughly in proportion to the contamination (r8's stolen
+#: middle series ran raws 242-278 s vs 213-225 s clean — ~15-25%
+#: inflation — and was adjudicated by a human reading BENCH_NOTES;
+#: this threshold mechanizes that adjudication).
+CANARY_DISCARD_FACTOR = 1.5
+
+#: busy-loop iterations — ~0.1 s on this box when uncontended; large
+#: enough that scheduler jitter averages out, small enough to be free
+CANARY_ITERS = 2_000_000
+
+
+def _canary() -> float:
+    """Median-of-3 wall seconds for the fixed busy loop.  Median, not
+    min: the canary must SEE intermittent steal, which a min would
+    hide."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(CANARY_ITERS):
+            acc += i ^ (i >> 3)
+        samples.append(time.perf_counter() - t0)
+        assert acc >= 0  # keep the loop un-eliminable
+    return round(sorted(samples)[1], 4)
+
 
 def _merge_prior_mins(
-    out_dir: str, fingerprint: str, sf: float, times: dict[str, float]
-) -> tuple[dict[str, float], int]:
+    out_dir: str,
+    fingerprint: str,
+    sf: float,
+    times: dict[str, float],
+    canary: float | None = None,
+) -> tuple[dict[str, float], int, int]:
     """Per-query min across the most recent MERGE_CAP-1 prior detail
-    files with the SAME source fingerprint, sf, and query set.
-    Returns (merged, n_runs_merged)."""
+    files with the SAME source fingerprint, sf, and query set, after
+    dropping canary-contaminated priors.
+    Returns (merged, n_runs_merged, n_canary_discarded).
+
+    Only priors with a non-empty ``this_run`` participate: a legacy
+    detail whose only payload is the already-merged ``queries`` map
+    would re-inject every aged-out outlier into each merge, defeating
+    the MERGE_CAP aging (r8 ADVICE)."""
     import glob
 
     priors = []
@@ -88,22 +128,44 @@ def _merge_prior_mins(
                 d = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
+        run = d.get("this_run")
         if (
             d.get("fingerprint") != fingerprint
             or d.get("sf") != sf
-            or set(d.get("this_run", d.get("queries", {}))) != set(times)
+            or not run
+            or set(run) != set(times)
         ):
             continue
-        priors.append(d.get("this_run") or d.get("queries", {}))
+        priors.append((run, d.get("canary_worst")))
+
+    priors = priors[-(MERGE_CAP - 1):]
+    # canary gate: the clean-box reference is the BEST canary in the
+    # candidate series; anything > factor x that ran under steal.
+    # Priors predating the canary (no reading) are kept: the gate
+    # mechanizes future adjudication, it does not retro-condemn.
+    cvals = [c for _, c in priors if c is not None]
+    if canary is not None:
+        cvals.append(canary)
+    kept, n_discarded = [], 0
+    best = min(cvals) if cvals else None
+    for run, c in priors:
+        if (
+            best is not None
+            and c is not None
+            and c > CANARY_DISCARD_FACTOR * best
+        ):
+            n_discarded += 1
+            continue
+        kept.append(run)
 
     merged = dict(times)
     n = 1
-    for prior in priors[-(MERGE_CAP - 1):]:
+    for prior in kept:
         for k, v in prior.items():
             if v < merged[k]:
                 merged[k] = v
         n += 1
-    return merged, n
+    return merged, n, n_discarded
 
 
 def main() -> None:
@@ -117,6 +179,8 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
     except (IndexError, ValueError):
         sf = -1.0
+
+    canary_pre = _canary()  # clean-box probe BEFORE the JVM exists
 
     spark = get_spark(
         "bench",
@@ -213,13 +277,17 @@ def main() -> None:
         spark.catalog.clearCache()
 
     spark.stop()
+    canary_post = _canary()  # post-sweep probe, JVM gone
+    canary_worst = max(canary_pre, canary_post)
     # per-run file under a gitignored dir: successive runs don't
     # clobber each other and the detail can't be committed by accident
     out_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out"
     )
     os.makedirs(out_dir, exist_ok=True)
-    merged, n_runs = _merge_prior_mins(out_dir, fingerprint, sf, times)
+    merged, n_runs, n_discarded = _merge_prior_mins(
+        out_dir, fingerprint, sf, times, canary_worst
+    )
     detail = {
         "metric": "total_query_wall_sec",
         "value": round(sum(merged.values()), 3),
@@ -228,6 +296,10 @@ def main() -> None:
         "this_run": times,     # this run's raw timings
         "this_run_total": round(sum(times.values()), 3),
         "runs_merged": n_runs,
+        "canary_pre": canary_pre,
+        "canary_post": canary_post,
+        "canary_worst": canary_worst,
+        "canary_discarded_priors": n_discarded,
         "fingerprint": fingerprint,
         "sf": sf,
     }
@@ -237,24 +309,28 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(detail["queries"], sort_keys=True), file=sys.stderr)
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(merged),
+        "runs_merged": n_runs,
+        "this_run_total": detail["this_run_total"],
+        "canary_worst": canary_worst,
+        "canary_discarded_priors": n_discarded,
+        "detail": os.path.relpath(
+            detail_path, os.path.dirname(os.path.abspath(__file__))
+        ),
+    }
+    # ONE authoritative merged figure per round (r8 verdict): the
+    # newest summary always overwrites BENCH_LATEST.json, and the
+    # round notes quote THAT file — never an intermediate snapshot.
+    with open(os.path.join(out_dir, "BENCH_LATEST.json"), "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=True)
     # the compact summary is the LAST stdout line so a bounded tail
     # capture always retains a parseable JSON object
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": detail["value"],
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(merged),
-                "runs_merged": n_runs,
-                "this_run_total": detail["this_run_total"],
-                "detail": os.path.relpath(
-                    detail_path, os.path.dirname(os.path.abspath(__file__))
-                ),
-            }
-        )
-    )
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -58,8 +58,17 @@ def _shrink(buf: np.ndarray, ell: int) -> np.ndarray:
 
 def _fd_stream(rows: Iterator[np.ndarray], ell: int, d: int):
     """Classic 2ell-buffer FD over a stream of (m, d) blocks.
-    Returns (B (ell, d), frob_sq, n)."""
-    buf = np.zeros((0, d))
+    Returns (B (ell, d), frob_sq, n).
+
+    The buffer is a FIXED (2ell, d) array filled in slices: each
+    incoming block is consumed (2ell - fill)-rows at a time, and a
+    full buffer is shrunk in place.  This performs the exact same
+    sequence of shrink operations as the textbook split/concatenate
+    loop (so results are bitwise identical) without re-copying the
+    block tail on every step — the naive vstack form is O(B²/ell)
+    memcpy in the Arrow batch size."""
+    buf = np.zeros((2 * ell, d))
+    fill = 0  # rows [0, fill) are live
     mass = 0.0
     n = 0
     for x in rows:
@@ -67,17 +76,22 @@ def _fd_stream(rows: Iterator[np.ndarray], ell: int, d: int):
             continue
         mass += float((x * x).sum())
         n += len(x)
-        buf = np.vstack([buf, x])
-        while len(buf) >= 2 * ell:
-            head, buf = buf[: 2 * ell], buf[2 * ell :]
-            head = _shrink(head, ell)
-            buf = np.vstack([head, buf])
-            if len(buf) < 2 * ell:
-                break
-    if len(buf) > ell:
-        buf = _shrink(buf, ell)
+        i = 0
+        while i < len(x):
+            take = min(2 * ell - fill, len(x) - i)
+            buf[fill : fill + take] = x[i : i + take]
+            fill += take
+            i += take
+            if fill == 2 * ell:
+                head = _shrink(buf, ell)
+                buf[: len(head)] = head
+                buf[len(head) :] = 0.0
+                fill = len(head)
+    live = buf[:fill]
+    if fill > ell:
+        live = _shrink(live, ell)
     out = np.zeros((ell, d))
-    out[: len(buf)] = buf
+    out[: len(live)] = live
     return out, mass, n
 
 

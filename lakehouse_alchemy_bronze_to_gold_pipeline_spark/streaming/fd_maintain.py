@@ -111,12 +111,18 @@ class IncrementalFDSketch:
     def _rows(self):
         return self.io.read(self.sketch_table).collect()  # bounded
 
-    def merged(self) -> tuple[np.ndarray, float, int]:
+    def merged(self, rows=None) -> tuple[np.ndarray, float, int]:
         """(B (ell, d), frob_sq, n) over everything ingested so far —
         the one-shot ``frequent_directions`` contract.  Zero-mass
         rows (the post-compaction replay-guard markers) carry no
-        sketch content and are skipped."""
-        rows = [r for r in self._rows() if r["n"] > 0]
+        sketch content and are skipped.  ``rows`` lets a caller pass
+        a pre-collected snapshot so one read serves several derived
+        views (``compact`` needs this: deriving the seen-set and the
+        merge from DIFFERENT reads would let a batch appended between
+        them be folded without a replay-guard marker)."""
+        if rows is None:
+            rows = self._rows()
+        rows = [r for r in rows if r["n"] > 0]
         if not rows:
             return np.zeros((self.ell, self.d)), 0.0, 0
         b = fd_merge(
@@ -144,11 +150,11 @@ class IncrementalFDSketch:
         still recognized and skipped — without the markers,
         compaction would erase the registry and a replay would
         double-count."""
-        rows = self._rows()
+        rows = self._rows()  # ONE snapshot feeds both derived views
         seen = sorted(
             {int(r["batch_id"]) for r in rows if r["batch_id"] >= 0}
         )
-        b, frob_sq, n = self.merged()
+        b, frob_sq, n = self.merged(rows)
         if n == 0:
             return
         spark = self.io.spark

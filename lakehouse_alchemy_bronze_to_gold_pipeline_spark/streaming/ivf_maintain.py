@@ -47,7 +47,15 @@ from ..sources.tables import TableIO
 
 class IncrementalIVFIndex:
     """Append-only IVF index over an embedding stream, probe-equal
-    to a one-shot batch build at every point in time."""
+    to a one-shot batch build at every point in time.
+
+    Upstream contract: ids are IMMUTABLE — the replay guard anti-joins
+    on id alone, so a re-ingested id with a CHANGED embedding is
+    indistinguishable from a checkpoint replay and is dropped (the
+    stored vector keeps serving).  If the source can update vectors
+    in place, key the stream on (id, content-version) upstream or
+    rebuild the index; the guard deliberately does not hash payloads
+    (that would re-read every stored vector per batch)."""
 
     def __init__(
         self,
@@ -132,7 +140,8 @@ class IncrementalPQIndex:
     """Append-only PQ-compressed index over an embedding stream —
     the memory half of the incremental IVF-PQ stack (same pattern as
     ``IncrementalIVFIndex``: per-row work at ingest, corpus knowledge
-    as a table, readout unchanged).
+    as a table, readout unchanged; same id-immutability contract —
+    see the IVF docstring).
 
     - ``{name}_codes``: (vec_id, pq_codes array<int>) — m small ints
       per vector instead of d floats (~30x narrower at m=8, d=64).

@@ -41,9 +41,72 @@ def test_merge_prior_mins_guards(tmp_path):
     # corrupt file -> skipped, not fatal
     (tmp_path / "BENCH_DETAIL_e.json").write_text("{not json")
 
-    merged, n = bench._merge_prior_mins(str(tmp_path), "FP", 0.1, times)
+    merged, n, discarded = bench._merge_prior_mins(
+        str(tmp_path), "FP", 0.1, times
+    )
     assert n == 2
+    assert discarded == 0
     assert merged == {"q1": 1.5, "q2": 3.0}
+
+
+def test_merge_skips_legacy_details_without_this_run(tmp_path):
+    """r8 ADVICE: a legacy detail whose only payload is the
+    already-merged ``queries`` map must NOT participate — through it
+    an aged-out outlier would re-enter every merge, defeating the
+    MERGE_CAP aging.  Same for a present-but-empty this_run."""
+    bench = _load("bench_under_test4", "/root/repo/bench.py")
+    times = {"q1": 5.0}
+    with open(tmp_path / "BENCH_DETAIL_legacy.json", "w") as fh:
+        json.dump({"fingerprint": "FP", "sf": 0.1,
+                   "queries": {"q1": 0.1}}, fh)      # merged-only: skip
+    with open(tmp_path / "BENCH_DETAIL_empty.json", "w") as fh:
+        json.dump({"fingerprint": "FP", "sf": 0.1,
+                   "this_run": {}, "queries": {"q1": 0.1}}, fh)
+
+    merged, n, discarded = bench._merge_prior_mins(
+        str(tmp_path), "FP", 0.1, times
+    )
+    assert n == 1 and discarded == 0
+    assert merged == {"q1": 5.0}
+
+
+def test_merge_discards_canary_contaminated_priors(tmp_path):
+    """The steal-window canary gate: a prior whose worst canary
+    exceeds CANARY_DISCARD_FACTOR x the best canary in the candidate
+    series is dropped from the merge; canary-less priors (predating
+    the probe) are kept."""
+    bench = _load("bench_under_test5", "/root/repo/bench.py")
+    times = {"q1": 5.0}
+
+    def detail(name, queries, canary):
+        body = {"fingerprint": "FP", "sf": 0.1, "this_run": queries}
+        if canary is not None:
+            body["canary_worst"] = canary
+        with open(tmp_path / name, "w") as fh:
+            json.dump(body, fh)
+
+    detail("BENCH_DETAIL_1.json", {"q1": 3.0}, 0.10)   # clean: kept
+    detail("BENCH_DETAIL_2.json", {"q1": 1.0}, 0.30)   # stolen: dropped
+    detail("BENCH_DETAIL_3.json", {"q1": 4.0}, None)   # pre-canary: kept
+
+    merged, n, discarded = bench._merge_prior_mins(
+        str(tmp_path), "FP", 0.1, times, canary=0.11
+    )
+    assert discarded == 1
+    assert n == 3                    # current + clean + pre-canary
+    assert merged == {"q1": 3.0}     # the stolen 1.0 did NOT win
+
+    # with no current canary the best-of-priors is the reference
+    merged, n, discarded = bench._merge_prior_mins(
+        str(tmp_path), "FP", 0.1, times
+    )
+    assert discarded == 1 and merged == {"q1": 3.0}
+
+
+def test_canary_probe_shape():
+    bench = _load("bench_under_test6", "/root/repo/bench.py")
+    v = bench._canary()
+    assert 0.0 < v < 5.0  # a fixed busy loop, not a no-op
 
 
 def test_merge_series_capped_at_most_recent(tmp_path):
@@ -64,7 +127,7 @@ def test_merge_series_capped_at_most_recent(tmp_path):
             json.dump({"fingerprint": "FP", "sf": 0.1,
                        "this_run": {"q1": 4.0 + i * 0.1}}, fh)
 
-    merged, n = bench._merge_prior_mins(str(tmp_path), "FP", 0.1, times)
+    merged, n, _ = bench._merge_prior_mins(str(tmp_path), "FP", 0.1, times)
     assert n == cap                  # current + cap-1 priors, not cap+1
     assert merged == {"q1": 4.0}     # the aged-out 0.1 is NOT merged
 
