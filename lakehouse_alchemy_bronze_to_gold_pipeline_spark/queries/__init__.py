@@ -34,66 +34,55 @@ _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q, **_ADV_Q, **_DS_Q,
 # last-certified entries (r2, then r3).  tools/window_audit.py
 # recomputes the never-certified set for the next rotation.
 _PRIORITY = (
-    # ---- r8 driver window (slots 1-50): the pre-queued rotation
-    # promoted per the r7 verdict (task 1) — this retires the last
-    # certification staleness: after this window lands, every
-    # registry entry's newest driver row is r5+.  Ordering =
+    # ---- r9 driver window (slots 1-50): the pre-queued rotation
+    # promoted per the r8 verdict (task 1).  After this window lands,
+    # every registry entry's newest driver row is r6+ (the post-r9
+    # staleness floor the r8 verdict mandates).  Ordering =
     # never-certified first, then sorted(names, key=(last_round,
-    # registry index)) over CORRECTNESS_r01..r07 — tools/
+    # registry index)) over CORRECTNESS_r01..r08 — tools/
     # window_audit.py reproduces it.
-    # never-certified (added this round): the incremental-IVF and
-    # incremental-PQ decomposition entries, each oracle-pinned to its
-    # one-shot build (the PQ addition displaces the window's r5 tail
-    # `ann_recall_report` to the r9 queue, per the insertion policy)
-    "ivf_stream_topk_fixed", "pq_stream_topk_fixed",
-    # never-certified (added this round): KMV set algebra — union /
-    # intersection / Jaccard estimates between cohort sketches with
-    # the exact accuracy readout alongside (displaces the window's
-    # r5 tail `bpe_train_report` to the r9 queue head)
-    "audience_overlap_kmv",
-    # never-certified (added this round): Frequent Directions matrix
-    # sketch spectral profile — rows-only (SVD has no SQL form), the
-    # exact spectrum + FD bound ride in the output (displaces
-    # `context_budget_report` to the r9 queue head)
-    "embedding_fd_profile",
-    # never-certified (added this round): Adamic-Adar link prediction
-    # on the part co-purchase graph, customer-middled so the pair
-    # fan-out is linear in customers (displaces `label_noise_scan`
-    # to the r9 queue head)
-    "copurchase_link_prediction",
-    # r4-stale pool, complete (slots 2-44)
-    "pricing_summary",
-    "top_customers_per_segment", "revenue_rollup", "events_hourly",
-    "events_json_kv", "sessionize_events", "session_conversion_daily",
-    "dedup_events_keep_latest", "set_ops_customers",
-    "customer_running_spend", "order_priority_cube",
-    "returnflag_pivot", "segment_distinct_customers",
-    "asof_latest_order", "scd1_upsert", "brand_supplier_hhi",
-    "brand_cooccurrence_top", "order_backlog_daily",
-    "user_retention_cohorts", "price_percentiles",
-    "price_percentiles_approx", "revenue_grouping_sets",
-    "events_band_join", "late_shipment_orders",
-    "brand_small_quantity_revenue", "daily_activity",
-    "customer_recent_spend", "top_unshipped_orders",
-    "order_date_math", "token_array_ops", "orders_profile",
-    "events_window_fn", "asia_nation_revenue", "embedding_top_pairs",
-    "embedding_top_pairs_lsh", "embedding_neardup_lsh",
-    "snapshot_diff_orders", "scd2_customer_history",
-    "order_rank_functions", "price_histogram", "lineitem_moments",
-    "user_activity_streaks", "lineitem_hash_sample",
-    # r5-stale head (slots 46-50): the five stalest remaining entries
-    # in (last-certified round, registry order)
-    "feature_hash_embed", "event_sequence_prep",
-    # ---- 50-slot window boundary ----
-    # r9 queue: the remaining r5-certified pool continues in rotation
-    # order.  New queries added mid-round must be inserted ABOVE this
-    # queue but INSIDE the window (displacing the window's r5 tail
-    # down here) so a post-close driver artifact can never strand a
-    # never-certified entry outside the window.
+    # never-certified (added this round): the FD sketch-to-decision
+    # handoff — incremental sketch, certified-dominance decision,
+    # sketch-derived PCA whitening applied and certified in-row
+    # (rows-only: SVD has no SQL form; displaces the window's r6
+    # tail `simhash_accuracy` to the r10 queue head)
+    "fd_whitening_handoff",
+    # r5-stale pool, complete (slots 2-48, rotation order)
     "label_noise_scan", "context_budget_report", "bpe_train_report",
-    "ann_recall_report",
-    "ngram_novelty", "bpe_merge_candidates", "media_triage_report",
-    "embedding_whitening",
+    "ann_recall_report", "ngram_novelty", "bpe_merge_candidates",
+    "media_triage_report", "embedding_whitening",
+    "hard_negative_mining", "image_phash_dedup", "minhash_accuracy",
+    "pmi_collocations", "semantic_dedup_fixed",
+    "embedding_ivf_topk_fixed", "doc_classifier_score",
+    "pii_redaction_report", "doc_unigram_logprob",
+    "doc_bigram_logprob", "multimodal_codec_mix",
+    "crossdoc_span_coverage", "embedding_covariance_stats",
+    "embedding_kmeans_profile", "embedding_kmeans_profile_fixed",
+    "embedding_pq_topk", "embedding_pq_topk_fixed",
+    "source_weighted_median_quality", "source_dup_matrix",
+    "corpus_train_val_split", "doc_weighted_sample",
+    "brand_random_walks", "join_size_estimate",
+    "temporal_split_leakage", "rolling_distinct_users",
+    "nation_revenue_trend", "ewma_monthly_revenue",
+    "segment_spend_gini", "brand_triangles",
+    "event_transition_matrix", "key_skew_profile",
+    "purchase_attribution", "brand_pagerank",
+    "events_value_outliers", "user_reach_sketch",
+    "conversion_latency", "rfm_segmentation", "quantile_binning",
+    "customer_entity_resolution",
+    # r6-stale head (slots 49-50): the two stalest remaining entries
+    # in (last-certified round, registry order)
+    "dsir_importance_report", "mg_heavy_hitters_fixed",
+    # ---- 50-slot window boundary ----
+    # r10 queue: the remaining r6-certified pool continues in rotation
+    # order.  New queries added mid-round must be inserted ABOVE this
+    # queue but INSIDE the window (displacing the window's tail down
+    # here) so a post-close driver artifact can never strand a
+    # never-certified entry outside the window.
+    "simhash_accuracy", "embedding_whitening_fixed",
+    "matryoshka_overlap_report", "perplexity_bucket_report",
+    "part_kcore_profile", "rolling_reach_hll",
+    "gap_fill_interpolate", "reach_hll_relational",
 )
 assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))
 

@@ -1820,6 +1820,139 @@ def q_embedding_fd_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_fd_whitening_handoff(spark: SparkSession, sf: str) -> DataFrame:
+    """The FD sketch as the 100 TB whitening DECISION PATH, end to
+    end: maintain the sketch incrementally, read it, decide which
+    directions dominate, derive the PCA-whitening transform FROM THE
+    SKETCH, apply it, and certify the result — every claim carried
+    in-row with its deterministic FD bound.
+
+    Stages (each the micro-batch / readout unit of
+    ``streaming.fd_maintain.IncrementalFDSketch``, decomposed in-plan
+    the way ``ivf_stream_topk_fixed`` decomposes its maintainer; the
+    writeStream/checkpoint/replay machinery is pinned by
+    tests/test_fd_stream.py):
+
+    1. mixed-scale features: dims 0/1 of the embedding carry 8x/4x
+       the native scale (plan constants — the un-normalized-feature
+       situation whitening exists for);
+    2. the corpus arrives as two hash-split batches, each FD-sketched
+       independently (``fd_partials`` — one narrow mapInPandas, no
+       shuffle) and appended; ``fd_merge`` of the stored rows is the
+       ``merged()`` readout;
+    3. decision: component i is CERTIFIED dominant iff its sketch
+       eigenvalue (a lower bound on the true Gram eigenvalue) exceeds
+       2x the exact per-dimension average frob_sq/d — frob_sq is
+       exact by mass conservation, so a True here is a PROOF, not an
+       estimate (on the un-scaled corpus no component certifies:
+       the honest isotropic verdict);
+    4. handoff: project onto the keep_k certified directions, scaled
+       by 1/sqrt(fd_eig/n) — PCA whitening from the sketch (uncentered
+       second-moment convention: FD sketches A itself);
+    5. certification: the whitened second moment diag, measured
+       EXACTLY and relationally, must land in [1, 1 + bound/fd_eig_i]
+       — the FD PSD sandwich (0 <= vᵀ(AᵀA - BᵀB)v <= ‖A‖_F²/ell)
+       turned into a per-component checkable interval;
+    6. audit: the exact spectrum from an ell=d (lossless) FD pass —
+       ``within_bound`` pins exact_i - fd_i in [0, bound]; the
+       one-shot pass doubles as the conservation twin
+       (``n_conserved``: two-batch n/mass == one-shot n/mass).
+
+    Scale: four narrow passes over the corpus, zero shuffles beyond
+    them; everything collected is <= ell*d + d*d doubles.  Rows-only:
+    SVD has no SQL form (``embedding_covariance_stats`` certifies the
+    moment pipeline relationally; ``embedding_whitening_fixed``
+    certifies the apply-side matmul against a SQL twin)."""
+    import numpy as np
+
+    from ..functions.vectors import as_double_array
+    from ..operators.fd import fd_merge, fd_partials, frequent_directions
+    from ..operators.whiten import whiten
+
+    ell, d, top = 16, 64, 8
+    schema = (
+        "component bigint, fd_eig double, exact_eig double, "
+        "fd_bound double, within_bound boolean, "
+        "certified_dominant boolean, keep boolean, "
+        "white_diag double, white_diag_max double, whitened_ok boolean, "
+        "n_conserved boolean"
+    )
+    e = load(spark, sf, "embeddings")
+    feats = e.select(
+        "vec_id",
+        F.transform(
+            as_double_array("embedding"),
+            lambda x, i: x
+            * F.when(i == 0, F.lit(8.0))
+            .when(i == 1, F.lit(4.0))
+            .otherwise(F.lit(1.0)),
+        ).alias("feat"),
+    )
+    b1 = feats.filter(F.xxhash64("vec_id") % 2 == 0)
+    b2 = feats.filter(F.xxhash64("vec_id") % 2 != 0)
+    srows = (
+        fd_partials(b1, "feat", ell, d).collect()
+        + fd_partials(b2, "feat", ell, d).collect()
+    )
+    if not srows:
+        return spark.createDataFrame([], schema)
+    b = fd_merge(
+        [np.asarray(r["sketch"]).reshape(ell, d) for r in srows], ell
+    )
+    frob = float(sum(r["frob_sq"] for r in srows))
+    n = int(sum(r["n"] for r in srows))
+    # lossless one-shot twin: ell=d never shrinks, so its spectrum is
+    # the EXACT Gram spectrum and its mass/count audit the two-batch
+    # path's conservation
+    b_exact, frob1, n1 = frequent_directions(feats, "feat", ell=d, d=d)
+    exact = np.sort(np.linalg.svd(b_exact, compute_uv=False) ** 2)[::-1]
+    _, s, vt = np.linalg.svd(b, full_matrices=False)
+    fd_eig = s**2  # descending
+    bound = frob / ell
+    avg = frob / d
+    n_conserved = bool(n == n1 and abs(frob - frob1) <= 1e-9 * frob)
+    cert = fd_eig > 2.0 * avg
+    keep_k = int(cert.sum())  # fd_eig descending => cert is a prefix
+    diag = [None] * top
+    if keep_k:
+        kk = min(keep_k, top)
+        proj = vt[:kk] / np.sqrt(fd_eig[:kk, None] / n)
+        z = whiten(feats, np.zeros(d), proj, vec_col="feat", out_col="z")
+        mom = z.agg(
+            *[
+                F.sum(F.col("z")[i] * F.col("z")[i]).alias(f"s{i}")
+                for i in range(kk)
+            ]
+        ).collect()[0]
+        for i in range(kk):
+            diag[i] = float(mom[f"s{i}"]) / n
+    rows = []
+    for i in range(top):
+        ub = 1.0 + bound / fd_eig[i] if fd_eig[i] > 0 else None
+        ok = (
+            None
+            if diag[i] is None
+            else bool(1.0 - 1e-6 <= diag[i] <= ub + 1e-6)
+        )
+        rows.append(
+            (
+                int(i),
+                float(round(fd_eig[i], 4)),
+                float(round(exact[i], 4)),
+                float(round(bound, 4)),
+                bool(-1e-6 * frob <= exact[i] - fd_eig[i]
+                     <= bound + 1e-6 * frob),
+                bool(cert[i]),
+                bool(i < keep_k),
+                None if diag[i] is None else float(round(diag[i], 6)),
+                None if diag[i] is None else float(round(ub, 6)),
+                ok,
+                n_conserved,
+            )
+        )
+    return spark.createDataFrame(rows, schema)
+
+
 def q_embedding_covariance_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Covariance structure of the embedding space — the whitening /
     PCA-readiness diagnostic (high off-diagonal mass means dimensions
@@ -4282,6 +4415,7 @@ SPARK_QUERIES = {
     "crossdoc_span_coverage": q_crossdoc_span_coverage,
     "embedding_covariance_stats": q_embedding_covariance_stats,
     "embedding_fd_profile": q_embedding_fd_profile,
+    "fd_whitening_handoff": q_fd_whitening_handoff,
     "embedding_kmeans_profile": q_embedding_kmeans_profile,
     "embedding_kmeans_profile_fixed": q_embedding_kmeans_profile_fixed,
     "embedding_pq_topk": q_embedding_pq_topk,

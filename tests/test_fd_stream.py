@@ -115,6 +115,72 @@ def test_incremental_fd_stream(spark, tmp_path):
     _drop(spark, "fdinc_fd")
 
 
+def test_fd_whitening_handoff_decision(spark):
+    """The sketch-to-decision handoff query: certified dominance must
+    agree with EXACT spectral dominance (computed here by an
+    independent numpy path over the same scaled features), the
+    whitened second-moment certificates must hold, and the decision
+    derived from a REAL IncrementalFDSketch ingest (TableIO tables,
+    append_batch) must equal the query's in-plan decomposition."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.llm_ops import (
+        q_fd_whitening_handoff,
+    )
+
+    out = {
+        r["component"]: r
+        for r in q_fd_whitening_handoff(spark, SF).collect()
+    }
+    assert len(out) == 8
+
+    # exact ground truth, independent path: scale dims 0/1 by 8x/4x
+    emb = _corpus(spark)
+    x = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in emb.select("embedding").collect()]
+    )
+    x[:, 0] *= 8.0
+    x[:, 1] *= 4.0
+    exact = np.sort(np.linalg.eigvalsh(x.T @ x))[::-1]
+    frob, n = float((x * x).sum()), len(x)
+    for i, r in out.items():
+        assert r["exact_eig"] == pytest.approx(exact[i], rel=1e-4)
+        assert r["within_bound"] and r["n_conserved"]
+        # certified dominance is SOUND: a True must hold exactly
+        if r["certified_dominant"]:
+            assert exact[i] > 2.0 * frob / 64
+    # the planted 8x/4x scales are the (only) certified-dominant
+    # directions at every sf (everything scales with n)
+    assert [r["keep"] for r in out.values()] == [True, True] + [False] * 6
+    for i in (0, 1):
+        assert out[i]["whitened_ok"]
+        assert 1.0 - 1e-6 <= out[i]["white_diag"] <= out[i]["white_diag_max"]
+
+    # the real maintained-table path reaches the same decision
+    _drop(spark, "fdwh_fd")
+    io = TableIO(spark, fmt="parquet")
+    sk = IncrementalFDSketch(io, "fdwh", ell=ELL, d=64, vec_col="feat")
+    feats = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v, i: v
+            * F.when(i == 0, F.lit(8.0))
+            .when(i == 1, F.lit(4.0))
+            .otherwise(F.lit(1.0)),
+        ).alias("feat"),
+    )
+    sk.append_batch(feats.filter(F.xxhash64("vec_id") % 2 == 0), 0)
+    sk.append_batch(feats.filter(F.xxhash64("vec_id") % 2 != 0), 1)
+    b, m, n_s = sk.merged()
+    assert n_s == n and m == pytest.approx(frob, rel=1e-9)
+    fd_eig = np.sort(np.linalg.svd(b, compute_uv=False) ** 2)[::-1]
+    cert = fd_eig > 2.0 * m / 64
+    assert list(cert[:8]) == [
+        out[i]["certified_dominant"] for i in range(8)
+    ]
+    _drop(spark, "fdwh_fd")
+
+
 def test_fd_compaction_preserves_state_and_guard(spark):
     _drop(spark, "fdcpt_fd")
     io = TableIO(spark, fmt="parquet")
