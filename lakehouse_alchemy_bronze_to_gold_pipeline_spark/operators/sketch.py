@@ -95,9 +95,17 @@ def cms_cells(
     Hash rows use the repo's md5 idiom (``md5(r ':' item)`` top 52
     bits mod width) so a DuckDB oracle replays build + probe
     value-for-value — unlike xxhash64 or a library sketch.
+
+    NULL items are IGNORED (aggregate-function semantics, uniform
+    across the sketch family): a NULL hashes to a NULL cell, which
+    would bank mass no probe can ever reach.
     """
     r = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
-    rows = df.select(F.col(item_col).alias("__item"), r)
+    rows = (
+        df.select(F.col(item_col).alias("__item"))
+        .filter(F.col("__item").isNotNull())
+        .select("__item", r)
+    )
     cell = F.expr(
         "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', "
         "CAST(__item AS STRING))), 1, 13), 16, 10) AS BIGINT)"
@@ -182,10 +190,16 @@ def hll_registers(
     """(grp, bucket, reg) register table: <= 16 rows per group, the
     max rank seen in each bucket.  Registers merge under MAX, so two
     register tables union + re-max to the registers of the union —
-    the mergeable property the streaming rollup relies on."""
+    the mergeable property the streaming rollup relies on.
+
+    NULL group keys are first-class groups (groupBy-native); NULL
+    ITEMS are ignored (aggregate-function semantics — md5(NULL) is
+    NULL, which would otherwise materialize a phantom NULL-bucket
+    register that inflates ``hit`` in the estimator)."""
     bucket, rank = hll_bucket_rank(item_col)
     return (
-        df.select(
+        df.filter(F.col(item_col).isNotNull())
+        .select(
             F.col(group_col).alias("grp"),
             bucket.alias("bucket"),
             rank.alias("rank"),

@@ -67,6 +67,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         _load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def _layout(df: DataFrame) -> DataFrame:
+    """Deliberate physical-layout perturbation lever for the
+    partition-layout invariance sweep (tools/layout_invariance.py):
+    when ``SPARK_GRAFT_LAYOUT_REPARTITION`` is set, every table scan
+    is round-robin repartitioned to that count, destroying the
+    file-order layout every query otherwise sees.  A query whose
+    RESULT changes under this lever depends on row-to-partition
+    assignment (engine-ordered double accumulation, implicit
+    first-row choice) — the class of bug that passes on local[32]
+    and corrupts answers on a real cluster.  Read at call time, not
+    import time, so the sweep can set it after module import.
+    Unset (the default) this is a no-op on the hot path."""
+    n = os.environ.get("SPARK_GRAFT_LAYOUT_REPARTITION")
+    return df.repartition(int(n)) if n else df
+
+
 def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{table}.parquet")
     if table == "events":
@@ -83,12 +99,14 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             ts_us = F.expr("unix_micros(ts)")
         else:
             raise TypeError(f"unsupported events.ts dtype {ts_type!r}")
-        return df.select(
-            "event_id",
-            ts_us.alias("ts_us"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
+        return _layout(
+            df.select(
+                "event_id",
+                ts_us.alias("ts_us"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
         )
-    return spark.read.parquet(path)
+    return _layout(spark.read.parquet(path))

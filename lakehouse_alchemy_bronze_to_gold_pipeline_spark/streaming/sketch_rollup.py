@@ -115,7 +115,12 @@ def merge_kmv_batch(
     distinct minimum hashes per group): hash the batch's items,
     union with the stored summary, keep the k smallest distinct per
     group.  KMV merge = k-min of the union — the same additive story
-    as the CMS above, for distinct counts."""
+    as the CMS above, for distinct counts.
+
+    NULL group keys are first-class groups; NULL ITEMS are ignored
+    (uniform sketch-family contract): a NULL hash would sort FIRST
+    under the ascending-nulls-first window and steal the smallest
+    k-min slot, poisoning ``h_k`` and every estimate for its group."""
     from pyspark.sql import Window
 
     spark = batch.sparkSession
@@ -123,9 +128,11 @@ def merge_kmv_batch(
         f"CAST(conv(substring(md5(concat('kmv:', "
         f"CAST({item_col} AS STRING))), 1, 13), 16, 10) AS BIGINT)"
     )
-    fresh = batch.select(
-        F.col(group_col).alias("grp"), h.alias("h")
-    ).distinct()
+    fresh = (
+        batch.filter(F.col(item_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), h.alias("h"))
+        .distinct()
+    )
     if spark.catalog.tableExists(table):
         fresh = io.read(table).unionByName(fresh).distinct()
     w = Window.partitionBy("grp").orderBy("h")
@@ -394,6 +401,11 @@ def merge_qdigest_batch(
     keys = tuple(keys)
     spark = batch.sparkSession
     u = 1 << bits
+    # NULL measurement VALUES are ignored (uniform sketch-family
+    # contract; NULL group KEYS remain first-class): a NULL bucket
+    # would otherwise map to a NULL leaf id that the compression
+    # rounds carry forever and the interval decoder cannot rank.
+    batch = batch.filter(F.col(bucket_col).isNotNull())
     fresh = (
         batch.select(
             *keys,
