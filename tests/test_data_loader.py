@@ -91,3 +91,17 @@ def test_events_ts_unsupported_dtype_raises(spark, tmp_path):
     )
     with pytest.raises(TypeError, match="events.ts"):
         load(spark, str(tmp_path), "events")
+
+
+def test_layout_repartition_lever(spark, monkeypatch):
+    """The layout-invariance sweep's lever: with the env var set,
+    every loaded table is round-robin repartitioned to that count
+    (destroying file-order layout); unset, the scan layout is
+    untouched (no exchange on the hot path)."""
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_REPARTITION", "5")
+    assert load(spark, sf, "region").rdd.getNumPartitions() == 5
+    assert load(spark, sf, "events").rdd.getNumPartitions() == 5
+    monkeypatch.delenv("SPARK_GRAFT_LAYOUT_REPARTITION")
+    plan = load(spark, sf, "region")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
