@@ -45,12 +45,15 @@ def _mg_compress(counters: dict, cap: int) -> None:
             del counters[k]
 
 
-def heavy_hitters(
-    df: DataFrame, col: str, k: int = 20, capacity: int = 256
+def mg_summaries(
+    df: DataFrame, col: str, capacity: int = 256
 ) -> DataFrame:
-    """(value, est) — top-``k`` values by merged Misra-Gries lower
-    bound.  ``est`` never exceeds the true count; a value whose true
-    count exceeds rows/(capacity+1) cannot be missed."""
+    """(value, est) per-partition Misra-Gries summaries, <=
+    ``capacity`` counters per partition (NULL values ignored —
+    pandas ``value_counts`` drops them; the uniform sketch-family
+    contract).  The bounded mergeable unit shared by the one-shot
+    ``heavy_hitters`` readout and the streaming rollup
+    (``streaming/sketch_rollup.merge_mg_batch``)."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
@@ -63,11 +66,20 @@ def heavy_hitters(
                 {"value": list(counters), "est": list(counters.values())}
             )
 
-    summaries = df.select(col).mapInPandas(
+    return df.select(col).mapInPandas(
         summarize, schema="value string, est long"
     )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 20, capacity: int = 256
+) -> DataFrame:
+    """(value, est) — top-``k`` values by merged Misra-Gries lower
+    bound.  ``est`` never exceeds the true count; a value whose true
+    count exceeds rows/(capacity+1) cannot be missed."""
     return (
-        summaries.groupBy("value")
+        mg_summaries(df, col, capacity)
+        .groupBy("value")
         .agg(F.sum("est").alias("est"))
         .orderBy(F.col("est").desc(), "value")
         .limit(k)

@@ -47,6 +47,13 @@ _PRIORITY = (
     # (rows-only: SVD has no SQL form; displaces the window's r6
     # tail `simhash_accuracy` to the r10 queue head)
     "fd_whitening_handoff",
+    # never-certified (added this round): Misra-Gries SEQUENTIAL
+    # merge certification — two-batch store/fold/re-compress with the
+    # exact counts + accumulated decrement debt in-row, the streamed-
+    # table twin of mg_heavy_hitters_fixed's parallel merge (oracle-
+    # backed; displaces the window's r6 tail `mg_heavy_hitters_fixed`
+    # to the r10 queue head)
+    "mg_stream_topk_fixed",
     # r5-stale pool, complete (slots 2-48, rotation order)
     "label_noise_scan", "context_budget_report", "bpe_train_report",
     "ann_recall_report", "ngram_novelty", "bpe_merge_candidates",
@@ -70,15 +77,16 @@ _PRIORITY = (
     "events_value_outliers", "user_reach_sketch",
     "conversion_latency", "rfm_segmentation", "quantile_binning",
     "customer_entity_resolution",
-    # r6-stale head (slots 49-50): the two stalest remaining entries
-    # in (last-certified round, registry order)
-    "dsir_importance_report", "mg_heavy_hitters_fixed",
+    # r6-stale head (slot 50): the stalest remaining entry in
+    # (last-certified round, registry order)
+    "dsir_importance_report",
     # ---- 50-slot window boundary ----
     # r10 queue: the remaining r6-certified pool continues in rotation
     # order.  New queries added mid-round must be inserted ABOVE this
     # queue but INSIDE the window (displacing the window's tail down
     # here) so a post-close driver artifact can never strand a
     # never-certified entry outside the window.
+    "mg_heavy_hitters_fixed",
     "simhash_accuracy", "embedding_whitening_fixed",
     "matryoshka_overlap_report", "perplexity_bucket_report",
     "part_kcore_profile", "rolling_reach_hll",

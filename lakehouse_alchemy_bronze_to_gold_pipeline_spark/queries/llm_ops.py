@@ -3655,6 +3655,173 @@ LIMIT 20
 """
 
 
+def q_mg_stream_topk_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Misra-Gries SEQUENTIAL-merge certification — the streamed-
+    table decomposition (the ``ivf_stream_topk_fixed`` pattern
+    applied to MG): the corpus arrives as two md5-split batches;
+    batch 1's exact per-bucket term counts compress to <= cap
+    counters per bucket (the classic decrement), batch 2's counts
+    fold INTO the stored counters and re-compress — exactly what
+    ``streaming.sketch_rollup.merge_mg_batch`` does per micro-batch,
+    with deterministic relational summaries in place of the
+    partition-level mapInPandas partials so DuckDB replays every
+    counter value-for-value.  The readout joins exact global counts
+    and the accumulated decrement debt to certify the mergeable-
+    summaries contract (Agarwal et al.): after BOTH merge stages,
+    ``est <= true <= est + sum(all thresholds)``.  Terms are routed
+    to 8 md5 buckets (independent hash from the batch split) so
+    every window is bucket-partitioned — the partitioned-MG layout a
+    100 TB table would use; state is <= 8*cap rows between batches.
+    ``mg_heavy_hitters_fixed`` certifies the PARALLEL merge of the
+    same algebra; this entry certifies it SEQUENTIALLY, which is the
+    maintenance path."""
+    from pyspark.sql import Window
+
+    cap, topk = 64, 20
+    d = load(spark, sf, "documents")
+    terms = d.select(
+        F.expr(
+            "CAST(conv(substring(md5(concat('b:', "
+            "CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT) % 2"
+        ).alias("b"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13),"
+            " 16, 10) AS BIGINT) % 8"
+        ).alias("bucket"),
+        TX.nonempty_tokens("text").alias("toks"),
+    ).select("b", "bucket", F.explode("toks").alias("term"))
+    cnt = terms.groupBy("b", "bucket", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).persist()
+
+    w = Window.partitionBy("bucket").orderBy(F.desc("est"), "term")
+
+    def compress(df):
+        """(bucket, term, est) -> (kept counters, per-bucket thr)."""
+        ranked = df.withColumn("rk", F.row_number().over(w))
+        thr = ranked.filter(F.col("rk") == cap + 1).select(
+            "bucket", F.col("est").alias("thr")
+        )
+        summ = (
+            ranked.join(F.broadcast(thr), "bucket", "left")
+            .withColumn(
+                "est", F.col("est") - F.coalesce(F.col("thr"), F.lit(0))
+            )
+            .filter(F.col("est") > 0)
+            .select("bucket", "term", "est")
+        )
+        return summ, thr
+
+    s1, thr1 = compress(
+        cnt.filter(F.col("b") == 0).select(
+            "bucket", "term", F.col("cnt").alias("est")
+        )
+    )
+    folded = (
+        s1.unionByName(
+            cnt.filter(F.col("b") == 1).select(
+                "bucket", "term", F.col("cnt").alias("est")
+            )
+        )
+        .groupBy("bucket", "term")
+        .agg(F.sum("est").alias("est"))
+    )
+    s2, thr2 = compress(folded)
+    merged = s2.groupBy("term").agg(F.sum("est").alias("est"))
+    exact = cnt.groupBy("term").agg(F.sum("cnt").alias("true_cnt"))
+    debt = (
+        thr1.select("thr")
+        .unionByName(thr2.select("thr"))
+        .agg(
+            F.coalesce(F.sum("thr"), F.lit(0))
+            .cast("bigint")
+            .alias("max_debt")
+        )
+    )
+    return (
+        merged.join(exact, "term")
+        .crossJoin(F.broadcast(debt))
+        .select(
+            "term",
+            F.col("est").cast("bigint").alias("est"),
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+            (F.col("true_cnt") - F.col("est"))
+            .cast("bigint")
+            .alias("underest"),
+            "max_debt",
+            (
+                (F.col("est") <= F.col("true_cnt"))
+                & (F.col("true_cnt") - F.col("est") <= F.col("max_debt"))
+            ).alias("bound_ok"),
+        )
+        .orderBy(F.desc("est"), "term")
+        .limit(topk)
+    )
+
+
+SQL_MG_STREAM_TOPK_FIXED = """
+WITH toks AS (
+  SELECT CAST(('0x' || substr(md5('b:' || CAST(doc_id AS VARCHAR)), 1, 13))
+              AS BIGINT) % 2 AS b,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+              AS BIGINT) % 8 AS bucket,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t
+  FROM documents
+), terms AS (
+  SELECT b, bucket, u.term FROM toks, UNNEST(t) AS u(term)
+), cnt AS (
+  SELECT b, bucket, term, COUNT(*) AS cnt FROM terms GROUP BY 1, 2, 3
+), r1 AS (
+  SELECT bucket, term, cnt AS est,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY cnt DESC, term) AS rk
+  FROM cnt WHERE b = 0
+), thr1 AS (
+  SELECT bucket, est AS thr FROM r1 WHERE rk = 65
+), s1 AS (
+  SELECT r.bucket, r.term, r.est - COALESCE(t.thr, 0) AS est
+  FROM r1 r LEFT JOIN thr1 t USING (bucket)
+  WHERE r.est - COALESCE(t.thr, 0) > 0
+), folded AS (
+  SELECT bucket, term, SUM(est) AS est FROM (
+    SELECT bucket, term, est FROM s1
+    UNION ALL
+    SELECT bucket, term, cnt AS est FROM cnt WHERE b = 1
+  ) GROUP BY 1, 2
+), r2 AS (
+  SELECT bucket, term, est,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY est DESC, term) AS rk
+  FROM folded
+), thr2 AS (
+  SELECT bucket, est AS thr FROM r2 WHERE rk = 65
+), s2 AS (
+  SELECT r.bucket, r.term, r.est - COALESCE(t.thr, 0) AS est
+  FROM r2 r LEFT JOIN thr2 t USING (bucket)
+  WHERE r.est - COALESCE(t.thr, 0) > 0
+), merged AS (
+  SELECT term, SUM(est) AS est FROM s2 GROUP BY 1
+), exact AS (
+  SELECT term, SUM(cnt) AS true_cnt FROM cnt GROUP BY 1
+), debt AS (
+  SELECT CAST(COALESCE(SUM(thr), 0) AS BIGINT) AS max_debt FROM (
+    SELECT thr FROM thr1 UNION ALL SELECT thr FROM thr2
+  )
+)
+SELECT m.term,
+       CAST(m.est AS BIGINT) AS est,
+       CAST(e.true_cnt AS BIGINT) AS true_cnt,
+       CAST(e.true_cnt - m.est AS BIGINT) AS underest,
+       d.max_debt,
+       (m.est <= e.true_cnt
+        AND e.true_cnt - m.est <= d.max_debt) AS bound_ok
+FROM merged m JOIN exact e USING (term) CROSS JOIN debt d
+ORDER BY est DESC, term
+LIMIT 20
+"""
+
+
 def q_simhash_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch calibration for the md5 SimHash family (the
     ``minhash_accuracy`` pattern, third application): banded
@@ -4424,6 +4591,7 @@ SPARK_QUERIES = {
     "source_weighted_median_quality": q_source_weighted_median_quality,
     "source_dup_matrix": q_source_dup_matrix,
     "mg_heavy_hitters_fixed": q_mg_heavy_hitters_fixed,
+    "mg_stream_topk_fixed": q_mg_stream_topk_fixed,
     "simhash_accuracy": q_simhash_accuracy,
     "embedding_whitening_fixed": q_embedding_whitening_fixed,
     "matryoshka_overlap_report": q_matryoshka_overlap_report,
@@ -4481,6 +4649,7 @@ ORACLE_SQL = {
     "pq_stream_topk_fixed": sql_embedding_pq_topk_fixed(),
     "source_weighted_median_quality": SQL_SOURCE_WEIGHTED_MEDIAN_QUALITY,
     "mg_heavy_hitters_fixed": SQL_MG_HEAVY_HITTERS_FIXED,
+    "mg_stream_topk_fixed": SQL_MG_STREAM_TOPK_FIXED,
     "simhash_accuracy": SQL_SIMHASH_ACCURACY,
     "embedding_whitening_fixed": sql_embedding_whitening_fixed(),
     "matryoshka_overlap_report": sql_matryoshka_overlap_report(),

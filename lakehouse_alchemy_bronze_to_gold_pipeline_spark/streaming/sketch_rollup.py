@@ -362,6 +362,87 @@ def streaming_hll(
     )
 
 
+def merge_mg_batch(
+    batch: DataFrame,
+    io: TableIO,
+    table: str,
+    item_col: str,
+    capacity: int = 256,
+) -> None:
+    """Merge one batch into a stored Misra-Gries heavy-hitters table
+    (<= ``capacity`` counter rows FOREVER) — the fifth mergeable
+    rollup, completing the streaming sketch family next to CMS (cell
+    SUM), KMV (k-min), HLL (register MAX) and q-digest (tree
+    re-compress).
+
+    The batch collapses to bounded per-partition MG summaries
+    (``operators.sketch.mg_summaries`` — one narrow mapInPandas, <=
+    |partitions| x capacity rows), which union with the stored
+    counters, sum per value, and re-compress by the classic MG
+    decrement: subtract the (capacity+1)-th largest summed count from
+    every counter and keep the positive ones.  MG summaries are
+    mergeable with the SUMMED error budget (Agarwal et al.,
+    "Mergeable Summaries", public literature): after any merge
+    sequence, ``est <= true <= est + n_total/(capacity+1)`` and any
+    value with true count above that debt survives in the table.
+
+    The decrement threshold is the only driver scalar — collected
+    from a relation already bounded at capacity+1 rows.  NULL items
+    are ignored at ingest (uniform sketch-family contract)."""
+    from ..operators.sketch import mg_summaries
+
+    spark = batch.sparkSession
+    fresh = mg_summaries(batch, item_col, capacity)
+    if spark.catalog.tableExists(table):
+        fresh = io.read(table).unionByName(fresh)
+    merged = (
+        fresh.groupBy("value").agg(F.sum("est").alias("est")).persist()
+    )
+    head = (
+        merged.orderBy(F.col("est").desc(), "value")
+        .limit(capacity + 1)
+        .collect()
+    )
+    d = int(head[capacity]["est"]) if len(head) > capacity else 0
+    out = merged.select(
+        "value", (F.col("est") - F.lit(d)).alias("est")
+    ).filter(F.col("est") > 0)
+    _replace_table(spark, io, f"{table}__mg_tmp", out, table)
+    merged.unpersist()
+
+
+def mg_topk(summary: DataFrame, k: int = 20) -> DataFrame:
+    """(value, est) top-``k`` readout from a stored MG counter table
+    — lower-bound counts, deterministic tie-break."""
+    return summary.orderBy(F.col("est").desc(), "value").limit(k)
+
+
+def streaming_mg(
+    stream: DataFrame,
+    io: TableIO,
+    table: str,
+    item_col: str,
+    checkpoint: str,
+    capacity: int = 256,
+):
+    """writeStream maintaining ``table`` as the MG heavy-hitters
+    counters of every item ever streamed — state <= capacity rows
+    forever.  Checkpointing makes each source file count exactly once
+    across runs; ``mg_topk`` reads the current heavy hitters any
+    time."""
+
+    def _merge(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_mg_batch(batch, io, table, item_col, capacity)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def merge_qdigest_batch(
     batch: DataFrame,
     io: TableIO,

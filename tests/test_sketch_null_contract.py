@@ -39,7 +39,9 @@ from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.sketch_rollup imp
     merge_cms_batch,
     merge_hll_batch,
     merge_kmv_batch,
+    merge_mg_batch,
     merge_qdigest_batch,
+    mg_topk,
 )
 
 SCHEMA = StructType([
@@ -109,6 +111,15 @@ FAMILIES = {
         .groupBy("grp")
         .agg(F.sum("cnt").alias("mass")),
     ),
+    "mg": dict(
+        # coalesce(1): MG partition summaries are layout-dependent by
+        # design (unlike the exact CMS/KMV/HLL merges), so the
+        # dirty-vs-clean comparison needs identical partitioning —
+        # the contract under test is null handling, not layout
+        merge=lambda b, io, t: merge_mg_batch(b.coalesce(1), io, t,
+                                              "item", capacity=32),
+        readout=lambda io, t: mg_topk(io.read(t), k=10),
+    ),
 }
 
 
@@ -133,7 +144,8 @@ def test_sketch_null_contract(spark, family):
     got = _sorted_rows(fam["readout"](io, t_dirty))
     assert got == _sorted_rows(fam["readout"](io, t_clean))
 
-    if family != "cms":  # grouped families: NULL key is its own group
+    # grouped families: NULL key is its own group (cms/mg are keyless)
+    if family not in ("cms", "mg"):
         grps = {r[0] for r in got}
         assert None in grps and {"a", "b"} <= grps
         if family == "qdigest":

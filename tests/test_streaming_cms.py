@@ -150,6 +150,80 @@ def test_streaming_kmv_equals_batch_union(spark, tmp_path):
     assert abs(est["a"] - 90) / 90 <= 4 / (16 - 2) ** 0.5
 
 
+def test_streaming_mg_heavy_hitters(spark, tmp_path):
+    """Streaming Misra-Gries rollup: state stays <= capacity rows
+    across runs, the checkpoint prevents double-counting, and the
+    mergeable-summaries guarantee holds against exact counts of
+    everything ever streamed — est <= true <= est + n/(cap+1), with
+    every value above the debt guaranteed present."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.streaming.sketch_rollup import (
+        merge_mg_batch,
+        mg_topk,
+        streaming_mg,
+    )
+
+    CAP = 8
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("mg_stream_sum",):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    io = TableIO(spark, fmt="parquet")
+    src, cp = str(tmp_path / "msrc"), str(tmp_path / "mcp")
+
+    b1 = ["hot1"] * 150 + ["hot2"] * 90 + [f"t{i}" for i in range(60)]
+    b2 = ["hot1"] * 150 + ["hot2"] * 110 + [f"t{i}" for i in range(40, 120)]
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).json(src)
+        q = streaming_mg(
+            stream, io, "mg_stream_sum", "item", cp, capacity=CAP
+        ).start()
+        q.awaitTermination(120)
+
+    _write(src, "b1.json", b1)
+    run()
+    assert io.read("mg_stream_sum").count() <= CAP
+    _write(src, "b2.json", b2)
+    run()  # checkpoint: b1 not re-folded
+
+    stored = {r["value"]: r["est"]
+              for r in io.read("mg_stream_sum").collect()}
+    assert len(stored) <= CAP  # bounded state forever
+
+    import collections
+    true = collections.Counter(b1 + b2)
+    n = len(b1) + len(b2)
+    debt = n // (CAP + 1)
+    for v, est in stored.items():
+        assert est <= true[v], (v, est, true[v])
+        assert true[v] - est <= debt, (v, est, true[v], debt)
+    # anything heavier than the debt CANNOT be missed (hot1=300,
+    # hot2=200 vs debt n/9)
+    for v, c in true.items():
+        if c > debt:
+            assert v in stored, (v, c, debt)
+
+    top = mg_topk(io.read("mg_stream_sum"), k=2).collect()
+    assert [r["value"] for r in top] == ["hot1", "hot2"]
+
+    # a replayed batch through the batch-level API still merges
+    # correctly (upper bound keeps holding with the extra mass)
+    merge_mg_batch(
+        spark.createDataFrame([(x,) for x in b2], SCHEMA),
+        io, "mg_stream_sum", "item", capacity=CAP,
+    )
+    true2 = true + collections.Counter(b2)
+    stored2 = {r["value"]: r["est"]
+               for r in io.read("mg_stream_sum").collect()}
+    assert len(stored2) <= CAP
+    for v, est in stored2.items():
+        assert est <= true2[v]
+
+    spark.sql("DROP TABLE IF EXISTS mg_stream_sum")
+
+
 def test_streaming_expectations_split(spark, tmp_path):
     from pyspark.sql.types import DoubleType, LongType
 
