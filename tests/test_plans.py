@@ -717,3 +717,25 @@ def test_copurchase_link_prediction_plan(spark):
     assert "LeftAnti" in plan
     # top-k is a TakeOrdered, never a global sort of all candidates
     assert "TakeOrderedAndProject" in ops
+
+
+def test_mg_stream_topk_fixed_plan(spark):
+    """Sequential MG merge: the per-(batch, bucket, term) count
+    relation is persisted (it feeds stage-1 compress, the fold, and
+    the exact readout), every window is bucket-partitioned (the
+    partitioned-MG table layout), the only nested-loop is the 1-row
+    broadcast debt scalar, and the readout is a TakeOrdered."""
+    plan = _formatted(spark, "mg_stream_topk_fixed")
+    tree = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in tree
+    ops = _ops(plan)
+    assert "CartesianProduct" not in ops
+    assert ops.count("BroadcastNestedLoopJoin") <= 1  # 1-row debt
+    assert "TakeOrderedAndProject" in ops
+    # no global (unpartitioned) window: each row_number is keyed by
+    # bucket, so compression parallelizes across the MG partitions —
+    # the window exchanges hash-partition on bucket, and the only
+    # SinglePartition exchanges are the bounded global aggregates
+    # (debt scalar + final count checks), never a data-scale sort
+    assert "hashpartitioning(bucket" in plan
+    assert plan.count("Arguments: SinglePartition") <= 2
