@@ -19,9 +19,10 @@ from .decision import SPARK_QUERIES as _DS_Q, ORACLE_SQL as _DS_SQL
 from .digest import SPARK_QUERIES as _DG_Q, ORACLE_SQL as _DG_SQL
 from .llm_ops import SPARK_QUERIES as _LLM_Q, ORACLE_SQL as _LLM_SQL
 from .mlaudit import SPARK_QUERIES as _MA_Q, ORACLE_SQL as _MA_SQL
+from .privacy import SPARK_QUERIES as _PV_Q, ORACLE_SQL as _PV_SQL
 
 _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q, **_ADV_Q, **_DS_Q,
-        **_DG_Q, **_MA_Q}
+        **_DG_Q, **_MA_Q, **_PV_Q}
 
 # The external correctness harness checks the FIRST 50 entries in
 # dict order (of len(SPARK_QUERIES) total).  We (a) run ALL queries
@@ -41,6 +42,13 @@ _PRIORITY = (
     # never-certified first, then sorted(names, key=(last_round,
     # registry index)) over CORRECTNESS_r01..r08 — tools/
     # window_audit.py reproduces it.
+    # never-certified (added this round): the differential-privacy
+    # release layer — clipped exact aggregation + deterministic
+    # shared-literal Laplace noise with the ppm epsilon ledger in-row
+    # (oracle-backed bit-for-bit; displaces the window's r6 tail
+    # `dsir_importance_report` — the LAST r6-stale occupant, so the
+    # post-r9 staleness floor stays r6 — to the r10 queue head)
+    "dp_revenue_release",
     # never-certified (added this round): the FD sketch-to-decision
     # handoff — incremental sketch, certified-dominance decision,
     # sketch-derived PCA whitening applied and certified in-row
@@ -77,10 +85,9 @@ _PRIORITY = (
     "events_value_outliers", "user_reach_sketch",
     "conversion_latency", "rfm_segmentation", "quantile_binning",
     "customer_entity_resolution",
-    # r6-stale head (slot 50): the stalest remaining entry in
-    # (last-certified round, registry order)
-    "dsir_importance_report",
     # ---- 50-slot window boundary ----
+    # r6-stale former slot 50, displaced by `dp_revenue_release`
+    "dsir_importance_report",
     # r10 queue: the remaining r6-certified pool continues in rotation
     # order.  New queries added mid-round must be inserted ABOVE this
     # queue but INSIDE the window (displacing the window's tail down
@@ -98,7 +105,7 @@ SPARK_QUERIES = {k: _ALL[k] for k in _PRIORITY}
 SPARK_QUERIES.update({k: v for k, v in _ALL.items() if k not in SPARK_QUERIES})
 
 ORACLE_SQL = {**_LLM_SQL, **_CP_SQL, **_CORE_SQL, **_AN_SQL, **_BR_SQL,
-              **_ADV_SQL, **_DS_SQL, **_DG_SQL, **_MA_SQL}
+              **_ADV_SQL, **_DS_SQL, **_DG_SQL, **_MA_SQL, **_PV_SQL}
 
 #: Exact small-sf correctness baselines kept ONLY as oracle
 #: cross-checks for their bucketed/indexed scale twins: the O(n^2)

@@ -739,3 +739,21 @@ def test_mg_stream_topk_fixed_plan(spark):
     # (debt scalar + final count checks), never a data-scale sort
     assert "hashpartitioning(bucket" in plan
     assert plan.count("Arguments: SinglePartition") <= 2
+
+
+def test_dp_revenue_release_plan(spark):
+    """DP release pays exactly what the non-private query pays: the
+    two aggregate shuffles (+1 for the 25-row output sort), a
+    broadcast join for nation names, pruned scans, and the noise as
+    folded literals — no extra scan, no UDF, no nested loop."""
+    plan = _formatted(spark, "dp_revenue_release")
+    ops = _ops(plan)
+    assert "CartesianProduct" not in ops
+    assert "BroadcastNestedLoopJoin" not in ops
+    assert ops.count("BroadcastHashJoin") == 2  # spend left-join + names
+    assert ops.count("Scan") == 3  # orders, customer, nation — no 4th
+    assert _shuffles(plan) <= 3
+    # noise is a literal-table lookup, never a Python UDF
+    assert "Python" not in plan.split("\n\n")[0]
+    # orders scan prunes to the two columns the release needs
+    assert "struct<o_custkey:bigint,o_totalprice:double>" in plan
