@@ -1,0 +1,217 @@
+"""Recommender-system queries over the sales interaction matrix
+(operators/als.py).
+
+``als_rank1_fixed`` is the certification query for the ALS family:
+three FULL alternating iterations of the rank-1 fixed-point half
+step, unrolled into six exact-integer relational stages whose DuckDB
+twin replays them value-for-value — the decomposition-certification
+pattern (`ivf_stream_topk_fixed` precedent): hash equality IS the
+proof that the distributed half-step operator computes alternating
+least squares, and the in-row per-iteration loss exhibits the
+monotone descent the float path (als_train) is pytest-pinned to.
+
+NOTE (r10 rotation): registered for the NEXT driver window — this
+round's window budget was spent keeping the r9 staleness floor at r6
+(queries/__init__.py).  Until then the same hash-equality check runs
+in tests/test_als.py against an in-test DuckDB.
+
+Fixed-point overflow budget (all-positive BIGINT lattice, S = 100):
+ratings q <= 100 (LEAST-capped), and the half step's output is
+self-stabilizing at f <= q_max * sqrt(deg_max) / 2 (maximize
+S*q*n*v / (n*v^2 + S^2) over v) — <= 5e3 even at deg 1e4.  Worst
+terms: S * sum(q*v) <= 5e11; sum(v^2) <= 2.5e11; loss terms
+((|q*S^2 - u*v|) DIV S)^2 <= 6.25e10 per cell, summed: 3.75e18 at
+sf10's ~6e7 cells — inside BIGINT with margin.  Positivity means
+integer division is floor == trunc in every engine, so the result is
+independent of row order and partition layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.als import S, rank1_half_step_int
+from .data import load
+
+#: per-(customer, part) rating cap — bounds every overflow term and
+#: tames super-buyers, the same damping role as copurchase's degree cap
+_Q_CAP = 100
+#: ridge in fixed-point denominator units (lambda = 1 real)
+_LAM_S2 = S * S
+_ITERS = 3
+
+
+def _ratings(spark: SparkSession, sf: str) -> DataFrame:
+    """Implicit rating = total quantity customer c ever bought of
+    part p, LEAST-capped: one join + one groupBy, the only data-scale
+    stage of the whole query."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey",
+        F.col("l_partkey").alias("p"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("c", "p")
+        .agg(F.least(F.sum("qty"), F.lit(_Q_CAP)).cast("bigint").alias("q"))
+    )
+
+
+def q_als_rank1_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Three full fixed-point rank-1 ALS iterations with the exact
+    per-iteration loss ledger in-row: (iter, loss_s2, n_users,
+    n_items, sum_u_s, sum_v_s) — one row per iteration, every value a
+    deterministic BIGINT.  Monotone-descent and float-path agreement
+    are pinned in tests/test_als.py.
+
+    Scale: the ratings relation is built once and persisted (three
+    loss joins + six half steps consume it); each half step is one
+    join + one groupBy on the factor key — the Netflix-paper ALS
+    data layout — and each factor table (|entities| rows) is
+    localCheckpointed, cutting the 6-stage lineage the way every
+    iterative operator in this repo does (kmeans/pagerank)."""
+    r = _ratings(spark, sf).persist()
+    # integer init in [1, S]: md5-derived, no RNG state
+    v = (
+        r.select("p")
+        .distinct()
+        .select(
+            "p",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("als:0:"), F.col("p").cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % S
+                + 1
+            ).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    res_s = F.expr(f"ABS(q * {S * S} - u * v) DIV {S}")
+    out = []
+    for it in range(1, _ITERS + 1):
+        u = rank1_half_step_int(
+            r, "c", "p", v, "v", "u", _LAM_S2
+        ).localCheckpoint()
+        v = rank1_half_step_int(
+            r, "p", "c", u, "u", "v", _LAM_S2
+        ).localCheckpoint()
+        loss = (
+            r.join(u, "c")
+            .join(v, "p")
+            .select((res_s * res_s).alias("sq"))
+            .agg(F.sum("sq").cast("bigint").alias("loss_s2"))
+        )
+        us = u.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("u").cast("bigint").alias("sum_u_s"),
+        )
+        vs = v.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("v").cast("bigint").alias("sum_v_s"),
+        )
+        out.append(
+            loss.crossJoin(us)
+            .crossJoin(vs)
+            .select(
+                F.lit(it).cast("bigint").alias("iter"),
+                "loss_s2",
+                "n_users",
+                "n_items",
+                "sum_u_s",
+                "sum_v_s",
+            )
+        )
+    first, *rest = out
+    for df in rest:
+        first = first.unionByName(df)
+    return first.orderBy("iter")
+
+
+def _hex8_sql(arg: str) -> str:
+    """DuckDB twin of Spark's conv(substring(md5(x),1,8),16,10) — the
+    strpos hex-parse idiom (corpus.py precedent)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, 9), pp -> "
+        f"(strpos('0123456789abcdef', substr(md5({arg}), "
+        f"CAST(pp AS INT), 1)) - 1) * pow(16.0, 8 - CAST(pp AS INT))))"
+        f" AS BIGINT)"
+    )
+
+
+def _half_sql(own: str, partner: str, prev: str, out: str, fcol: str,
+              pcol: str) -> str:
+    """One fixed-point half step as a CTE body ('//' on positive
+    BIGINTs floors exactly like Spark's DIV)."""
+    return (
+        f"SELECT r.{own}, CAST(({S} * SUM(r.q * {prev}.{pcol})) // "
+        f"(SUM({prev}.{pcol} * {prev}.{pcol}) + {_LAM_S2}) AS BIGINT)"
+        f" AS {fcol} FROM r JOIN {prev} ON r.{partner} = "
+        f"{prev}.{partner} GROUP BY r.{own}"
+    )
+
+
+def _iter_sql(it: int) -> str:
+    """The three loss/summary scalar subqueries for iteration N."""
+    return (
+        f"SELECT CAST({it} AS BIGINT) AS iter,\n"
+        f"  (SELECT CAST(SUM(((ABS(r.q * {S * S} - u.u * v.v)) // {S})"
+        f" * ((ABS(r.q * {S * S} - u.u * v.v)) // {S})) AS BIGINT)\n"
+        f"   FROM r JOIN u{it} u ON r.c = u.c"
+        f" JOIN v{it} v ON r.p = v.p) AS loss_s2,\n"
+        f"  (SELECT CAST(COUNT(*) AS BIGINT) FROM u{it}) AS n_users,\n"
+        f"  (SELECT CAST(COUNT(*) AS BIGINT) FROM v{it}) AS n_items,\n"
+        f"  (SELECT CAST(SUM(u) AS BIGINT) FROM u{it}) AS sum_u_s,\n"
+        f"  (SELECT CAST(SUM(v) AS BIGINT) FROM v{it}) AS sum_v_s"
+    )
+
+
+SQL_ALS_RANK1_FIXED = f"""
+WITH r AS (
+  SELECT o.o_custkey AS c, l.l_partkey AS p,
+         CAST(LEAST(SUM(CAST(l.l_quantity AS BIGINT)), {_Q_CAP})
+              AS BIGINT) AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey, l.l_partkey
+),
+v0 AS (
+  SELECT p, {_hex8_sql("CONCAT('als:0:', CAST(p AS VARCHAR))")}
+           % {S} + 1 AS v
+  FROM (SELECT DISTINCT p FROM r)
+),
+u1 AS ({_half_sql('c', 'p', 'v0', 'u1', 'u', 'v')}),
+v1 AS ({_half_sql('p', 'c', 'u1', 'v1', 'v', 'u')}),
+u2 AS ({_half_sql('c', 'p', 'v1', 'u2', 'u', 'v')}),
+v2 AS ({_half_sql('p', 'c', 'u2', 'v2', 'v', 'u')}),
+u3 AS ({_half_sql('c', 'p', 'v2', 'u3', 'u', 'v')}),
+v3 AS ({_half_sql('p', 'c', 'u3', 'v3', 'v', 'u')})
+{_iter_sql(1)}
+UNION ALL
+{_iter_sql(2)}
+UNION ALL
+{_iter_sql(3)}
+ORDER BY iter
+"""
+
+
+SPARK_QUERIES = {
+    "als_rank1_fixed": q_als_rank1_fixed,
+}
+
+ORACLE_SQL = {
+    "als_rank1_fixed": SQL_ALS_RANK1_FIXED,
+}

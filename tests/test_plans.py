@@ -757,3 +757,26 @@ def test_dp_revenue_release_plan(spark):
     assert "Python" not in plan.split("\n\n")[0]
     # orders scan prunes to the two columns the release needs
     assert "struct<o_custkey:bigint,o_totalprice:double>" in plan
+
+
+def test_als_rank1_fixed_plan(spark):
+    """Fixed-point ALS readout: the ratings relation is persisted
+    (nine consumers: six half steps + three loss joins), the factor
+    tables enter as checkpointed small relations, the only
+    nested-loops are the 1-row loss/summary scalar cross joins, and
+    no Python runs anywhere on the fixed path."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.recsys import (
+        q_als_rank1_fixed,
+    )
+
+    df = q_als_rank1_fixed(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    tree = plan.split("\n\n")[0]
+    assert "InMemoryTableScan" in plan  # persisted ratings feed losses
+    assert "CartesianProduct" not in tree
+    # 1-row scalar combinators only: 2 cross joins x 3 iterations
+    assert tree.count("BroadcastNestedLoopJoin") <= 6
+    assert "Python" not in tree
