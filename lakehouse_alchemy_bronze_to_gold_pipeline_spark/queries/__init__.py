@@ -86,13 +86,14 @@ _PRIORITY = (
     "conversion_latency", "rfm_segmentation", "quantile_binning",
     "customer_entity_resolution",
     # ---- 50-slot window boundary ----
-    # r10 head #0 (not yet registered): `als_rank1_fixed`
-    # (queries/recsys.py) — built and hash-certified against an
-    # in-test DuckDB this round (tests/test_als.py) but NOT
-    # registered, because registering would either displace an
-    # r5-stale entry (breaking the r9 staleness-floor mandate) or
-    # strand a never-certified entry outside the window.  r10 MUST
-    # add it to _ALL (import recsys) and lead the window with it.
+    # r10 head #0 (not yet registered): `als_rank1_fixed` and
+    # `als_recommend_fixed` (queries/recsys.py) — built and
+    # hash-certified against an in-test DuckDB this round
+    # (tests/test_als.py) but NOT registered, because registering
+    # would either displace an r5-stale entry (breaking the r9
+    # staleness-floor mandate) or strand a never-certified entry
+    # outside the window.  r10 MUST add them to _ALL (import recsys)
+    # and lead the window with them.
     # r6-stale former slot 50, displaced by `dp_revenue_release`
     "dsir_importance_report",
     # r10 queue: the remaining r6-certified pool continues in rotation

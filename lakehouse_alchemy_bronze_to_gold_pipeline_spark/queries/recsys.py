@@ -61,19 +61,13 @@ def _ratings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_als_rank1_fixed(spark: SparkSession, sf: str) -> DataFrame:
-    """Three full fixed-point rank-1 ALS iterations with the exact
-    per-iteration loss ledger in-row: (iter, loss_s2, n_users,
-    n_items, sum_u_s, sum_v_s) — one row per iteration, every value a
-    deterministic BIGINT.  Monotone-descent and float-path agreement
-    are pinned in tests/test_als.py.
-
-    Scale: the ratings relation is built once and persisted (three
-    loss joins + six half steps consume it); each half step is one
-    join + one groupBy on the factor key — the Netflix-paper ALS
-    data layout — and each factor table (|entities| rows) is
-    localCheckpointed, cutting the 6-stage lineage the way every
-    iterative operator in this repo does (kmeans/pagerank)."""
+def _fixed_run(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, list[tuple[DataFrame, DataFrame]]]:
+    """The shared fixed-point core: persisted ratings + the (u, v)
+    factor tables after each of the three full iterations, every
+    factor table localCheckpointed (the kmeans/pagerank lineage
+    cut; |entities| rows, never data-scale)."""
     r = _ratings(spark, sf).persist()
     # integer init in [1, S]: md5-derived, no RNG state
     v = (
@@ -101,15 +95,33 @@ def q_als_rank1_fixed(spark: SparkSession, sf: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    res_s = F.expr(f"ABS(q * {S * S} - u * v) DIV {S}")
-    out = []
-    for it in range(1, _ITERS + 1):
+    hist = []
+    for _ in range(_ITERS):
         u = rank1_half_step_int(
             r, "c", "p", v, "v", "u", _LAM_S2
         ).localCheckpoint()
         v = rank1_half_step_int(
             r, "p", "c", u, "u", "v", _LAM_S2
         ).localCheckpoint()
+        hist.append((u, v))
+    return r, hist
+
+
+def q_als_rank1_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Three full fixed-point rank-1 ALS iterations with the exact
+    per-iteration loss ledger in-row: (iter, loss_s2, n_users,
+    n_items, sum_u_s, sum_v_s) — one row per iteration, every value a
+    deterministic BIGINT.  Monotone-descent and float-path agreement
+    are pinned in tests/test_als.py.
+
+    Scale: the ratings relation is built once and persisted (three
+    loss joins + six half steps consume it); each half step is one
+    join + one groupBy on the factor key — the Netflix-paper ALS
+    data layout."""
+    r, hist = _fixed_run(spark, sf)
+    res_s = F.expr(f"ABS(q * {S * S} - u * v) DIV {S}")
+    out = []
+    for it, (u, v) in enumerate(hist, start=1):
         loss = (
             r.join(u, "c")
             .join(v, "p")
@@ -140,6 +152,37 @@ def q_als_rank1_fixed(spark: SparkSession, sf: str) -> DataFrame:
     for df in rest:
         first = first.unionByName(df)
     return first.orderBy("iter")
+
+
+#: recommendation readout constants: candidate pool size (broadcast
+#: side) and released list size
+_N_CAND = 64
+_TOP_N = 25
+
+
+def q_als_recommend_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """The factorization put to work, exactly: top-25 (customer,
+    part) recommendations among UNSEEN pairs, scored by the final
+    fixed-point factors (score_s2 = u*v, an exact BIGINT at scale
+    S^2).  Candidate generation is the 100 TB shape: only the top-64
+    parts by item factor are scored (TakeOrdered -> broadcast), so
+    the scored relation is |customers| x 64 — linear in customers,
+    never the |C| x |P| cross product — and already-purchased pairs
+    leave by anti-join.  Total order everywhere (factor desc, key
+    asc), so the result is layout- and engine-exact.
+
+    NOTE (r10 rotation): queued with als_rank1_fixed — see
+    queries/__init__.py; hash-certified in-test until then."""
+    r, hist = _fixed_run(spark, sf)
+    u, v = hist[-1]
+    cand = v.orderBy(F.col("v").desc(), "p").limit(_N_CAND)
+    scored = u.join(F.broadcast(cand)).select(
+        "c", "p", (F.col("u") * F.col("v")).cast("bigint").alias("score_s2")
+    )
+    unseen = scored.join(r.select("c", "p"), ["c", "p"], "left_anti")
+    return unseen.orderBy(
+        F.col("score_s2").desc(), "c", "p"
+    ).limit(_TOP_N)
 
 
 def _hex8_sql(arg: str) -> str:
@@ -180,7 +223,8 @@ def _iter_sql(it: int) -> str:
     )
 
 
-SQL_ALS_RANK1_FIXED = f"""
+#: the shared unrolled-iteration prefix both oracles build on
+_SQL_CTES = f"""
 WITH r AS (
   SELECT o.o_custkey AS c, l.l_partkey AS p,
          CAST(LEAST(SUM(CAST(l.l_quantity AS BIGINT)), {_Q_CAP})
@@ -198,7 +242,10 @@ v1 AS ({_half_sql('p', 'c', 'u1', 'v1', 'v', 'u')}),
 u2 AS ({_half_sql('c', 'p', 'v1', 'u2', 'u', 'v')}),
 v2 AS ({_half_sql('p', 'c', 'u2', 'v2', 'v', 'u')}),
 u3 AS ({_half_sql('c', 'p', 'v2', 'u3', 'u', 'v')}),
-v3 AS ({_half_sql('p', 'c', 'u3', 'v3', 'v', 'u')})
+v3 AS ({_half_sql('p', 'c', 'u3', 'v3', 'v', 'u')})"""
+
+
+SQL_ALS_RANK1_FIXED = f"""{_SQL_CTES}
 {_iter_sql(1)}
 UNION ALL
 {_iter_sql(2)}
@@ -208,10 +255,25 @@ ORDER BY iter
 """
 
 
+SQL_ALS_RECOMMEND_FIXED = f"""{_SQL_CTES},
+cand AS (SELECT p, v FROM v3 ORDER BY v DESC, p LIMIT {_N_CAND}),
+scored AS (
+  SELECT u3.c, cand.p, CAST(u3.u * cand.v AS BIGINT) AS score_s2
+  FROM u3 CROSS JOIN cand
+)
+SELECT c, p, score_s2 FROM scored s
+WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.c = s.c AND r.p = s.p)
+ORDER BY score_s2 DESC, c, p
+LIMIT {_TOP_N}
+"""
+
+
 SPARK_QUERIES = {
     "als_rank1_fixed": q_als_rank1_fixed,
+    "als_recommend_fixed": q_als_recommend_fixed,
 }
 
 ORACLE_SQL = {
     "als_rank1_fixed": SQL_ALS_RANK1_FIXED,
+    "als_recommend_fixed": SQL_ALS_RECOMMEND_FIXED,
 }

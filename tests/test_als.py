@@ -174,3 +174,37 @@ def test_fixed_point_factors_stay_in_overflow_budget(spark):
     max_u = u.agg(F.max("u")).collect()[0][0]
     assert max_u <= 100 * (deg**0.5) / 2 * S  # q_max * sqrt(deg)/2, scaled
     assert u.agg(F.min("u")).collect()[0][0] >= 0
+
+
+def test_recommend_fixed_matches_duckdb(spark):
+    """The second r10-queued entry: top-25 unseen recommendations
+    from the final factors, value-for-value against DuckDB."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.recsys import (
+        SQL_ALS_RECOMMEND_FIXED,
+        q_als_recommend_fixed,
+    )
+
+    sdf = q_als_recommend_fixed(spark, SF).toPandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    odf = con.execute(SQL_ALS_RECOMMEND_FIXED).fetchdf()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    b = odf[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    assert len(a) == 25
+    assert a.equals(b)
+
+
+def test_recommend_fixed_excludes_purchases(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.recsys import (
+        _ratings,
+        q_als_recommend_fixed,
+    )
+
+    recs = q_als_recommend_fixed(spark, SF)
+    seen = _ratings(spark, SF).select("c", "p")
+    assert recs.join(seen, ["c", "p"]).count() == 0
+    assert recs.filter(F.col("score_s2") <= 0).count() == 0

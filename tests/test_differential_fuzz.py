@@ -1042,3 +1042,113 @@ def test_sessionize_parity(spark, events, gap):
     finally:
         con.close()
     assert got == want, (gap, events)
+
+
+# ---------------------------------------------------------------------
+# dimension 13: DP noise mechanism vs a pure-Python replay, across the
+# (scale, tag) parameter space
+# ---------------------------------------------------------------------
+#
+# The registry query certifies ONE (clip, eps) point; this dimension
+# samples the mechanism space: for random Laplace scales and tags,
+# the Spark literal-table lookup and the DuckDB SQL twin must both
+# replay the pure-Python inverse-CDF mechanism value-for-value.
+
+
+@settings(**SETTINGS)
+@given(
+    b_scale=st.one_of(
+        st.integers(1, 50), st.integers(10**3, 10**9)
+    ),
+    tag=st.sampled_from(["dpsum", "dpcnt", "x", "release:v2"]),
+    keys=st.lists(
+        st.integers(0, 10**6), min_size=1, max_size=8, unique=True
+    ),
+)
+def test_dp_noise_parity(spark, b_scale, tag, keys):
+    import hashlib
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators import dp
+
+    t = dp.laplace_noise_table(float(b_scale))
+    # pure-Python reference
+    want = {
+        k: t[int(hashlib.md5(f"{tag}:{k}".encode()).hexdigest()[:2], 16)]
+        for k in keys
+    }
+    # Spark
+    sdf = spark.createDataFrame([(k,) for k in keys], "k BIGINT").select(
+        "k", dp.noise_value(t, tag, F.col("k")).alias("noise")
+    )
+    got_spark = {r["k"]: r["noise"] for r in sdf.collect()}
+    assert got_spark == want, (b_scale, tag)
+    # DuckDB
+    con = duckdb.connect()
+    try:
+        vals = ", ".join(f"({k})" for k in keys)
+        got_duck = dict(
+            con.sql(
+                f"SELECT k, {dp.noise_value_sql(t, tag, 'k')} "
+                f"FROM (VALUES {vals}) t(k)"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got_duck == want, (b_scale, tag)
+
+
+# ---------------------------------------------------------------------
+# dimension 14: fixed-point ALS half step vs an independent integer
+# simulation, on random sparse rating matrices
+# ---------------------------------------------------------------------
+#
+# Proves the distributed half step (join + groupBy + DIV) computes
+# the declared lattice function on ANY matrix shape — including
+# entities with a single partner, ratings at the cap, and factor
+# values at both lattice ends — against plain-Python integer math
+# (floor division on positives == Spark DIV == DuckDB //).
+
+
+@settings(**SETTINGS)
+@given(
+    cells=st.dictionaries(
+        st.tuples(st.integers(0, 6), st.integers(0, 9)),
+        st.integers(1, 100),
+        min_size=1,
+        max_size=30,
+    ),
+    factors=st.dictionaries(
+        st.integers(0, 9), st.integers(0, 10_000), min_size=10,
+        max_size=10,
+    ),
+    lam_s2=st.integers(1, 10**6),
+)
+def test_als_half_step_parity(spark, cells, factors, lam_s2):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.als import (
+        S,
+        rank1_half_step_int,
+    )
+
+    r = spark.createDataFrame(
+        [(c, p, q) for (c, p), q in cells.items()],
+        "c BIGINT, p BIGINT, q BIGINT",
+    )
+    v = spark.createDataFrame(
+        list(factors.items()), "p BIGINT, v BIGINT"
+    )
+    got = {
+        row["c"]: row["u"]
+        for row in rank1_half_step_int(
+            r, "c", "p", v, "v", "u", lam_s2
+        ).collect()
+    }
+    want = {}
+    for c in {c for (c, _) in cells}:
+        d = sum(q * factors[p] for (cc, p), q in cells.items() if cc == c)
+        a = sum(
+            factors[p] * factors[p]
+            for (cc, p), _ in cells.items()
+            if cc == c
+        )
+        want[c] = (S * d) // (a + lam_s2)
+    assert got == want, (cells, factors, lam_s2)

@@ -780,3 +780,27 @@ def test_als_rank1_fixed_plan(spark):
     # 1-row scalar combinators only: 2 cross joins x 3 iterations
     assert tree.count("BroadcastNestedLoopJoin") <= 6
     assert "Python" not in tree
+
+
+def test_als_recommend_fixed_plan(spark):
+    """Recommendation readout: the candidate pool enters as a bounded
+    broadcast (|C| x 64 scored pairs, linear in customers — never the
+    |C| x |P| cross product), purchases leave by anti-join, and the
+    top-25 is a TakeOrdered."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.recsys import (
+        q_als_recommend_fixed,
+    )
+
+    df = q_als_recommend_fixed(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    tree = plan.split("\n\n")[0]
+    ops = _ops(plan)
+    assert "CartesianProduct" not in ops
+    # the only nested loop is the bounded 64-row broadcast candidates
+    assert tree.count("BroadcastNestedLoopJoin") <= 1
+    assert "LeftAnti" in tree
+    assert "TakeOrderedAndProject" in ops
+    assert "Python" not in tree
