@@ -53,6 +53,7 @@ __all__ = [
     "noise_value",
     "noise_bucket_sql",
     "noise_value_sql",
+    "release",
 ]
 
 #: bucket count: one md5 byte — enough that the quantized mechanism's
@@ -113,3 +114,35 @@ def noise_value_sql(table: tuple[int, ...], tag: str, key_sql: str) -> str:
     1-based-indexed at the key's bucket."""
     lits = ", ".join(str(int(v)) for v in table)
     return f"CAST(([{lits}])[{noise_bucket_sql(tag, key_sql)} + 1] AS BIGINT)"
+
+
+def release(df, key_col: str, specs) -> "DataFrame":  # noqa: F821
+    """DP-release an exact aggregate table: for each ``(value_col,
+    sensitivity, eps_ppm)`` spec append ``{col}_noise`` and
+    ``{col}_released`` (BIGINT), plus the sequential-composition
+    ``eps_total_ppm`` ledger column.
+
+    This is the readout half of DP-at-scale: maintain EXACT partial
+    aggregates incrementally (streaming/rollup.py — noise must never
+    be folded into mergeable state, or merging would sum noise draws)
+    and add calibrated noise only at publication.  Because the noise
+    is a pure function of ``(tag, key)``, releasing the same table
+    twice — or releasing the incrementally-maintained table vs a
+    one-shot batch aggregate — publishes identical values
+    (tests/test_dp_stream.py pins both).
+
+    ``key_col`` must stringify deterministically: use tz-free keys
+    (bigint ids, ISO dates, the repo's ``ts_us`` microseconds), not
+    session-timezone-dependent TIMESTAMP casts."""
+    out = df
+    total = 0
+    for col, sens, eps_ppm in specs:
+        table = laplace_noise_table(sens / (eps_ppm / 1e6))
+        nz = noise_value(table, f"dp:{col}", F.col(key_col))
+        out = out.withColumn(f"{col}_noise", nz).withColumn(
+            f"{col}_released", (F.col(col) + nz).cast("bigint")
+        )
+        total += eps_ppm
+    return out.withColumn(
+        "eps_total_ppm", F.lit(int(total)).cast("bigint")
+    )
