@@ -88,19 +88,39 @@ CANARY_DISCARD_FACTOR = 1.5
 CANARY_ITERS = 2_000_000
 
 
+def _canary_loop(_=None) -> float:
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(CANARY_ITERS):
+        acc += i ^ (i >> 3)
+    assert acc >= 0  # keep the loop un-eliminable
+    return time.perf_counter() - t0
+
+
 def _canary() -> float:
     """Median-of-3 wall seconds for the fixed busy loop.  Median, not
     min: the canary must SEE intermittent steal, which a min would
     hide."""
-    samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        acc = 0
-        for i in range(CANARY_ITERS):
-            acc += i ^ (i >> 3)
-        samples.append(time.perf_counter() - t0)
-        assert acc >= 0  # keep the loop un-eliminable
-    return round(sorted(samples)[1], 4)
+    return round(sorted(_canary_loop() for _ in range(3))[1], 4)
+
+
+def _canary_mt(n: int) -> float:
+    """Median per-loop wall across n CONCURRENT busy loops — the
+    many-core probe.  r9 measured a window where the single-thread
+    canary read clean (0.137 vs 0.134 idle) while the 32-thread sweep
+    ran ~30-40% slow (probe-replay evidence in BENCH_NOTES_r09): on a
+    shared host, steal against the OTHER 31 cores is invisible to a
+    1-thread probe.  Saturating every core makes the reading track
+    what the sweep actually experiences.  Fork context: this must
+    never re-import pyspark workers."""
+    import multiprocessing as mp
+
+    try:
+        with mp.get_context("fork").Pool(n) as pool:
+            res = pool.map(_canary_loop, range(n))
+    except OSError:  # fork-limited environment: fall back, never fail
+        return _canary()
+    return round(sorted(res)[len(res) // 2], 4)
 
 
 def _merge_prior_mins(
@@ -108,7 +128,7 @@ def _merge_prior_mins(
     fingerprint: str,
     sf: float,
     times: dict[str, float],
-    canary: float | None = None,
+    canary: dict | None = None,
 ) -> tuple[dict[str, float], int, int]:
     """Per-query min across the most recent MERGE_CAP-1 prior detail
     files with the SAME source fingerprint, sf, and query set, after
@@ -136,24 +156,42 @@ def _merge_prior_mins(
             or set(run) != set(times)
         ):
             continue
-        priors.append((run, d.get("canary_worst")))
+        priors.append(
+            (run, d.get("canary_worst"), d.get("canary_mt_worst"))
+        )
 
     priors = priors[-(MERGE_CAP - 1):]
     # canary gate: the clean-box reference is the BEST canary in the
     # candidate series; anything > factor x that ran under steal.
-    # Priors predating the canary (no reading) are kept: the gate
-    # mechanizes future adjudication, it does not retro-condemn.
-    cvals = [c for _, c in priors if c is not None]
-    if canary is not None:
-        cvals.append(canary)
+    # BOTH probes gate independently — r9 caught a window where the
+    # 1-thread probe read clean while the saturating probe (and the
+    # sweep) ran ~35% slow, so a prior is contaminated if EITHER
+    # reading blows its own series' floor.  Priors predating a probe
+    # (no reading) are kept: the gate mechanizes future adjudication,
+    # it does not retro-condemn.
+    st_cur = canary if canary is None else canary.get("st")
+    mt_cur = canary if canary is None else canary.get("mt")
+    st_vals = [c for _, c, _ in priors if c is not None]
+    mt_vals = [m for _, _, m in priors if m is not None]
+    if st_cur is not None:
+        st_vals.append(st_cur)
+    if mt_cur is not None:
+        mt_vals.append(mt_cur)
+    st_best = min(st_vals) if st_vals else None
+    mt_best = min(mt_vals) if mt_vals else None
     kept, n_discarded = [], 0
-    best = min(cvals) if cvals else None
-    for run, c in priors:
-        if (
-            best is not None
+    for run, c, m in priors:
+        hot_st = (
+            st_best is not None
             and c is not None
-            and c > CANARY_DISCARD_FACTOR * best
-        ):
+            and c > CANARY_DISCARD_FACTOR * st_best
+        )
+        hot_mt = (
+            mt_best is not None
+            and m is not None
+            and m > CANARY_DISCARD_FACTOR * mt_best
+        )
+        if hot_st or hot_mt:
             n_discarded += 1
             continue
         kept.append(run)
@@ -181,6 +219,7 @@ def main() -> None:
         sf = -1.0
 
     canary_pre = _canary()  # clean-box probe BEFORE the JVM exists
+    canary_mt_pre = _canary_mt(cpus)  # saturating probe, same moment
 
     spark = get_spark(
         "bench",
@@ -278,7 +317,9 @@ def main() -> None:
 
     spark.stop()
     canary_post = _canary()  # post-sweep probe, JVM gone
+    canary_mt_post = _canary_mt(cpus)
     canary_worst = max(canary_pre, canary_post)
+    canary_mt_worst = max(canary_mt_pre, canary_mt_post)
     # per-run file under a gitignored dir: successive runs don't
     # clobber each other and the detail can't be committed by accident
     out_dir = os.path.join(
@@ -286,7 +327,8 @@ def main() -> None:
     )
     os.makedirs(out_dir, exist_ok=True)
     merged, n_runs, n_discarded = _merge_prior_mins(
-        out_dir, fingerprint, sf, times, canary_worst
+        out_dir, fingerprint, sf, times,
+        {"st": canary_worst, "mt": canary_mt_worst},
     )
     detail = {
         "metric": "total_query_wall_sec",
@@ -299,6 +341,9 @@ def main() -> None:
         "canary_pre": canary_pre,
         "canary_post": canary_post,
         "canary_worst": canary_worst,
+        "canary_mt_pre": canary_mt_pre,
+        "canary_mt_post": canary_mt_post,
+        "canary_mt_worst": canary_mt_worst,
         "canary_discarded_priors": n_discarded,
         "fingerprint": fingerprint,
         "sf": sf,
@@ -318,6 +363,7 @@ def main() -> None:
         "runs_merged": n_runs,
         "this_run_total": detail["this_run_total"],
         "canary_worst": canary_worst,
+        "canary_mt_worst": canary_mt_worst,
         "canary_discarded_priors": n_discarded,
         "detail": os.path.relpath(
             detail_path, os.path.dirname(os.path.abspath(__file__))

@@ -90,7 +90,7 @@ def test_merge_discards_canary_contaminated_priors(tmp_path):
     detail("BENCH_DETAIL_3.json", {"q1": 4.0}, None)   # pre-canary: kept
 
     merged, n, discarded = bench._merge_prior_mins(
-        str(tmp_path), "FP", 0.1, times, canary=0.11
+        str(tmp_path), "FP", 0.1, times, canary={"st": 0.11}
     )
     assert discarded == 1
     assert n == 3                    # current + clean + pre-canary
@@ -103,10 +103,42 @@ def test_merge_discards_canary_contaminated_priors(tmp_path):
     assert discarded == 1 and merged == {"q1": 3.0}
 
 
+def test_merge_discards_mt_canary_contaminated_priors(tmp_path):
+    """The r9 lesson: a prior can read CLEAN on the 1-thread canary
+    while the saturating probe (and the 32-thread sweep) ran slow —
+    steal against the other cores is invisible to one thread.  EITHER
+    probe blowing its series floor drops the prior."""
+    bench = _load("bench_under_test5b", "/root/repo/bench.py")
+    times = {"q1": 5.0}
+
+    def detail(name, queries, st, mt):
+        body = {"fingerprint": "FP", "sf": 0.1, "this_run": queries,
+                "canary_worst": st}
+        if mt is not None:
+            body["canary_mt_worst"] = mt
+        with open(tmp_path / name, "w") as fh:
+            json.dump(body, fh)
+
+    detail("BENCH_DETAIL_1.json", {"q1": 3.0}, 0.10, 0.23)  # clean
+    # st clean, mt hot -> the r9 failure mode: dropped
+    detail("BENCH_DETAIL_2.json", {"q1": 1.0}, 0.10, 0.40)
+    detail("BENCH_DETAIL_3.json", {"q1": 4.0}, 0.10, None)  # pre-mt: kept
+
+    merged, n, discarded = bench._merge_prior_mins(
+        str(tmp_path), "FP", 0.1, times,
+        canary={"st": 0.10, "mt": 0.24},
+    )
+    assert discarded == 1
+    assert n == 3
+    assert merged == {"q1": 3.0}
+
+
 def test_canary_probe_shape():
     bench = _load("bench_under_test6", "/root/repo/bench.py")
     v = bench._canary()
     assert 0.0 < v < 5.0  # a fixed busy loop, not a no-op
+    m = bench._canary_mt(4)
+    assert 0.0 < m < 5.0
 
 
 def test_merge_series_capped_at_most_recent(tmp_path):
