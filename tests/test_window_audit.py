@@ -34,3 +34,30 @@ def test_window_audit_smoke():
     # produced by a CORRECTNESS file landing after the builder's
     # close (those rows are latest-round by definition).
     assert ("window OK" in text) or ("window PACKED" in text), text[-800:]
+
+
+def test_staged_queries_never_strand_outside_the_window():
+    """The r9 insertion rule, pinned: a staged query module (built
+    this round but deliberately NOT registered, e.g. queries/recsys
+    awaiting its r10 slot) must be either absent from the registry or
+    INSIDE the first 50 — the registered-but-stranded middle state is
+    the rotation defect the slot-budget policy exists to prevent."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import (
+        SPARK_QUERIES,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import (
+        recsys,
+    )
+
+    window = list(SPARK_QUERIES)[:50]
+    for name in recsys.SPARK_QUERIES:
+        if name in SPARK_QUERIES:
+            assert name in window, (
+                f"{name} is registered but outside the 50-entry driver "
+                f"window — never-certified entries must lead the window"
+            )
+        else:
+            # staged: its oracle must exist so r10 registration is a
+            # two-line import, and the in-test DuckDB replay
+            # (tests/test_als.py) is its certification until then
+            assert name in recsys.ORACLE_SQL
