@@ -208,3 +208,39 @@ def test_recommend_fixed_excludes_purchases(spark):
     seen = _ratings(spark, SF).select("c", "p")
     assert recs.join(seen, ["c", "p"]).count() == 0
     assert recs.filter(F.col("score_s2") <= 0).count() == 0
+
+
+def test_float_half_step_replicates_numpy_exactly(spark):
+    """Pin the Arrow solver against an INDEPENDENT numpy replication:
+    collect the same ratings + partner factors, rebuild each user's
+    normal equations in the same sorted order, and demand bitwise
+    equality — stronger than the semantic recovery test, this proves
+    the distributed half step IS the declared linear algebra."""
+    import numpy as np
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.als import (
+        _solve_side,
+    )
+
+    k, lam = 3, 0.07
+    r = _synthetic(spark, n_u=15, n_v=12, k=2).persist()
+    vf = init_factors(
+        r.select(F.col("p")), "p", k, "pin"
+    )
+    got = {
+        row["c"]: row["f"]
+        for row in _solve_side(r, "c", "p", vf, k, lam).collect()
+    }
+
+    pf = {row["p"]: np.array(row["f"]) for row in vf.collect()}
+    cells = r.collect()
+    users = sorted({row["c"] for row in cells})
+    for c in users:
+        mine = sorted(
+            ((row["p"], row["r"]) for row in cells if row["c"] == c)
+        )
+        V = np.vstack([pf[p] for p, _ in mine])
+        rv = np.array([x for _, x in mine], dtype=np.float64)
+        A = V.T @ V + lam * len(mine) * np.eye(k)
+        want = np.linalg.solve(A, V.T @ rv)
+        assert got[c] == want.tolist(), c

@@ -1152,3 +1152,60 @@ def test_als_half_step_parity(spark, cells, factors, lam_s2):
         )
         want[c] = (S * d) // (a + lam_s2)
     assert got == want, (cells, factors, lam_s2)
+
+
+# ---------------------------------------------------------------------
+# dimension 15: the generic DP readout (dp.release) vs a pure-Python
+# replay, across random spec lists and aggregate tables
+# ---------------------------------------------------------------------
+#
+# dp.release is the piece streaming rollups publish through; this
+# samples (table, specs) space: released values, per-column noise,
+# and the sequential-composition ledger must all replay exactly.
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.dictionaries(
+        st.integers(0, 10**9), st.integers(-10**9, 10**9),
+        min_size=1, max_size=10,
+    ),
+    specs=st.lists(
+        st.tuples(
+            st.sampled_from(["m0", "m1", "m2"]),
+            st.integers(1, 10**6),          # sensitivity
+            st.sampled_from([250_000, 500_000, 1_000_000, 2_000_000]),
+        ),
+        min_size=1, max_size=3, unique_by=lambda s: s[0],
+    ),
+)
+def test_dp_release_parity(spark, rows, specs):
+    import hashlib
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators import dp
+
+    cols = sorted({name for name, _, _ in specs})
+    df = spark.createDataFrame(
+        [(k,) + tuple(v for _ in cols) for k, v in rows.items()],
+        "k bigint, " + ", ".join(f"{c} bigint" for c in cols),
+    )
+    out = {
+        r["k"]: r.asDict()
+        for r in dp.release(
+            df, "k", [(n, s, e) for n, s, e in specs if n in cols]
+        ).collect()
+    }
+    eps_total = sum(e for n, _, e in specs if n in cols)
+    for k, v in rows.items():
+        got = out[k]
+        assert got["eps_total_ppm"] == eps_total
+        for name, sens, eps in specs:
+            if name not in cols:
+                continue
+            t = dp.laplace_noise_table(sens / (eps / 1e6))
+            b = int(
+                hashlib.md5(f"dp:{name}:{k}".encode()).hexdigest()[:2],
+                16,
+            )
+            assert got[f"{name}_noise"] == t[b]
+            assert got[f"{name}_released"] == v + t[b]

@@ -276,3 +276,45 @@ def test_expectations_gate_rejects_empty_rules(spark):
     df = spark.createDataFrame([(1,)], "pk bigint")
     with _pt.raises(ValueError, match="non-empty"):
         expectations_gate(df, [], "drop")
+
+
+def test_dp_release_empty_and_als_half_step_empty(spark):
+    """The r9 operators under S10's neutral-element discipline: a DP
+    release over an empty aggregate table is an empty release (zero
+    rows, never a crash in the literal-table lookup), and an ALS half
+    step over empty ratings is an empty factor table."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators import dp
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.als import (
+        rank1_half_step_int,
+    )
+
+    agg = _empty(
+        spark,
+        StructType(
+            [StructField("k", LongType()), StructField("n", LongType())]
+        ),
+    )
+    out = dp.release(agg, "k", [("n", 1, 1_000_000)])
+    assert out.count() == 0
+    assert "n_released" in out.columns and "eps_total_ppm" in out.columns
+
+    ratings = _empty(
+        spark,
+        StructType(
+            [
+                StructField("c", LongType()),
+                StructField("p", LongType()),
+                StructField("q", LongType()),
+            ]
+        ),
+    )
+    factors = _empty(
+        spark,
+        StructType(
+            [StructField("p", LongType()), StructField("v", LongType())]
+        ),
+    )
+    assert (
+        rank1_half_step_int(ratings, "c", "p", factors, "v", "u").count()
+        == 0
+    )
