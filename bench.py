@@ -115,10 +115,17 @@ def _canary_mt(n: int) -> float:
     never re-import pyspark workers."""
     import multiprocessing as mp
 
+    # never fail the bench run over probe plumbing: get_context raises
+    # ValueError where 'fork' is absent, Pool raises OSError when
+    # fork-limited, and a worker exception resurfaces from pool.map as
+    # its original type — ANY failure degrades to the 1-thread probe
+    # (r9 ADVICE).
     try:
+        if "fork" not in mp.get_all_start_methods():
+            return _canary()
         with mp.get_context("fork").Pool(n) as pool:
             res = pool.map(_canary_loop, range(n))
-    except OSError:  # fork-limited environment: fall back, never fail
+    except Exception:
         return _canary()
     return round(sorted(res)[len(res) // 2], 4)
 

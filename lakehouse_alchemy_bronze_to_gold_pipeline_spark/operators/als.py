@@ -145,15 +145,32 @@ def als_train(
     tests/test_als.py.  Each factor table is localCheckpointed per
     iteration — the lineage cut every iterative operator in this
     repo applies (pagerank/kmeans precedent)."""
+    if lam <= 0:
+        # lam > 0 keeps A = V^T V + lam*n*I positive definite for
+        # every entity group; a rank-deficient group (all-equal
+        # partner factors, degree < k) would make lam=0 singular and
+        # np.linalg.solve raise mid-stage (r9 ADVICE).
+        raise ValueError(f"als_train requires lam > 0, got {lam}")
     ratings = ratings.persist()
-    vf = init_factors(ratings, vkey, k, "als").localCheckpoint()
-    uf = None
-    losses: list[float] = []
-    for _ in range(iters):
-        uf = _solve_side(ratings, ukey, vkey, vf, k, lam).localCheckpoint()
-        vf = _solve_side(ratings, vkey, ukey, uf, k, lam).localCheckpoint()
-        losses.append(_loss(ratings, uf, vf, ukey, vkey))
-    return uf, vf, losses
+    try:
+        vf = init_factors(ratings, vkey, k, "als").localCheckpoint()
+        uf = None
+        losses: list[float] = []
+        for _ in range(iters):
+            uf = _solve_side(
+                ratings, ukey, vkey, vf, k, lam
+            ).localCheckpoint()
+            vf = _solve_side(
+                ratings, vkey, ukey, uf, k, lam
+            ).localCheckpoint()
+            losses.append(_loss(ratings, uf, vf, ukey, vkey))
+        return uf, vf, losses
+    finally:
+        # the factor tables are localCheckpointed (materialized), so
+        # the cached ratings blocks are not needed past return —
+        # leaving them cached leaks executor memory for the session
+        # (r9 ADVICE)
+        ratings.unpersist()
 
 
 def rank1_half_step_int(

@@ -48,6 +48,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "MECHANISM",
     "laplace_noise_table",
     "noise_bucket",
     "noise_value",
@@ -55,6 +56,13 @@ __all__ = [
     "noise_value_sql",
     "release",
 ]
+
+#: machine-visible mechanism marker (r9 ADVICE): every release built
+#: on this module carries mechanism='deterministic-audit' in-row so a
+#: consumer can never mistake the md5-bucketed replay form for a real
+#: CSPRNG Laplace release.  A production swap-in would set its own
+#: marker (e.g. 'laplace') alongside the CSPRNG draw.
+MECHANISM = "deterministic-audit"
 
 #: bucket count: one md5 byte — enough that the quantized mechanism's
 #: max CDF gap is 1/256, few enough that both engines fold the table
@@ -133,7 +141,13 @@ def release(df, key_col: str, specs) -> "DataFrame":  # noqa: F821
 
     ``key_col`` must stringify deterministically: use tz-free keys
     (bigint ids, ISO dates, the repo's ``ts_us`` microseconds), not
-    session-timezone-dependent TIMESTAMP casts."""
+    session-timezone-dependent TIMESTAMP casts.
+
+    The output keeps the exact ``col`` and ``{col}_noise`` beside the
+    released value — the AUDIT form (mechanism marker in-row); a
+    production publication projects only ``{col}_released`` + the
+    ledger into the released view and leaves the exact columns in a
+    restricted audit view."""
     out = df
     total = 0
     for col, sens, eps_ppm in specs:
@@ -145,4 +159,4 @@ def release(df, key_col: str, specs) -> "DataFrame":  # noqa: F821
         total += eps_ppm
     return out.withColumn(
         "eps_total_ppm", F.lit(int(total)).cast("bigint")
-    )
+    ).withColumn("mechanism", F.lit(MECHANISM))

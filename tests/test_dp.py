@@ -107,35 +107,67 @@ def test_release_shape_and_ledger(release):
 def test_release_internal_consistency(release):
     assert (
         release["noisy_sum_cents"]
-        == release["exact_sum_cents"] + release["noise_sum_cents"]
+        == release["audit_exact_sum_cents"] + release["audit_noise_sum_cents"]
     ).all()
     assert (
         release["noisy_count"]
-        == release["n_customers"] + release["noise_count"]
+        == release["audit_n_customers"] + release["audit_noise_count"]
     ).all()
     # clipping can only shrink, and does shrink exactly when rows
     # were clipped
-    assert (release["exact_sum_cents"] <= release["raw_sum_cents"]).all()
-    clipped = release["n_clipped"] > 0
+    assert (release["audit_exact_sum_cents"] <= release["audit_raw_sum_cents"]).all()
+    clipped = release["audit_n_clipped"] > 0
     assert (
-        release.loc[clipped, "exact_sum_cents"]
-        < release.loc[clipped, "raw_sum_cents"]
+        release.loc[clipped, "audit_exact_sum_cents"]
+        < release.loc[clipped, "audit_raw_sum_cents"]
     ).all()
     assert (
-        release.loc[~clipped, "exact_sum_cents"]
-        == release.loc[~clipped, "raw_sum_cents"]
+        release.loc[~clipped, "audit_exact_sum_cents"]
+        == release.loc[~clipped, "audit_raw_sum_cents"]
     ).all()
 
 
 def test_clip_is_active_not_vacuous(release):
     """The bound must bind somewhere: a clip above max(spend) would
     make the stated sensitivity vacuous."""
-    assert release["n_clipped"].sum() > 0
+    assert release["audit_n_clipped"].sum() > 0
+
+
+def test_mechanism_marker_and_audit_prefix(release):
+    """r9 ADVICE: the non-private status must be machine-visible.
+    The mechanism marker is in-row, and every column a real release
+    could not publish (exact aggregates, exact counts, the
+    subtractable noise values) is audit_-prefixed, so a consumer
+    selecting the un-prefixed surface gets only the noised values
+    plus the calibration ledger."""
+    assert (release["mechanism"] == dp.MECHANISM).all()
+    released_surface = [
+        c for c in release.columns if not c.startswith("audit_")
+    ]
+    assert sorted(released_surface) == sorted(
+        [
+            "n_name",
+            "noisy_sum_cents",
+            "noisy_count",
+            "clip_cents",
+            "eps_sum_ppm",
+            "eps_count_ppm",
+            "eps_total_ppm",
+            "mechanism",
+        ]
+    )
+
+
+def test_release_operator_carries_mechanism(spark):
+    """operators/dp.py release() marks its output too."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], ["k", "n"])
+    out = dp.release(df, "k", [("n", 1, 500_000)]).toPandas()
+    assert (out["mechanism"] == dp.MECHANISM).all()
 
 
 def test_noise_drawn_from_the_declared_tables(release):
-    assert set(release["noise_sum_cents"]) <= set(_TBL_SUM)
-    assert set(release["noise_count"]) <= set(_TBL_CNT)
+    assert set(release["audit_noise_sum_cents"]) <= set(_TBL_SUM)
+    assert set(release["audit_noise_count"]) <= set(_TBL_CNT)
 
 
 def test_release_is_retry_idempotent(spark, release):
@@ -180,8 +212,8 @@ def test_sensitivity_bound_on_neighboring_dataset(spark):
         neigh = q_dp_revenue_release(spark, td).toPandas().set_index(
             "n_name"
         )
-        d_sum = (full["exact_sum_cents"] - neigh["exact_sum_cents"]).abs()
-        d_cnt = (full["n_customers"] - neigh["n_customers"]).abs()
+        d_sum = (full["audit_exact_sum_cents"] - neigh["audit_exact_sum_cents"]).abs()
+        d_cnt = (full["audit_n_customers"] - neigh["audit_n_customers"]).abs()
         assert d_sum.max() <= _CLIP_CENTS
         assert d_cnt.max() == 1
         # exactly one nation changed at all
