@@ -20,9 +20,10 @@ from .digest import SPARK_QUERIES as _DG_Q, ORACLE_SQL as _DG_SQL
 from .llm_ops import SPARK_QUERIES as _LLM_Q, ORACLE_SQL as _LLM_SQL
 from .mlaudit import SPARK_QUERIES as _MA_Q, ORACLE_SQL as _MA_SQL
 from .privacy import SPARK_QUERIES as _PV_Q, ORACLE_SQL as _PV_SQL
+from .recsys import SPARK_QUERIES as _RS_Q, ORACLE_SQL as _RS_SQL
 
 _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q, **_ADV_Q, **_DS_Q,
-        **_DG_Q, **_MA_Q, **_PV_Q}
+        **_DG_Q, **_MA_Q, **_PV_Q, **_RS_Q}
 
 # The external correctness harness checks the FIRST 50 entries in
 # dict order (of len(SPARK_QUERIES) total).  We (a) run ALL queries
@@ -35,85 +36,69 @@ _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q, **_ADV_Q, **_DS_Q,
 # last-certified entries (r2, then r3).  tools/window_audit.py
 # recomputes the never-certified set for the next rotation.
 _PRIORITY = (
-    # ---- r9 driver window (slots 1-50): the pre-queued rotation
-    # promoted per the r8 verdict (task 1).  After this window lands,
-    # every registry entry's newest driver row is r6+ (the post-r9
-    # staleness floor the r8 verdict mandates).  Ordering =
-    # never-certified first, then sorted(names, key=(last_round,
-    # registry index)) over CORRECTNESS_r01..r08 — tools/
-    # window_audit.py reproduces it.
-    # never-certified (added this round): the differential-privacy
-    # release layer — clipped exact aggregation + deterministic
-    # shared-literal Laplace noise with the ppm epsilon ledger in-row
-    # (oracle-backed bit-for-bit; displaces the window's r6 tail
-    # `dsir_importance_report` — the LAST r6-stale occupant, so the
-    # post-r9 staleness floor stays r6 — to the r10 queue head)
+    # ---- r10 driver window (slots 1-50) ----
+    # Ordering = never-certified first, then re-certifications of
+    # queries whose OUTPUT changed this round, then sorted(names,
+    # key=(last_round, registry index)) over CORRECTNESS_r01..r09 —
+    # tools/window_audit.py reproduces it.
+    # never-certified: the ALS pair, registered this round per the r9
+    # verdict/queue annotation (built + hash-certified in-test in r9;
+    # queries/recsys.py, tests/test_als.py)
+    "als_rank1_fixed",
+    "als_recommend_fixed",
+    # never-certified (added this round): DP histogram release — the
+    # generic dp.release() operator's first oracle-backed coverage,
+    # full-public-domain buckets, parallel composition ledger
+    "dp_histogram_release",
+    # re-certification: output schema changed this round (r9 ADVICE —
+    # audit_ prefixes + in-row mechanism marker), so the r9 driver row
+    # no longer describes what the query releases
     "dp_revenue_release",
-    # never-certified (added this round): the FD sketch-to-decision
-    # handoff — incremental sketch, certified-dominance decision,
-    # sketch-derived PCA whitening applied and certified in-row
-    # (rows-only: SVD has no SQL form; displaces the window's r6
-    # tail `simhash_accuracy` to the r10 queue head)
-    "fd_whitening_handoff",
-    # never-certified (added this round): Misra-Gries SEQUENTIAL
-    # merge certification — two-batch store/fold/re-compress with the
-    # exact counts + accumulated decrement debt in-row, the streamed-
-    # table twin of mg_heavy_hitters_fixed's parallel merge (oracle-
-    # backed; displaces the window's r6 tail `mg_heavy_hitters_fixed`
-    # to the r10 queue head)
-    "mg_stream_topk_fixed",
-    # r5-stale pool, complete (slots 2-48, rotation order)
-    "label_noise_scan", "context_budget_report", "bpe_train_report",
-    "ann_recall_report", "ngram_novelty", "bpe_merge_candidates",
-    "media_triage_report", "embedding_whitening",
-    "hard_negative_mining", "image_phash_dedup", "minhash_accuracy",
-    "pmi_collocations", "semantic_dedup_fixed",
-    "embedding_ivf_topk_fixed", "doc_classifier_score",
-    "pii_redaction_report", "doc_unigram_logprob",
-    "doc_bigram_logprob", "multimodal_codec_mix",
-    "crossdoc_span_coverage", "embedding_covariance_stats",
-    "embedding_kmeans_profile", "embedding_kmeans_profile_fixed",
-    "embedding_pq_topk", "embedding_pq_topk_fixed",
-    "source_weighted_median_quality", "source_dup_matrix",
-    "corpus_train_val_split", "doc_weighted_sample",
-    "brand_random_walks", "join_size_estimate",
-    "temporal_split_leakage", "rolling_distinct_users",
-    "nation_revenue_trend", "ewma_monthly_revenue",
-    "segment_spend_gini", "brand_triangles",
-    "event_transition_matrix", "key_skew_profile",
-    "purchase_attribution", "brand_pagerank",
-    "events_value_outliers", "user_reach_sketch",
-    "conversion_latency", "rfm_segmentation", "quantile_binning",
-    "customer_entity_resolution",
-    # ---- 50-slot window boundary ----
-    # r10 head #0 (not yet registered): `als_rank1_fixed` and
-    # `als_recommend_fixed` (queries/recsys.py) — built and
-    # hash-certified against an in-test DuckDB this round
-    # (tests/test_als.py) but NOT registered, because registering
-    # would either displace an r5-stale entry (breaking the r9
-    # staleness-floor mandate) or strand a never-certified entry
-    # outside the window.  r10 MUST add them to _ALL (import recsys)
-    # and lead the window with them.
-    # r6-stale former slot 50, displaced by `dp_revenue_release`
-    "dsir_importance_report",
-    # r10 queue: the remaining r6-certified pool continues in rotation
-    # order.  New queries added mid-round must be inserted ABOVE this
-    # queue but INSIDE the window (displacing the window's tail down
-    # here) so a post-close driver artifact can never strand a
-    # never-certified entry outside the window.
-    "mg_heavy_hitters_fixed",
+    # the r6-stale pool, complete (10 entries, rotation order): after
+    # this window lands the post-r10 staleness floor is r7, as the r9
+    # verdict mandates
+    "dsir_importance_report", "mg_heavy_hitters_fixed",
     "simhash_accuracy", "embedding_whitening_fixed",
     "matryoshka_overlap_report", "perplexity_bucket_report",
     "part_kcore_profile", "rolling_reach_hll",
     "gap_fill_interpolate", "reach_hll_relational",
+    # the r7-stale pool, first 36 in rotation order (14 r7 entries
+    # remain beyond the boundary — they are the r11 queue head; the
+    # floor mandate needs only the r6 pool retired this round)
+    "ann_recall_exact_fixed", "text_token_stats", "lang_id_confusion",
+    "doc_fingerprint", "dedup_documents_exact", "doc_quality_score",
+    "token_count_bpe", "embedding_neardup", "ngram_jaccard_query",
+    "embedding_topk", "knn_join", "minhash_neardup",
+    "minhash_neardup_md5", "dedup_clusters", "dedup_keep_canonical",
+    "simhash_fingerprints", "simhash_bits_md5", "embedding_lsh_topk",
+    "embedding_ivf_topk", "multimodal_frames", "multimodal_features",
+    "multimodal_image_features", "multimodal_audio_features",
+    "training_corpus_prep", "doc_chunking", "tfidf_top_terms",
+    "bm25_search", "vocab_top_terms", "eval_contamination",
+    "embedding_quantize_int8", "terms_heavy_hitters",
+    "doc_pack_chunks", "domain_mix_sample", "doc_repetition_filter",
+    "filter_attrition_report", "embedding_dim_stats",
+    # ---- 50-slot window boundary ----
+    # r11 queue: the remaining 14 r7-certified entries in rotation
+    # order, then the r8 pool.  New queries added mid-round must be
+    # inserted ABOVE this queue but INSIDE the window (displacing the
+    # window's tail down here) so a post-close driver artifact can
+    # never strand a never-certified entry outside the window.
+    "fact_sales", "dim_customer", "dim_part", "dq_violation_counts",
+    "dq_failing_rows", "orphan_orders", "orders_with_big_items",
+    "props_variant_stats", "pipe_syntax_flag_stats",
+    "orders_stratified_sample", "customer_string_funcs",
+    "signup_purchase_funnel", "event_date_spine", "order_metrics_melt",
 )
+
 assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))
 
 SPARK_QUERIES = {k: _ALL[k] for k in _PRIORITY}
 SPARK_QUERIES.update({k: v for k, v in _ALL.items() if k not in SPARK_QUERIES})
 
 ORACLE_SQL = {**_LLM_SQL, **_CP_SQL, **_CORE_SQL, **_AN_SQL, **_BR_SQL,
-              **_ADV_SQL, **_DS_SQL, **_DG_SQL, **_MA_SQL, **_PV_SQL}
+              **_ADV_SQL, **_DS_SQL, **_DG_SQL, **_MA_SQL, **_PV_SQL,
+              **_RS_SQL}
 
 #: Exact small-sf correctness baselines kept ONLY as oracle
 #: cross-checks for their bucketed/indexed scale twins: the O(n^2)
