@@ -64,11 +64,20 @@ def _ratings(spark: SparkSession, sf: str) -> DataFrame:
 def _fixed_run(
     spark: SparkSession, sf: str
 ) -> tuple[DataFrame, list[tuple[DataFrame, DataFrame]]]:
-    """The shared fixed-point core: persisted ratings + the (u, v)
+    """The shared fixed-point core: materialized ratings + the (u, v)
     factor tables after each of the three full iterations, every
     factor table localCheckpointed (the kmeans/pagerank lineage
-    cut; |entities| rows, never data-scale)."""
-    r = _ratings(spark, sf).persist()
+    cut; |entities| rows, never data-scale).
+
+    Ratings are localCheckpointed, not persist()ed: the six eager
+    half-step checkpoints and the deferred loss/anti-join reads all
+    consume the one materialization, and checkpoint blocks are
+    reclaimed by the ContextCleaner when the query's DataFrames go
+    out of scope — a bare persist() would leak cached blocks for the
+    session (the r9-ADVICE als_train leak, fixed there with
+    unpersist-in-finally; a registry query has no post-collect hook,
+    so eager checkpoint is the leak-free form)."""
+    r = _ratings(spark, sf).localCheckpoint()
     # integer init in [1, S]: md5-derived, no RNG state
     v = (
         r.select("p")
@@ -114,7 +123,7 @@ def q_als_rank1_fixed(spark: SparkSession, sf: str) -> DataFrame:
     deterministic BIGINT.  Monotone-descent and float-path agreement
     are pinned in tests/test_als.py.
 
-    Scale: the ratings relation is built once and persisted (three
+    Scale: the ratings relation is built once and materialized (three
     loss joins + six half steps consume it); each half step is one
     join + one groupBy on the factor key — the Netflix-paper ALS
     data layout."""

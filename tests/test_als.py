@@ -244,3 +244,62 @@ def test_float_half_step_replicates_numpy_exactly(spark):
         A = V.T @ V + lam * len(mine) * np.eye(k)
         want = np.linalg.solve(A, V.T @ rv)
         assert got[c] == want.tolist(), c
+
+
+# --------------------------------------------------- physical plans
+# (r9 verdict task 4: the two scale-killers the docstrings claim are
+# avoided, asserted on explain output so a refactor fails CI)
+
+
+def _plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_half_step_partitions_by_solving_side(spark):
+    """Each half step's aggregation exchanges on the SOLVING side's
+    key (the Netflix-paper layout): partial+final HashAggregate
+    around one hashpartitioning(own_key) exchange — never a
+    re-shuffle of the ratings by anything else downstream."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.als import (
+        rank1_half_step_int,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.recsys import (
+        _ratings,
+    )
+
+    r = _ratings(spark, SF)
+    v = (
+        r.select("p")
+        .distinct()
+        .select("p", F.lit(3).cast("bigint").alias("v"))
+    )
+    for own, partner, pcol, out in (("c", "p", "v", "u"),):
+        plan = _plan(spark, rank1_half_step_int(r, own, partner, v, pcol, out))
+        # the solve-side aggregate partitions by the solving key
+        assert f"hashpartitioning({own}" in plan
+        # map-side combine: partial + final HashAggregate pair for
+        # the solve (the ratings build inside _ratings adds its own)
+        assert plan.count("HashAggregate") >= 2
+        assert "CartesianProduct" not in plan
+
+
+def test_recommend_broadcasts_candidates_never_c_times_p(spark):
+    """The recommend readout scores |customers| x 64, never |C|x|P|:
+    the candidate pool join is a broadcast of the 64-row side (a
+    BroadcastNestedLoopJoin over the unconditioned join is the
+    expected physical form), the seen-pairs removal is a LeftAnti
+    join, and the final top-25 is TakeOrdered, not a global sort."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.recsys import (
+        q_als_recommend_fixed,
+    )
+
+    plan = _plan(spark, q_als_recommend_fixed(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    # exactly one broadcast side: the bounded candidate pool
+    assert plan.count("BroadcastExchange") >= 1
