@@ -112,3 +112,127 @@ def test_protocol_optimize_equals_compact_fallback(spark, tmp_path):
     assert _files_for(spark, b, box) < 4
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ------------------------------------------------------------------
+# r9 verdict task 6: pin the EXACT option strings each delta-branch
+# writer emits, so a regression in the dispatch seam (a renamed
+# option, a dropped trigger, a mode change) is caught without
+# delta-spark installed.  A recording fake stands in for the
+# DataFrame(Stream)Writer chain.
+# ------------------------------------------------------------------
+
+
+class _Recorder:
+    """Duck-typed DataFrameWriter/DataStreamWriter that records every
+    chained call as (method, args, kwargs) and returns itself."""
+
+    def __init__(self, log):
+        self.log = log
+
+    def __getattr__(self, name):
+        def call(*a, **kw):
+            self.log.append((name, a, kw))
+            return self
+
+        return call
+
+
+class _FakeDF:
+    def __init__(self, log):
+        self._log = log
+
+    @property
+    def write(self):
+        self._log.append(("write", (), {}))
+        return _Recorder(self._log)
+
+    @property
+    def writeStream(self):
+        self._log.append(("writeStream", (), {}))
+        return _Recorder(self._log)
+
+
+def test_delta_write_append_option_strings(spark):
+    log = []
+    TableIO(spark, fmt="delta").write_append(_FakeDF(log), "silver.events")
+    assert log == [
+        ("write", (), {}),
+        ("format", ("delta",), {}),
+        ("mode", ("append",), {}),
+        ("saveAsTable", ("silver.events",), {}),
+    ]
+
+
+def test_delta_write_overwrite_option_strings(spark):
+    log = []
+    TableIO(spark, fmt="delta").write_overwrite(
+        _FakeDF(log), "gold.dim_customer", partition_by=["order_date"]
+    )
+    assert log == [
+        ("write", (), {}),
+        ("format", ("delta",), {}),
+        ("mode", ("overwrite",), {}),
+        ("option", ("overwriteSchema", "true"), {}),
+        ("partitionBy", ("order_date",), {}),
+        ("saveAsTable", ("gold.dim_customer",), {}),
+    ]
+
+
+def test_delta_write_stream_option_strings(spark):
+    log = []
+    TableIO(spark, fmt="delta").write_stream(
+        _FakeDF(log),
+        "silver.orders",
+        checkpoint="/cp/orders",
+        partition_by=["order_date"],
+    )
+    assert log == [
+        ("writeStream", (), {}),
+        ("format", ("delta",), {}),
+        ("outputMode", ("append",), {}),
+        ("option", ("checkpointLocation", "/cp/orders"), {}),
+        ("partitionBy", ("order_date",), {}),
+        ("trigger", (), {"availableNow": True}),
+        ("toTable", ("silver.orders",), {}),
+    ]
+
+
+def test_delta_write_bucketed_option_strings(spark):
+    log = []
+    TableIO(spark, fmt="delta").write_bucketed(
+        _FakeDF(log),
+        "gold.fact_sales",
+        buckets=64,
+        bucket_cols=["customer_id"],
+        sort_cols=["order_ts"],
+    )
+    assert log == [
+        ("write", (), {}),
+        ("format", ("delta",), {}),
+        ("mode", ("overwrite",), {}),
+        ("bucketBy", (64, "customer_id"), {}),
+        ("sortBy", ("order_ts",), {}),
+        ("saveAsTable", ("gold.fact_sales",), {}),
+    ]
+
+
+def test_delta_read_stream_uses_table_source(spark, monkeypatch):
+    """The delta branch must stream the TABLE (readStream.table —
+    silver_transformation.py:78's incremental tail), never the file
+    fallback; pinned by stubbing the session's readStream."""
+    log = []
+
+    class _FakeSession:
+        @property
+        def readStream(self):
+            log.append(("readStream", (), {}))
+            return _Recorder(log)
+
+    io = TableIO(spark, fmt="delta")
+    io.spark = _FakeSession()
+    io.read_stream("silver.orders")
+    assert log == [
+        ("readStream", (), {}),
+        ("table", ("silver.orders",), {}),
+    ]
