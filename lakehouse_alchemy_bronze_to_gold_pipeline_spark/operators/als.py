@@ -190,9 +190,21 @@ def rank1_half_step_int(
     >= 1), so integer division is identical floor/trunc in every
     engine and the result is independent of row order and partition
     layout — the certification-grade twin of :func:`als_train` that
-    queries/recsys.py unrolls into a DuckDB oracle."""
+    queries/recsys.py unrolls into a DuckDB oracle.
+
+    The partner factor table is |entities| x 1 BIGINTs — broadcast
+    it: the factor tables arrive as localCheckpointed RDDs whose
+    size stats Catalyst cannot see, so without the hint every half
+    step sort-merge-joins, shuffling AND sorting the data-scale
+    ratings relation twice before the aggregate's own exchange
+    (measured plan at sf0.1: 3 exchanges + 2 sorts -> 1 exchange).
+    One shuffle per half step, on the SOLVING side's key, is the
+    Netflix-paper layout.  At a tier where a factor side outgrows
+    broadcast (~100M+ entities x 16 B), drop the hint and pre-
+    partition both sides by the partner key instead — the operator's
+    join/agg shape is unchanged."""
     return (
-        ratings.join(partner, partner_key)
+        ratings.join(F.broadcast(partner), partner_key)
         .groupBy(own_key)
         .agg(
             F.sum(F.col("q") * F.col(partner_col)).alias("d"),

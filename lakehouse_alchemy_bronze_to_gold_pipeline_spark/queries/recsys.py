@@ -123,20 +123,40 @@ def q_als_rank1_fixed(spark: SparkSession, sf: str) -> DataFrame:
     deterministic BIGINT.  Monotone-descent and float-path agreement
     are pinned in tests/test_als.py.
 
-    Scale: the ratings relation is built once and materialized (three
-    loss joins + six half steps consume it); each half step is one
-    join + one groupBy on the factor key — the Netflix-paper ALS
-    data layout."""
+    Scale: the ratings relation is built once and materialized (ONE
+    loss scan + six half steps consume it); each half step is one
+    broadcast join + one groupBy exchanged on the solving side's key
+    — the Netflix-paper ALS data layout (plan-gated in
+    tests/test_als.py)."""
     r, hist = _fixed_run(spark, sf)
-    res_s = F.expr(f"ABS(q * {S * S} - u * v) DIV {S}")
+    # ONE scan of the ratings for all three loss ledgers: every
+    # iteration's factor tables chain-broadcast onto the same pass
+    # (checkpointed RDDs have no stats, so without the hints each
+    # join would re-shuffle r; with them the scan has ZERO shuffles
+    # and the three residual sums reduce in a single aggregate),
+    # checkpointed because three one-row reads would otherwise each
+    # replay the scan.
+    joined = r
+    for it, (u, v) in enumerate(hist, start=1):
+        joined = joined.join(
+            F.broadcast(u.withColumnRenamed("u", f"u{it}")), "c"
+        ).join(F.broadcast(v.withColumnRenamed("v", f"v{it}")), "p")
+    sq = [
+        F.expr(
+            f"ABS(q * {S * S} - u{it} * v{it}) DIV {S}"
+        )
+        for it in range(1, _ITERS + 1)
+    ]
+    losses = joined.agg(
+        *[
+            F.sum(sq[it - 1] * sq[it - 1])
+            .cast("bigint")
+            .alias(f"loss{it}")
+            for it in range(1, _ITERS + 1)
+        ]
+    ).localCheckpoint()
     out = []
     for it, (u, v) in enumerate(hist, start=1):
-        loss = (
-            r.join(u, "c")
-            .join(v, "p")
-            .select((res_s * res_s).alias("sq"))
-            .agg(F.sum("sq").cast("bigint").alias("loss_s2"))
-        )
         us = u.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
             F.sum("u").cast("bigint").alias("sum_u_s"),
@@ -146,7 +166,8 @@ def q_als_rank1_fixed(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("v").cast("bigint").alias("sum_v_s"),
         )
         out.append(
-            loss.crossJoin(us)
+            losses.select(F.col(f"loss{it}").alias("loss_s2"))
+            .crossJoin(us)
             .crossJoin(vs)
             .select(
                 F.lit(it).cast("bigint").alias("iter"),
