@@ -87,7 +87,11 @@ _CARTESIAN_OK = {"embedding_top_pairs", "embedding_neardup", "knn_join",
                  # |cohorts|^2 pair spine (<= 25 rows by
                  # construction) over the persisted <= |cohorts|*k
                  # KMV sketch
-                 "audience_overlap_kmv"}
+                 "audience_overlap_kmv",
+                 # |customers| x 64 bounded-broadcast candidate pool
+                 # (TakeOrdered-capped side; the |C|x|P| product is
+                 # plan-gated away in tests/test_als.py)
+                 "als_recommend_fixed"}
 #: iterative operators (O(rounds) shuffle chains are the algorithm)
 #: and deliberately multi-stage composites (three ANN indexes + exact
 #: ground truth; triangle enumeration = 2 joins over 2 dedup passes)

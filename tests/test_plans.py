@@ -760,11 +760,13 @@ def test_dp_revenue_release_plan(spark):
 
 
 def test_als_rank1_fixed_plan(spark):
-    """Fixed-point ALS readout: the ratings relation is persisted
-    (nine consumers: six half steps + three loss joins), the factor
-    tables enter as checkpointed small relations, the only
-    nested-loops are the 1-row loss/summary scalar cross joins, and
-    no Python runs anywhere on the fixed path."""
+    """Fixed-point ALS readout: the ratings relation is
+    localCheckpointed (seven consumers: six half steps + ONE fused
+    loss scan — a bare persist would leak session cache, see
+    _fixed_run), the factor tables enter as checkpointed broadcast
+    relations, the only nested-loops are the 1-row loss/summary
+    scalar cross joins, and no Python runs anywhere on the fixed
+    path."""
     from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.recsys import (
         q_als_rank1_fixed,
     )
@@ -775,7 +777,9 @@ def test_als_rank1_fixed_plan(spark):
     )
     plan = df._jdf.queryExecution().explainString(mode)
     tree = plan.split("\n\n")[0]
-    assert "InMemoryTableScan" in plan  # persisted ratings feed losses
+    # checkpointed ratings feed the fused loss scan (RDD scan, not a
+    # session-cache InMemoryTableScan)
+    assert "Scan ExistingRDD" in tree
     assert "CartesianProduct" not in tree
     # 1-row scalar combinators only: 2 cross joins x 3 iterations
     assert tree.count("BroadcastNestedLoopJoin") <= 6
