@@ -218,3 +218,76 @@ def test_sensitivity_bound_on_neighboring_dataset(spark):
         assert d_cnt.max() == 1
         # exactly one nation changed at all
         assert (d_cnt > 0).sum() == 1
+
+
+# ------------------------------------------- the histogram release
+
+
+@pytest.fixture(scope="module")
+def hist_release(spark):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.privacy import (
+        q_dp_histogram_release,
+    )
+
+    return q_dp_histogram_release(spark, SF).toPandas()
+
+
+def test_histogram_full_public_domain(hist_release):
+    """Every bucket 0..19 is released exactly once, lo/hi bounds are
+    the fixed-width grid — the full PUBLIC domain, independent of
+    which buckets the data happens to populate."""
+    assert sorted(hist_release["bucket"]) == list(range(20))
+    assert (hist_release["lo"] == hist_release["bucket"] * 30_000).all()
+    assert (hist_release["hi"] == (hist_release["bucket"] + 1) * 30_000).all()
+
+
+def test_histogram_parallel_composition_ledger(hist_release):
+    """Disjoint buckets -> parallel composition: the whole release
+    spends ONE eps (eps_total == eps per bucket, NOT 20x)."""
+    assert (hist_release["eps_ppm"] == 500_000).all()
+    assert (hist_release["eps_total_ppm"] == 500_000).all()
+    assert (hist_release["mechanism"] == dp.MECHANISM).all()
+
+
+def test_histogram_internal_consistency(hist_release):
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.privacy import (
+        _TBL_HIST,
+    )
+
+    assert (
+        hist_release["released_n_orders"]
+        == hist_release["audit_n_orders"] + hist_release["audit_noise"]
+    ).all()
+    assert set(hist_release["audit_noise"]) <= set(_TBL_HIST)
+    # counts reconcile with the raw table
+    import pyarrow.parquet as pq
+
+    n_orders = pq.read_table(f"{SF}/orders.parquet").num_rows
+    assert hist_release["audit_n_orders"].sum() == n_orders
+
+
+def test_histogram_empty_buckets_still_released(hist_release, spark):
+    """The absence-leak guard: buckets with zero orders must still be
+    released, noised — verified both on the real data (sf0.001 has
+    empty high buckets) and on a fully EMPTY orders table (all 20
+    buckets come out, exact count 0, released == noise)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.privacy import (
+        q_dp_histogram_release,
+    )
+
+    empties = hist_release[hist_release["audit_n_orders"] == 0]
+    assert len(empties) > 0, "fixture SF should have empty buckets"
+    assert (empties["released_n_orders"] == empties["audit_noise"]).all()
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.lit(False)
+        ).write.parquet(os.path.join(td, "orders.parquet"))
+        out = q_dp_histogram_release(spark, td).toPandas()
+        assert sorted(out["bucket"]) == list(range(20))
+        assert (out["audit_n_orders"] == 0).all()
+        assert (out["released_n_orders"] == out["audit_noise"]).all()
