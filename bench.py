@@ -104,7 +104,7 @@ def _canary() -> float:
     return round(sorted(_canary_loop() for _ in range(3))[1], 4)
 
 
-def _canary_mt(n: int) -> float:
+def _canary_mt(n: int) -> tuple[float, str | None]:
     """Median per-loop wall across n CONCURRENT busy loops — the
     many-core probe.  r9 measured a window where the single-thread
     canary read clean (0.137 vs 0.134 idle) while the 32-thread sweep
@@ -112,22 +112,29 @@ def _canary_mt(n: int) -> float:
     shared host, steal against the OTHER 31 cores is invisible to a
     1-thread probe.  Saturating every core makes the reading track
     what the sweep actually experiences.  Fork context: this must
-    never re-import pyspark workers."""
+    never re-import pyspark workers.
+
+    Returns ``(reading, degraded)``: ``degraded`` is None on the real
+    multi-core path and the failure description when the probe fell
+    back to the 1-thread canary — the fallback must be VISIBLE in the
+    bench output (r10 ADVICE: a silent fallback makes a permanently
+    broken mt probe indistinguishable from a fork-limited host, and
+    the mt canary is load-bearing for host-slow adjudication)."""
     import multiprocessing as mp
 
     # never fail the bench run over probe plumbing: get_context raises
     # ValueError where 'fork' is absent, Pool raises OSError when
     # fork-limited, and a worker exception resurfaces from pool.map as
     # its original type — ANY failure degrades to the 1-thread probe
-    # (r9 ADVICE).
+    # (r9 ADVICE), but the degradation is recorded, not silent.
     try:
         if "fork" not in mp.get_all_start_methods():
-            return _canary()
+            return _canary(), "no-fork-start-method"
         with mp.get_context("fork").Pool(n) as pool:
             res = pool.map(_canary_loop, range(n))
-    except Exception:
-        return _canary()
-    return round(sorted(res)[len(res) // 2], 4)
+    except Exception as exc:
+        return _canary(), f"mt-probe-failed: {exc!r}"
+    return round(sorted(res)[len(res) // 2], 4), None
 
 
 def _merge_prior_mins(
@@ -226,7 +233,8 @@ def main() -> None:
         sf = -1.0
 
     canary_pre = _canary()  # clean-box probe BEFORE the JVM exists
-    canary_mt_pre = _canary_mt(cpus)  # saturating probe, same moment
+    # saturating probe, same moment
+    canary_mt_pre, mt_degraded_pre = _canary_mt(cpus)
 
     spark = get_spark(
         "bench",
@@ -324,9 +332,12 @@ def main() -> None:
 
     spark.stop()
     canary_post = _canary()  # post-sweep probe, JVM gone
-    canary_mt_post = _canary_mt(cpus)
+    canary_mt_post, mt_degraded_post = _canary_mt(cpus)
     canary_worst = max(canary_pre, canary_post)
     canary_mt_worst = max(canary_mt_pre, canary_mt_post)
+    # r10 ADVICE: surface mt-probe degradation instead of silently
+    # adjudicating host health with the weaker 1-thread reading
+    canary_mt_degraded = mt_degraded_pre or mt_degraded_post
     # per-run file under a gitignored dir: successive runs don't
     # clobber each other and the detail can't be committed by accident
     out_dir = os.path.join(
@@ -351,6 +362,7 @@ def main() -> None:
         "canary_mt_pre": canary_mt_pre,
         "canary_mt_post": canary_mt_post,
         "canary_mt_worst": canary_mt_worst,
+        "canary_mt_degraded": canary_mt_degraded,
         "canary_discarded_priors": n_discarded,
         "fingerprint": fingerprint,
         "sf": sf,
@@ -372,6 +384,11 @@ def main() -> None:
         "canary_worst": canary_worst,
         "canary_mt_worst": canary_mt_worst,
         "canary_discarded_priors": n_discarded,
+        **(
+            {"canary_mt_degraded": canary_mt_degraded}
+            if canary_mt_degraded
+            else {}
+        ),
         "detail": os.path.relpath(
             detail_path, os.path.dirname(os.path.abspath(__file__))
         ),

@@ -35,11 +35,36 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["init_factors", "als_train", "rank1_half_step_int"]
+__all__ = [
+    "init_factors",
+    "als_train",
+    "rank1_half_step_int",
+    "rank2_half_step_int",
+]
 
 #: fixed-point scale for the integer rank-1 path (see
 #: queries/recsys.py for the overflow budget at each SF)
 S = 100
+
+#: Broadcast ceiling for a factor table, in rows (~16 B/row rank-1:
+#: one key + one factor).  Below it the half step broadcasts the
+#: partner factors (one shuffle per half step, the Netflix-paper
+#: layout); at or above it the hint is DROPPED and the join degrades
+#: to the pre-partitioned shuffle join the docstring prescribes
+#: instead of erroring with a broadcast/driver OOM (r10 ADVICE: the
+#: documented ~100M-entity tier is now a runtime guard, not prose).
+BROADCAST_FACTOR_ROWS_MAX = 100_000_000
+
+
+def _maybe_broadcast(factors: DataFrame, rows: int | None) -> DataFrame:
+    """Apply the broadcast hint only when the factor table is known
+    (or assumed by the caller) to sit under the row ceiling; callers
+    pass the count of a localCheckpointed factor table (a cheap count
+    of an |entities|-row materialized RDD, taken once per side, never
+    per iteration)."""
+    if rows is not None and rows >= BROADCAST_FACTOR_ROWS_MAX:
+        return factors
+    return F.broadcast(factors)
 
 
 def init_factors(df: DataFrame, key: str, k: int, tag: str) -> DataFrame:
@@ -181,6 +206,7 @@ def rank1_half_step_int(
     partner_col: str,
     out_col: str,
     lam_s2: int = S * S,
+    partner_rows: int | None = None,
 ) -> DataFrame:
     """EXACT fixed-point rank-1 half step on the all-positive lattice:
 
@@ -200,11 +226,12 @@ def rank1_half_step_int(
     (measured plan at sf0.1: 3 exchanges + 2 sorts -> 1 exchange).
     One shuffle per half step, on the SOLVING side's key, is the
     Netflix-paper layout.  At a tier where a factor side outgrows
-    broadcast (~100M+ entities x 16 B), drop the hint and pre-
-    partition both sides by the partner key instead — the operator's
-    join/agg shape is unchanged."""
+    broadcast (``partner_rows >= BROADCAST_FACTOR_ROWS_MAX``, ~100M
+    entities x 16 B), the hint is dropped at runtime and the join
+    degrades to the pre-partitioned shuffle join — same join/agg
+    shape, no driver OOM (r10 ADVICE)."""
     return (
-        ratings.join(F.broadcast(partner), partner_key)
+        ratings.join(_maybe_broadcast(partner, partner_rows), partner_key)
         .groupBy(own_key)
         .agg(
             F.sum(F.col("q") * F.col(partner_col)).alias("d"),
@@ -215,5 +242,98 @@ def rank1_half_step_int(
             F.expr(f"(CAST({S} AS BIGINT) * d) DIV (a + {int(lam_s2)})")
             .cast("bigint")
             .alias(out_col),
+        )
+    )
+
+
+#: box-projection ceiling for the rank-2 fixed-point lattice — the
+#: overflow budget in queries/recsys.py is derived for this value
+F2_MAX = 150
+
+
+def _floordiv_sql(n: str, d: str) -> str:
+    """Exact mathematical floor division of BIGINT ``n`` by POSITIVE
+    BIGINT ``d`` as a SQL expression valid in both Spark (`DIV`) and
+    — with `//` substituted — DuckDB: the numerator is first adjusted
+    down to the nearest exact multiple of ``d`` via the mathematical
+    mod ``((n % d) + d) % d`` (both engines' native ``%`` is C-style,
+    dividend-signed), after which integer division is exact and
+    identical regardless of whether the engine's native operator
+    truncates (both do) or floors.  Rank-2 Cramer numerators can be
+    NEGATIVE, unlike the all-positive rank-1 lattice where floor ==
+    trunc made native `DIV`/`//` agree; the explicit form makes
+    portability self-evident.  (Defense-in-depth rather than strictly
+    load-bearing: the box projection clamps every negative raw to 1
+    regardless of rounding convention, and positive raws divide
+    identically — but a future caller without the clamp must not
+    inherit a latent convention mismatch.)"""
+    return f"(({n}) - (((({n}) % ({d})) + ({d})) % ({d}))) DIV ({d})"
+
+
+def rank2_half_step_int(
+    ratings: DataFrame,
+    own_key: str,
+    partner_key: str,
+    partner: DataFrame,
+    p1: str,
+    p2: str,
+    o1: str,
+    o2: str,
+    lam_s2: int = S * S,
+    partner_rows: int | None = None,
+) -> DataFrame:
+    """EXACT fixed-point rank-2 half step: per own-side entity, solve
+    the 2x2 ridge normal equations by Cramer's rule entirely in
+    BIGINT arithmetic, then project onto the box ``[1, F2_MAX]``
+    (box-constrained ALS — the projected block-coordinate variant of
+    the Netflix-paper solver; the projection keeps the lattice
+    bounded and strictly positive across iterations, which is what
+    makes every downstream product fit the documented BIGINT budget):
+
+        a11 = sum(p1^2)  a12 = sum(p1*p2)  a22 = sum(p2^2)
+        b1  = sum(q*p1)  b2  = sum(q*p2)   L = lam_s2
+        det = (a11+L)*(a22+L) - a12^2      >= L^2 > 0  (Cauchy-Schwarz
+                                            + L>0: A is positive
+                                            definite, never singular)
+        raw_j = floordiv(S * (b_j*(a_kk+L) - b_k*a12), det)
+        f_j   = clamp(raw_j, 1, F2_MAX)
+
+    ``floordiv`` is the explicit exact-multiple form
+    (:func:`_floordiv_sql`) so the possibly-negative numerators
+    divide identically in Spark and the DuckDB oracle.  All sums are
+    exact integer addition — commutative, so the result is
+    independent of row order and partition layout, the same
+    certification contract as :func:`rank1_half_step_int`.
+
+    Overflow budget (documented for queries/recsys.py, deg <= 1e4,
+    q <= 100, factors <= F2_MAX = 150): a-terms <= 2.25e8,
+    b-terms <= 1.5e8, |numerator| <= S * 2 * 1.5e8 * 2.25e8 = 6.8e18
+    < 2^63-1 (margin 1.35x), det <= 5.1e16.  Same plan shape as the
+    rank-1 step: one (gated) broadcast join + one groupBy exchanged
+    on the solving side's key."""
+    L = int(lam_s2)
+    n1 = f"(CAST({S} AS BIGINT) * (b1*(a22+{L}) - b2*a12))"
+    n2 = f"(CAST({S} AS BIGINT) * (b2*(a11+{L}) - b1*a12))"
+    det = f"((a11+{L})*(a22+{L}) - a12*a12)"
+    return (
+        ratings.join(_maybe_broadcast(partner, partner_rows), partner_key)
+        .groupBy(own_key)
+        .agg(
+            F.sum(F.col(p1) * F.col(p1)).alias("a11"),
+            F.sum(F.col(p1) * F.col(p2)).alias("a12"),
+            F.sum(F.col(p2) * F.col(p2)).alias("a22"),
+            F.sum(F.col("q") * F.col(p1)).alias("b1"),
+            F.sum(F.col("q") * F.col(p2)).alias("b2"),
+        )
+        .select(
+            own_key,
+            F.expr(
+                f"GREATEST(CAST(1 AS BIGINT), LEAST(CAST({F2_MAX} AS "
+                f"BIGINT), {_floordiv_sql(n1, det)}))"
+            ).cast("bigint").alias(o1),
+            F.expr(
+                f"GREATEST(CAST(1 AS BIGINT), LEAST(CAST({F2_MAX} AS "
+                f"BIGINT), {_floordiv_sql(n2, det)}))"
+            ).cast("bigint").alias(o2),
         )
     )

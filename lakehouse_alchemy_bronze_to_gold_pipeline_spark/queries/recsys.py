@@ -10,10 +10,14 @@ proof that the distributed half-step operator computes alternating
 least squares, and the in-row per-iteration loss exhibits the
 monotone descent the float path (als_train) is pytest-pinned to.
 
-NOTE (r10 rotation): registered for the NEXT driver window — this
-round's window budget was spent keeping the r9 staleness floor at r6
-(queries/__init__.py).  Until then the same hash-equality check runs
-in tests/test_als.py against an in-test DuckDB.
+``als_rank2_fixed`` (r11) extends the certification to rank 2: the
+same unrolled-iteration idiom, but each half step solves the 2x2
+ridge normal equations by Cramer's rule in exact BIGINT arithmetic
+with an explicit engine-portable floor division and a box projection
+onto [1, F2_MAX] (operators/als.py:rank2_half_step_int) — the first
+driver-certified rank>1 coverage of the ALS family (r10 verdict
+task 4; before it only the rank-1 path had a CORRECTNESS row and the
+float rank-k path was pinned in-test by numpy replication).
 
 Fixed-point overflow budget (all-positive BIGINT lattice, S = 100):
 ratings q <= 100 (LEAST-capped), and the half step's output is
@@ -31,7 +35,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.als import S, rank1_half_step_int
+from ..operators.als import (
+    F2_MAX,
+    S,
+    _floordiv_sql,
+    _maybe_broadcast,
+    rank1_half_step_int,
+    rank2_half_step_int,
+)
 from .data import load
 
 #: per-(customer, part) rating cap — bounds every overflow term and
@@ -63,7 +74,7 @@ def _ratings(spark: SparkSession, sf: str) -> DataFrame:
 
 def _fixed_run(
     spark: SparkSession, sf: str
-) -> tuple[DataFrame, list[tuple[DataFrame, DataFrame]]]:
+) -> tuple[DataFrame, list[tuple[DataFrame, DataFrame]], int, int]:
     """The shared fixed-point core: materialized ratings + the (u, v)
     factor tables after each of the three full iterations, every
     factor table localCheckpointed (the kmeans/pagerank lineage
@@ -104,16 +115,26 @@ def _fixed_run(
         )
         .localCheckpoint()
     )
+    # factor-table row counts, once per side (cheap: the tables are
+    # localCheckpointed |entities|-row RDDs; the key set never changes
+    # across iterations).  They feed the broadcast gate (r10 ADVICE):
+    # under BROADCAST_FACTOR_ROWS_MAX the half steps and the fused
+    # loss scan broadcast as before; past it they degrade to shuffle
+    # joins instead of erroring.
+    n_p = v.count()
+    n_c: int | None = None
     hist = []
     for _ in range(_ITERS):
         u = rank1_half_step_int(
-            r, "c", "p", v, "v", "u", _LAM_S2
+            r, "c", "p", v, "v", "u", _LAM_S2, partner_rows=n_p
         ).localCheckpoint()
+        if n_c is None:
+            n_c = u.count()
         v = rank1_half_step_int(
-            r, "p", "c", u, "u", "v", _LAM_S2
+            r, "p", "c", u, "u", "v", _LAM_S2, partner_rows=n_c
         ).localCheckpoint()
         hist.append((u, v))
-    return r, hist
+    return r, hist, n_c, n_p
 
 
 def q_als_rank1_fixed(spark: SparkSession, sf: str) -> DataFrame:
@@ -128,19 +149,22 @@ def q_als_rank1_fixed(spark: SparkSession, sf: str) -> DataFrame:
     broadcast join + one groupBy exchanged on the solving side's key
     — the Netflix-paper ALS data layout (plan-gated in
     tests/test_als.py)."""
-    r, hist = _fixed_run(spark, sf)
+    r, hist, n_c, n_p = _fixed_run(spark, sf)
     # ONE scan of the ratings for all three loss ledgers: every
     # iteration's factor tables chain-broadcast onto the same pass
     # (checkpointed RDDs have no stats, so without the hints each
     # join would re-shuffle r; with them the scan has ZERO shuffles
     # and the three residual sums reduce in a single aggregate),
     # checkpointed because three one-row reads would otherwise each
-    # replay the scan.
+    # replay the scan.  The hints are count-gated (r10 ADVICE): an
+    # oversize factor side shuffle-joins instead of OOMing.
     joined = r
     for it, (u, v) in enumerate(hist, start=1):
         joined = joined.join(
-            F.broadcast(u.withColumnRenamed("u", f"u{it}")), "c"
-        ).join(F.broadcast(v.withColumnRenamed("v", f"v{it}")), "p")
+            _maybe_broadcast(u.withColumnRenamed("u", f"u{it}"), n_c), "c"
+        ).join(
+            _maybe_broadcast(v.withColumnRenamed("v", f"v{it}"), n_p), "p"
+        )
     sq = [
         F.expr(
             f"ABS(q * {S * S} - u{it} * v{it}) DIV {S}"
@@ -201,9 +225,8 @@ def q_als_recommend_fixed(spark: SparkSession, sf: str) -> DataFrame:
     leave by anti-join.  Total order everywhere (factor desc, key
     asc), so the result is layout- and engine-exact.
 
-    NOTE (r10 rotation): queued with als_rank1_fixed — see
-    queries/__init__.py; hash-certified in-test until then."""
-    r, hist = _fixed_run(spark, sf)
+    Registered and driver-certified with als_rank1_fixed in r10."""
+    r, hist, _n_c, _n_p = _fixed_run(spark, sf)
     u, v = hist[-1]
     cand = v.orderBy(F.col("v").desc(), "p").limit(_N_CAND)
     scored = u.join(F.broadcast(cand)).select(
@@ -213,6 +236,134 @@ def q_als_recommend_fixed(spark: SparkSession, sf: str) -> DataFrame:
     return unseen.orderBy(
         F.col("score_s2").desc(), "c", "p"
     ).limit(_TOP_N)
+
+
+#: rank-2 certification runs two FULL iterations (four half steps —
+#: both alternation directions exercised twice, iteration chaining
+#: included); a third iteration would add one more ratings-scan pair
+#: without certifying anything new
+_ITERS2 = 2
+
+
+def _init2(df: DataFrame) -> DataFrame:
+    """Deterministic rank-2 integer init in [1, S]^2 per part:
+    component j of part p is md5('als2:j:p') % S + 1 — the rank-1
+    idiom, one column per component."""
+    comps = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"als2:{j}:"), F.col("p").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % S
+            + 1
+        ).alias(f"v{j + 1}")
+        for j in range(2)
+    ]
+    return df.select("p").distinct().select("p", *comps)
+
+
+def q_als_rank2_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Two full fixed-point RANK-2 ALS iterations (Cramer-solved 2x2
+    ridge normal equations, box-projected onto [1, F2_MAX]; see
+    operators/als.py:rank2_half_step_int for the exact arithmetic and
+    the BIGINT overflow budget) with the per-iteration ledger in-row:
+    (iter, loss_s2, n_users, n_items, sum_u1_s, sum_u2_s, sum_v1_s,
+    sum_v2_s) — every value a deterministic BIGINT, so the DuckDB
+    twin replays the whole factorization value-for-value.
+
+    Scale: identical shape to als_rank1_fixed — the ratings relation
+    is built once and checkpointed, each half step is one (count-
+    gated) broadcast join + one groupBy exchanged on the solving
+    side's key, and ONE fused scan of the ratings produces both
+    iterations' losses with zero shuffles."""
+    r = _ratings(spark, sf).localCheckpoint()
+    v = _init2(r).localCheckpoint()
+    n_p = v.count()
+    n_c: int | None = None
+    hist = []
+    for _ in range(_ITERS2):
+        u = rank2_half_step_int(
+            r, "c", "p", v, "v1", "v2", "u1", "u2", _LAM_S2,
+            partner_rows=n_p,
+        ).localCheckpoint()
+        if n_c is None:
+            n_c = u.count()
+        v = rank2_half_step_int(
+            r, "p", "c", u, "u1", "u2", "v1", "v2", _LAM_S2,
+            partner_rows=n_c,
+        ).localCheckpoint()
+        hist.append((u, v))
+    joined = r
+    for it, (u, v) in enumerate(hist, start=1):
+        ru = u.select(
+            "c",
+            F.col("u1").alias(f"u1_{it}"),
+            F.col("u2").alias(f"u2_{it}"),
+        )
+        rv = v.select(
+            "p",
+            F.col("v1").alias(f"v1_{it}"),
+            F.col("v2").alias(f"v2_{it}"),
+        )
+        joined = joined.join(_maybe_broadcast(ru, n_c), "c").join(
+            _maybe_broadcast(rv, n_p), "p"
+        )
+    sq = [
+        F.expr(
+            f"ABS(q * {S * S} - (u1_{it} * v1_{it} + u2_{it} * v2_{it}))"
+            f" DIV {S}"
+        )
+        for it in range(1, _ITERS2 + 1)
+    ]
+    losses = joined.agg(
+        *[
+            F.sum(sq[it - 1] * sq[it - 1])
+            .cast("bigint")
+            .alias(f"loss{it}")
+            for it in range(1, _ITERS2 + 1)
+        ]
+    ).localCheckpoint()
+    out = []
+    for it, (u, v) in enumerate(hist, start=1):
+        us = u.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("u1").cast("bigint").alias("sum_u1_s"),
+            F.sum("u2").cast("bigint").alias("sum_u2_s"),
+        )
+        vs = v.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("v1").cast("bigint").alias("sum_v1_s"),
+            F.sum("v2").cast("bigint").alias("sum_v2_s"),
+        )
+        out.append(
+            losses.select(F.col(f"loss{it}").alias("loss_s2"))
+            .crossJoin(us)
+            .crossJoin(vs)
+            .select(
+                F.lit(it).cast("bigint").alias("iter"),
+                "loss_s2",
+                "n_users",
+                "n_items",
+                "sum_u1_s",
+                "sum_u2_s",
+                "sum_v1_s",
+                "sum_v2_s",
+            )
+        )
+    first, *rest = out
+    for df in rest:
+        first = first.unionByName(df)
+    return first.orderBy("iter")
 
 
 def _hex8_sql(arg: str) -> str:
@@ -253,15 +404,18 @@ def _iter_sql(it: int) -> str:
     )
 
 
-#: the shared unrolled-iteration prefix both oracles build on
-_SQL_CTES = f"""
-WITH r AS (
+#: the shared ratings CTE (rank-1 and rank-2 oracles both start here)
+_R_SQL = f"""r AS (
   SELECT o.o_custkey AS c, l.l_partkey AS p,
          CAST(LEAST(SUM(CAST(l.l_quantity AS BIGINT)), {_Q_CAP})
               AS BIGINT) AS q
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   GROUP BY o.o_custkey, l.l_partkey
-),
+)"""
+
+#: the shared unrolled-iteration prefix the rank-1 oracles build on
+_SQL_CTES = f"""
+WITH {_R_SQL},
 v0 AS (
   SELECT p, {_hex8_sql("CONCAT('als:0:', CAST(p AS VARCHAR))")}
            % {S} + 1 AS v
@@ -298,12 +452,89 @@ LIMIT {_TOP_N}
 """
 
 
+def _fdiv_duck(n: str, d: str) -> str:
+    """DuckDB twin of operators/als.py:_floordiv_sql — identical
+    exact-multiple adjustment, `//` instead of `DIV` (both engines'
+    native integer division truncates; the adjusted numerator divides
+    exactly so the convention cannot matter)."""
+    return f"((({n}) - (((({n}) % ({d})) + ({d})) % ({d}))) // ({d}))"
+
+
+def _half2_sql(
+    own: str, partner: str, prev: str, f1: str, f2: str, p1: str, p2: str
+) -> str:
+    """One rank-2 fixed-point half step as a CTE body: grouped 2x2
+    normal-equation sums, Cramer numerators, exact floor division,
+    box projection — value-for-value the arithmetic of
+    operators/als.py:rank2_half_step_int.  DuckDB's SUM(BIGINT)
+    widens to HUGEINT, a superset of the Spark side's in-budget
+    BIGINT arithmetic, so intermediates agree exactly."""
+    L = _LAM_S2
+    det = f"((a11+{L})*(a22+{L}) - a12*a12)"
+    n1 = f"({S} * (b1*(a22+{L}) - b2*a12))"
+    n2 = f"({S} * (b2*(a11+{L}) - b1*a12))"
+    return (
+        f"SELECT {own}, "
+        f"CAST(GREATEST(1, LEAST({F2_MAX}, {_fdiv_duck(n1, det)})) "
+        f"AS BIGINT) AS {f1}, "
+        f"CAST(GREATEST(1, LEAST({F2_MAX}, {_fdiv_duck(n2, det)})) "
+        f"AS BIGINT) AS {f2} "
+        f"FROM (SELECT r.{own}, "
+        f"SUM({prev}.{p1}*{prev}.{p1}) AS a11, "
+        f"SUM({prev}.{p1}*{prev}.{p2}) AS a12, "
+        f"SUM({prev}.{p2}*{prev}.{p2}) AS a22, "
+        f"SUM(r.q*{prev}.{p1}) AS b1, "
+        f"SUM(r.q*{prev}.{p2}) AS b2 "
+        f"FROM r JOIN {prev} ON r.{partner} = {prev}.{partner} "
+        f"GROUP BY r.{own})"
+    )
+
+
+def _iter2_sql(it: int) -> str:
+    """The rank-2 ledger row for iteration N (loss + factor-table
+    summaries), mirroring q_als_rank2_fixed's fused-scan aliases."""
+    res = f"(ABS(r.q * {S * S} - (u.u1*v.v1 + u.u2*v.v2))) // {S}"
+    return (
+        f"SELECT CAST({it} AS BIGINT) AS iter,\n"
+        f"  (SELECT CAST(SUM(({res}) * ({res})) AS BIGINT)\n"
+        f"   FROM r JOIN cu{it} u ON r.c = u.c"
+        f" JOIN cv{it} v ON r.p = v.p) AS loss_s2,\n"
+        f"  (SELECT CAST(COUNT(*) AS BIGINT) FROM cu{it}) AS n_users,\n"
+        f"  (SELECT CAST(COUNT(*) AS BIGINT) FROM cv{it}) AS n_items,\n"
+        f"  (SELECT CAST(SUM(u1) AS BIGINT) FROM cu{it}) AS sum_u1_s,\n"
+        f"  (SELECT CAST(SUM(u2) AS BIGINT) FROM cu{it}) AS sum_u2_s,\n"
+        f"  (SELECT CAST(SUM(v1) AS BIGINT) FROM cv{it}) AS sum_v1_s,\n"
+        f"  (SELECT CAST(SUM(v2) AS BIGINT) FROM cv{it}) AS sum_v2_s"
+    )
+
+
+SQL_ALS_RANK2_FIXED = f"""
+WITH {_R_SQL},
+cv0 AS (
+  SELECT p,
+    {_hex8_sql("CONCAT('als2:0:', CAST(p AS VARCHAR))")} % {S} + 1 AS v1,
+    {_hex8_sql("CONCAT('als2:1:', CAST(p AS VARCHAR))")} % {S} + 1 AS v2
+  FROM (SELECT DISTINCT p FROM r)
+),
+cu1 AS ({_half2_sql('c', 'p', 'cv0', 'u1', 'u2', 'v1', 'v2')}),
+cv1 AS ({_half2_sql('p', 'c', 'cu1', 'v1', 'v2', 'u1', 'u2')}),
+cu2 AS ({_half2_sql('c', 'p', 'cv1', 'u1', 'u2', 'v1', 'v2')}),
+cv2 AS ({_half2_sql('p', 'c', 'cu2', 'v1', 'v2', 'u1', 'u2')})
+{_iter2_sql(1)}
+UNION ALL
+{_iter2_sql(2)}
+ORDER BY iter
+"""
+
+
 SPARK_QUERIES = {
     "als_rank1_fixed": q_als_rank1_fixed,
     "als_recommend_fixed": q_als_recommend_fixed,
+    "als_rank2_fixed": q_als_rank2_fixed,
 }
 
 ORACLE_SQL = {
     "als_rank1_fixed": SQL_ALS_RANK1_FIXED,
     "als_recommend_fixed": SQL_ALS_RECOMMEND_FIXED,
+    "als_rank2_fixed": SQL_ALS_RANK2_FIXED,
 }

@@ -137,8 +137,12 @@ def test_canary_probe_shape():
     bench = _load("bench_under_test6", "/root/repo/bench.py")
     v = bench._canary()
     assert 0.0 < v < 5.0  # a fixed busy loop, not a no-op
-    m = bench._canary_mt(4)
+    m, degraded = bench._canary_mt(4)
     assert 0.0 < m < 5.0
+    # on this box fork is available, so the real multi-core path must
+    # run and the degradation flag must be clear (r10 ADVICE: a
+    # permanently broken mt probe must be visible, not silent)
+    assert degraded is None
 
 
 def test_merge_series_capped_at_most_recent(tmp_path):

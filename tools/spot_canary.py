@@ -37,7 +37,9 @@ def main() -> int:
     sys.modules["benchmod"] = bench
     spec.loader.exec_module(bench)
     st = bench._canary()
-    mt = bench._canary_mt(n)
+    mt, mt_degraded = bench._canary_mt(n)
+    if mt_degraded:
+        print(f"WARNING: mt probe degraded to 1-thread ({mt_degraded})")
     verdict = (
         "CLEAN — bench now"
         if st <= 1.15 * ST_CLEAN and mt <= 1.15 * MT_CLEAN
