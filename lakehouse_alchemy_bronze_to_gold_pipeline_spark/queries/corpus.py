@@ -638,6 +638,179 @@ LIMIT {AES_K}
 """
 
 
+#: preference-pair hygiene threshold: a (chosen, rejected) pair whose
+#: texts exceed this 2-gram shingle-set Jaccard carries no preference
+#: signal (the responses are near-identical) and is dropped — the
+#: RLAIF/RLHF analogue of corpus near-dup filtering
+PREF_NEAR_DUP_JACCARD = 0.5
+
+
+def q_preference_pair_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """RLAIF-style preference-pair construction + hygiene readout.
+
+    Preference datasets pair a CHOSEN and a REJECTED response per
+    prompt pool; before training, three hygiene filters run (each a
+    standard step in published RLHF data pipelines):
+
+    1. ``n_exact_dup``       — chosen and rejected have the same
+       normalized-content fingerprint (zero signal);
+    2. ``n_near_identical``  — 2-gram shingle-set Jaccard >=
+       ``PREF_NEAR_DUP_JACCARD`` (the minhash verify stage's exact
+       measure, reused here pairwise — no LSH needed because the
+       pairs are GIVEN, not discovered);
+    3. ``n_dup_pairs``       — the unordered content-fingerprint pair
+       already appeared in an earlier pair (cross-pair dedup; first
+       occurrence kept).
+
+    Pairs are built deterministically from the documents table: within
+    each (lang, source) pool, rank by (n_chars DESC, doc_id) and pair
+    consecutive ranks — rank 2k-1 is the chosen (longer) member, rank
+    2k the rejected; an odd tail is unpaired and excluded.  The
+    release is the per-pool ledger (counts partition ``n_pairs``
+    by filter precedence exact > near > dup > kept) plus the exact
+    integerized Jaccard mass ``sum_jacc_ppm`` (ppm, BIGINT — an exact
+    SUM instead of an order-sensitive double AVG).
+
+    Scale: one window partitioned by the bounded pool key, one
+    groupBy on (pool, pair_id) that rebuilds each pair from exactly
+    two rows (``first(when(...), ignorenulls)`` — no self-join, the
+    shingle arrays move through ONE shuffle), one fingerprint-keyed
+    window for cross-pair dedup (bounded per-key state), one final
+    pool aggregate.  No cartesian, no collect, no global sort."""
+    d = load(spark, sf, "documents")
+    sh = TX.word_shingles(TX.nonempty_tokens("text"), 2)
+    base = d.select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_chars",
+        sh.alias("shingles"),
+        TX.fingerprint("text").alias("fp"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang", "source").orderBy(
+            F.desc("n_chars"), "doc_id"
+        )
+    )
+    ranked = base.withColumn("rk", rk).withColumn(
+        "pair_id", F.expr("(rk + 1) DIV 2")
+    )
+    is_c = F.col("rk") % 2 == 1
+    pairs = (
+        ranked.groupBy("lang", "source", "pair_id")
+        .agg(
+            F.first(F.when(is_c, F.col("shingles")), ignorenulls=True)
+            .alias("sh_c"),
+            F.first(F.when(~is_c, F.col("shingles")), ignorenulls=True)
+            .alias("sh_r"),
+            F.first(F.when(is_c, F.col("fp")), ignorenulls=True)
+            .alias("fp_c"),
+            F.first(F.when(~is_c, F.col("fp")), ignorenulls=True)
+            .alias("fp_r"),
+        )
+        .filter(F.col("fp_r").isNotNull())  # drop the odd unpaired tail
+        .select(
+            "lang",
+            "source",
+            "pair_id",
+            "fp_c",
+            "fp_r",
+            F.round(TX.jaccard(F.col("sh_c"), F.col("sh_r")), 6)
+            .alias("jacc"),
+            F.concat(
+                F.least("fp_c", "fp_r"),
+                F.lit(":"),
+                F.greatest("fp_c", "fp_r"),
+            ).alias("pair_fp"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("pair_fp").orderBy("lang", "source", "pair_id")
+    )
+    flagged = pairs.withColumn("rn", rn)
+    exact = F.col("fp_c") == F.col("fp_r")
+    near = (~exact) & (F.col("jacc") >= F.lit(PREF_NEAR_DUP_JACCARD))
+    dup = (~exact) & (F.col("jacc") < F.lit(PREF_NEAR_DUP_JACCARD)) & (
+        F.col("rn") > 1
+    )
+    kept = (~exact) & (F.col("jacc") < F.lit(PREF_NEAR_DUP_JACCARD)) & (
+        F.col("rn") == 1
+    )
+
+    def n(cond, alias):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(
+            alias
+        )
+
+    return flagged.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        n(exact, "n_exact_dup"),
+        n(near, "n_near_identical"),
+        n(dup, "n_dup_pairs"),
+        n(kept, "n_kept"),
+        F.sum(F.round(F.col("jacc") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_jacc_ppm"),
+    )
+
+
+SQL_PREFERENCE_PAIR_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, n_chars,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS t,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang, source, n_chars, fp,
+         list_distinct(list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1]))
+           AS shingles
+  FROM toks
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+                               ORDER BY n_chars DESC, doc_id) AS rk
+  FROM sh
+), c AS (
+  SELECT lang, source, (rk+1)//2 AS pair_id,
+         shingles AS sh_c, fp AS fp_c
+  FROM ranked WHERE rk % 2 = 1
+), r AS (
+  SELECT lang, source, rk//2 AS pair_id,
+         shingles AS sh_r, fp AS fp_r
+  FROM ranked WHERE rk % 2 = 0
+), p AS (
+  SELECT lang, source, pair_id, fp_c, fp_r,
+    ROUND(CASE WHEN len(list_distinct(list_cat(sh_c, sh_r))) > 0
+               THEN len(list_intersect(sh_c, sh_r))::DOUBLE
+                    / len(list_distinct(list_cat(sh_c, sh_r)))
+               ELSE 0.0 END, 6) AS jacc,
+    LEAST(fp_c, fp_r) || ':' || GREATEST(fp_c, fp_r) AS pair_fp
+  FROM c JOIN r USING (lang, source, pair_id)
+), flagged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_fp
+                               ORDER BY lang, source, pair_id) AS rn
+  FROM p
+)
+SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CASE WHEN fp_c = fp_r THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_exact_dup,
+  CAST(SUM(CASE WHEN fp_c <> fp_r
+                 AND jacc >= {PREF_NEAR_DUP_JACCARD} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_near_identical,
+  CAST(SUM(CASE WHEN fp_c <> fp_r AND jacc < {PREF_NEAR_DUP_JACCARD}
+                 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
+  CAST(SUM(CASE WHEN fp_c <> fp_r AND jacc < {PREF_NEAR_DUP_JACCARD}
+                 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CAST(ROUND(jacc * 1000000) AS BIGINT)) AS BIGINT)
+    AS sum_jacc_ppm
+FROM flagged
+GROUP BY lang, source
+"""
+
+
 SPARK_QUERIES = {
     "corpus_train_val_split": q_corpus_train_val_split,
     "doc_weighted_sample": q_doc_weighted_sample,
@@ -646,6 +819,7 @@ SPARK_QUERIES = {
     "doc_repetition_filter": q_doc_repetition_filter,
     "filter_attrition_report": q_filter_attrition_report,
     "embedding_dim_stats": q_embedding_dim_stats,
+    "preference_pair_dedup": q_preference_pair_dedup,
 }
 
 ORACLE_SQL = {
@@ -656,4 +830,5 @@ ORACLE_SQL = {
     "doc_repetition_filter": SQL_DOC_REPETITION_FILTER,
     "filter_attrition_report": SQL_FILTER_ATTRITION_REPORT,
     "embedding_dim_stats": SQL_EMBEDDING_DIM_STATS,
+    "preference_pair_dedup": SQL_PREFERENCE_PAIR_DEDUP,
 }
