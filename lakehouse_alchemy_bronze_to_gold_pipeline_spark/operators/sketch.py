@@ -357,8 +357,10 @@ def qdigest_quantiles(
     With ``keys`` every group reads from its own digest alone: the
     cumsum window is key-partitioned, targets come from per-group
     totals, and the theta-join spine is |pcts| x |groups| rows.  The
-    global form keeps its unpartitioned window — the digest relation
-    is universe-bounded (<= sigma_frac + bits rows) by construction."""
+    global form keeps its deliberately-global window — the digest
+    relation is universe-bounded (<= sigma_frac + bits rows) by
+    construction; const_bucket keeps the spec non-empty
+    (functions/window.py)."""
     spark = nodes.sparkSession
     from pyspark.sql import Window
 
@@ -394,8 +396,12 @@ def qdigest_quantiles(
             .agg(F.min("hi").alias("est_bucket"))
             .orderBy(*keys, "q_pct")
         )
-    w = Window.orderBy("hi", "id").rowsBetween(
-        Window.unboundedPreceding, 0
+    from ..functions.window import const_bucket
+
+    w = (
+        Window.partitionBy(const_bucket("id"))
+        .orderBy("hi", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = iv.select("hi", F.sum("cnt").over(w).alias("cum"))
     tot = nodes.agg(F.sum("cnt").alias("n"))

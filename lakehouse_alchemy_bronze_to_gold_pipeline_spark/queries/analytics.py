@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+from ..functions.window import const_bucket
 from ..operators.rangejoin import band_join
 from .core import _dec_sum
 from .data import load
@@ -806,7 +807,14 @@ def q_order_backlog_daily(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("d").cast("bigint").alias("delta"))
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # deliberately-global running sum over the calendar-bounded day
+    # grain; const_bucket keeps the spec non-empty (see functions/
+    # window.py — single partition is the point here)
+    w = (
+        Window.partitionBy(const_bucket("day"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return deltas.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "delta",
@@ -1407,7 +1415,13 @@ def q_rolling_reach_hll(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("day")
         .agg(F.collect_set("user_id").alias("us"))
     )
-    wx = Window.orderBy("day").rangeBetween(-6, 0)
+    # global 7-day range frame over the day grain (calendar-bounded,
+    # docstring); const_bucket keeps the spec non-empty
+    wx = (
+        Window.partitionBy(const_bucket("day"))
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
     exact = daily_sets.select(
         "day",
         F.size(F.array_distinct(F.flatten(F.collect_list("us").over(wx))))

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.window import const_bucket
 from ..operators.sketch import qdigest_compress, qdigest_intervals
 from .data import load
 
@@ -77,14 +78,21 @@ def q_quantile_digest_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     )
     # cumulative counts: digest nodes in (hi, id) order, leaves in
     # bucket order — both relations bounded by construction (<= 2^14
-    # rows), so the unpartitioned windows are single-task by design
-    wd = Window.orderBy("hi", "id").rowsBetween(
-        Window.unboundedPreceding, 0
+    # rows), so the global windows are single-task by design;
+    # const_bucket keeps their specs non-empty (functions/window.py)
+    wd = (
+        Window.partitionBy(const_bucket("id"))
+        .orderBy("hi", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     dcum = digest.select(
         "hi", "id", F.sum("cnt").over(wd).alias("cum")
     ).select("hi", "cum")
-    wl = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wl = (
+        Window.partitionBy(const_bucket("bucket"))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     lcum = leaves_s.select(
         "bucket", F.sum("cnt").over(wl).alias("cum")
     )

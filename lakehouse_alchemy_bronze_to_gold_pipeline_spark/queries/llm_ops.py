@@ -1387,7 +1387,13 @@ def q_vocab_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("n").desc(), "term")
+    from ..functions.window import const_bucket
+
+    # global rank over the top-V cut (<= 500 rows by the limit above);
+    # const_bucket keeps the spec non-empty (functions/window.py)
+    w = Window.partitionBy(const_bucket("term")).orderBy(
+        F.col("n").desc(), "term"
+    )
     return counts.select(
         (F.row_number().over(w) - 1).cast("bigint").alias("token_id"),
         "term",

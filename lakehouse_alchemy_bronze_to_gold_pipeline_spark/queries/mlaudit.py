@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.window import const_bucket
 from .data import load
 
 # ----------------------------------------------------- drift report
@@ -70,7 +71,10 @@ def q_feature_drift_report(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("ref_cnt", F.lit(0)).cast("bigint").alias("ref_cnt"),
         F.coalesce("cur_cnt", F.lit(0)).cast("bigint").alias("cur_cnt"),
     )
-    w = Window.rowsBetween(
+    # deliberately-global window over the _N_BANDS-row band spine:
+    # const_bucket keeps the spec non-empty (single partition is the
+    # point; the relation is band-domain-bounded)
+    w = Window.partitionBy(const_bucket("band")).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     full = full.select(
@@ -153,13 +157,20 @@ def q_revenue_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("rev_c")
     )
-    w_all = Window.rowsBetween(
+    # all three global windows run over the calendar-bounded day
+    # grain (docstring); const_bucket("day") keeps the specs
+    # non-empty without changing the single-partition evaluation
+    w_all = Window.partitionBy(const_bucket("day")).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     ranked = daily.select(
         "day",
         "rev_c",
-        F.row_number().over(Window.orderBy("rev_c", "day")).alias("rn"),
+        F.row_number()
+        .over(
+            Window.partitionBy(const_bucket("day")).orderBy("rev_c", "day")
+        )
+        .alias("rn"),
         F.count(F.lit(1)).over(w_all).alias("n"),
     )
     with_med = ranked.select(
@@ -184,7 +195,11 @@ def q_revenue_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
         "rev_c",
         "med_c",
         "dev_c",
-        F.row_number().over(Window.orderBy("dev_c", "day")).alias("rn2"),
+        F.row_number()
+        .over(
+            Window.partitionBy(const_bucket("day")).orderBy("dev_c", "day")
+        )
+        .alias("rn2"),
         "n",
     )
     with_mad = ranked2.select(
@@ -280,7 +295,10 @@ def q_benford_digit_audit(spark: SparkSession, sf: str) -> DataFrame:
         F.array(*[F.lit(p) for p in _BENFORD_PPM]),
         F.col("digit").cast("int"),
     ).cast("bigint")
-    w = Window.rowsBetween(
+    # deliberately-global window over the 9-row digit spine:
+    # const_bucket keeps the spec non-empty (the relation is
+    # digit-domain-bounded; single partition is the point)
+    w = Window.partitionBy(const_bucket("digit")).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     full = spine.join(counts, "digit", "left").select(
