@@ -2501,9 +2501,15 @@ def q_copurchase_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
         # single-common-customer pairs are link-prediction noise and
         # dominate the pair relation (sf0.1: 11.5M of 11.9M); the
         # >= 2 support floor cuts the anti-join's left side ~30x
-        # while provably never touching the released top-25 (minimum
-        # top-25 support measured 12/6/4 at sf0.001/0.01/0.1) — the
-        # HAVING clause mirrors it in the oracle
+        # while never touching the released top-25 at any driver sf
+        # (minimum top-25 support measured 12/6/4 at
+        # sf0.001/0.01/0.1 — re-measured r11; sf0.1 IS the largest
+        # driver scale).  The margin is PINNED by
+        # tests/test_plans.py::test_copurchase_support_floor_has_margin
+        # so a data regeneration that erodes it fails loudly, and the
+        # HAVING clause mirrors the floor in the oracle either way
+        # (oracle equality holds even at the floor; only cross-round
+        # stability of the released rows is at stake — r10 ADVICE).
         .filter(F.col("common_customers") >= 2)
     )
     edges = (
