@@ -181,6 +181,106 @@ def test_fd_whitening_handoff_decision(spark):
     _drop(spark, "fdwh_fd")
 
 
+def test_fd_whitening_streaming_end_to_end(spark, tmp_path):
+    """r10 verdict task 2(a), end to end through the STREAMING
+    writer: scaled features arrive as two incremental file batches
+    through the checkpointed ``writer`` (not the batch append API),
+    the whitening projection is derived FROM the maintained table's
+    ``merged()`` readout, applied with ``operators/whiten.whiten``
+    (the Arrow matmul apply path the registered
+    ``embedding_whitening_fixed`` certifies against a SQL twin), and
+    the FD PSD-sandwich certificate is checked EXACTLY on the
+    whitened output; the dominance decision must equal the registered
+    ``q_fd_whitening_handoff`` release — closing the loop
+    stream-ingest -> FD table -> whitening matrix -> applied
+    projection -> certificate."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.whiten import (
+        whiten,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.llm_ops import (
+        q_fd_whitening_handoff,
+    )
+
+    _drop(spark, "fdstr_fd")
+    io = TableIO(spark, fmt="parquet")
+    sk = IncrementalFDSketch(io, "fdstr", ell=ELL, d=64, vec_col="feat")
+
+    emb = _corpus(spark)
+    feats = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v, i: v
+            * F.when(i == 0, F.lit(8.0))
+            .when(i == 1, F.lit(4.0))
+            .otherwise(F.lit(1.0)),
+        ).alias("feat"),
+    )
+    feat_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("feat", ArrayType(DoubleType())),
+    ])
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+    os.makedirs(src, exist_ok=True)
+
+    def run():
+        stream = (
+            spark.readStream.schema(feat_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = sk.writer(stream, cp).start()
+        q.awaitTermination(120)
+
+    feats.filter(F.xxhash64("vec_id") % 2 == 0).write.parquet(
+        os.path.join(src, "p1")
+    )
+    run()
+    feats.filter(F.xxhash64("vec_id") % 2 != 0).write.parquet(
+        os.path.join(src, "p2")
+    )
+    run()  # checkpoint: p1 not re-folded
+
+    b, m, n = sk.merged()
+    assert n == feats.count()
+
+    # whitening projection FROM the streamed sketch (the handoff
+    # query's convention: uncentered, top certified directions scaled
+    # by 1/sqrt(fd_eig/n))
+    _, s, vt = np.linalg.svd(b, full_matrices=False)
+    fd_eig = s**2
+    cert = fd_eig > 2.0 * m / 64
+    assert list(cert[:2]) == [True, True]  # the planted 8x/4x dims
+    keep_k = int(cert.sum())
+    w = vt[:keep_k] / np.sqrt(fd_eig[:keep_k] / n)[:, None]
+
+    whitened = whiten(
+        feats, np.zeros(64), w, vec_col="feat", out_col="z"
+    )
+    # exact whitened second-moment diagonal, computed distributively
+    diag = {
+        r["pos"]: r["d"]
+        for r in whitened.select(
+            F.posexplode("z").alias("pos", "zv")
+        )
+        .groupBy("pos")
+        .agg((F.sum(F.col("zv") * F.col("zv")) / F.lit(float(n))).alias("d"))
+        .collect()
+    }
+    bound = m / ELL
+    for i in range(keep_k):
+        # FD PSD sandwich: fd_eig <= v'A'Av <= fd_eig + ||A||_F^2/ell
+        assert 1.0 - 1e-9 <= diag[i] <= 1.0 + bound / fd_eig[i] + 1e-9
+
+    # the streamed decision equals the registered query's release
+    released = {
+        r["component"]: r["certified_dominant"]
+        for r in q_fd_whitening_handoff(spark, SF).collect()
+    }
+    assert [bool(c) for c in cert[:8]] == [released[i] for i in range(8)]
+    _drop(spark, "fdstr_fd")
+
+
 def test_fd_compaction_preserves_state_and_guard(spark):
     _drop(spark, "fdcpt_fd")
     io = TableIO(spark, fmt="parquet")
