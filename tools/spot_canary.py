@@ -17,9 +17,11 @@ import importlib.util
 import os
 import sys
 
-#: observed clean floors on this box (r9 series; update per round)
-ST_CLEAN = 0.134
-MT_CLEAN = 0.167
+#: observed clean floors on this box (r11 series; update per round —
+#: r11's cleanest readings: st 0.1251 bench-recorded, mt 0.1337
+#: spot / 0.1463 bench-recorded)
+ST_CLEAN = 0.125
+MT_CLEAN = 0.146
 
 
 def main() -> int:
