@@ -170,9 +170,20 @@ def _merge_prior_mins(
             or set(run) != set(times)
         ):
             continue
-        priors.append(
-            (run, d.get("canary_worst"), d.get("canary_mt_worst"))
+        # r11 ADVICE: a DEGRADED mt probe fell back to the 1-thread
+        # loop — systematically lower than a saturated reading and
+        # blind to multi-core steal (the r9 failure mode).  Such a
+        # reading must neither set the series' mt_best floor nor pass
+        # the prior through the mt gate: drop it and let that run be
+        # st-only gated.  New detail files already write null, but
+        # r10/r11-era files recorded the degraded value alongside the
+        # flag, so the flag is consulted here too.
+        mt = (
+            None
+            if d.get("canary_mt_degraded")
+            else d.get("canary_mt_worst")
         )
+        priors.append((run, d.get("canary_worst"), mt))
 
     priors = priors[-(MERGE_CAP - 1):]
     # canary gate: the clean-box reference is the BEST canary in the
@@ -336,8 +347,13 @@ def main() -> None:
     canary_worst = max(canary_pre, canary_post)
     canary_mt_worst = max(canary_mt_pre, canary_mt_post)
     # r10 ADVICE: surface mt-probe degradation instead of silently
-    # adjudicating host health with the weaker 1-thread reading
+    # adjudicating host health with the weaker 1-thread reading.
+    # r11 ADVICE: a degraded reading is also EXCLUDED from the mt
+    # gate — canary_mt_worst is recorded as null (raw value kept in
+    # canary_mt_degraded_reading) and the current run contributes no
+    # mt to _merge_prior_mins, which then st-only gates this run.
     canary_mt_degraded = mt_degraded_pre or mt_degraded_post
+    canary_mt_gate = None if canary_mt_degraded else canary_mt_worst
     # per-run file under a gitignored dir: successive runs don't
     # clobber each other and the detail can't be committed by accident
     out_dir = os.path.join(
@@ -346,7 +362,7 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     merged, n_runs, n_discarded = _merge_prior_mins(
         out_dir, fingerprint, sf, times,
-        {"st": canary_worst, "mt": canary_mt_worst},
+        {"st": canary_worst, "mt": canary_mt_gate},
     )
     detail = {
         "metric": "total_query_wall_sec",
@@ -361,8 +377,15 @@ def main() -> None:
         "canary_worst": canary_worst,
         "canary_mt_pre": canary_mt_pre,
         "canary_mt_post": canary_mt_post,
-        "canary_mt_worst": canary_mt_worst,
+        "canary_mt_worst": canary_mt_gate,
         "canary_mt_degraded": canary_mt_degraded,
+        # raw fallback reading, kept out of the gate field so a
+        # 1-thread number can never masquerade as a saturated one
+        **(
+            {"canary_mt_degraded_reading": canary_mt_worst}
+            if canary_mt_degraded
+            else {}
+        ),
         "canary_discarded_priors": n_discarded,
         "fingerprint": fingerprint,
         "sf": sf,
@@ -382,10 +405,13 @@ def main() -> None:
         "runs_merged": n_runs,
         "this_run_total": detail["this_run_total"],
         "canary_worst": canary_worst,
-        "canary_mt_worst": canary_mt_worst,
+        "canary_mt_worst": canary_mt_gate,
         "canary_discarded_priors": n_discarded,
         **(
-            {"canary_mt_degraded": canary_mt_degraded}
+            {
+                "canary_mt_degraded": canary_mt_degraded,
+                "canary_mt_degraded_reading": canary_mt_worst,
+            }
             if canary_mt_degraded
             else {}
         ),

@@ -230,6 +230,15 @@ def rank1_half_step_int(
     entities x 16 B), the hint is dropped at runtime and the join
     degrades to the pre-partitioned shuffle join — same join/agg
     shape, no driver OOM (r10 ADVICE)."""
+    # lam_s2 > 0 keeps the denominator strictly positive even for a
+    # degenerate entity (r11 ADVICE, symmetric with the rank-2 step):
+    # with lam_s2 = 0 a zero accumulator would make the engines
+    # diverge silently — Spark non-ANSI x DIV 0 yields NULL while
+    # DuckDB errors.  Misuse must fail loudly at construction.
+    if int(lam_s2) <= 0:
+        raise ValueError(
+            f"rank1_half_step_int requires lam_s2 > 0, got {lam_s2}"
+        )
     return (
         ratings.join(_maybe_broadcast(partner, partner_rows), partner_key)
         .groupBy(own_key)
@@ -311,6 +320,17 @@ def rank2_half_step_int(
     < 2^63-1 (margin 1.35x), det <= 5.1e16.  Same plan shape as the
     rank-1 step: one (gated) broadcast join + one groupBy exchanged
     on the solving side's key."""
+    # positive-definiteness (det >= L^2 > 0, hence never a division
+    # by zero) REQUIRES lam_s2 > 0: with lam_s2 = 0 and a
+    # rank-deficient partner matrix (an entity with one rating)
+    # det = 0 and the engines diverge silently — Spark non-ANSI
+    # integer division by zero yields NULL (GREATEST/LEAST then skip
+    # it, silently pinning the factor) while DuckDB errors.  Misuse
+    # fails loudly instead (r11 ADVICE).
+    if int(lam_s2) <= 0:
+        raise ValueError(
+            f"rank2_half_step_int requires lam_s2 > 0, got {lam_s2}"
+        )
     L = int(lam_s2)
     n1 = f"(CAST({S} AS BIGINT) * (b1*(a22+{L}) - b2*a12))"
     n2 = f"(CAST({S} AS BIGINT) * (b2*(a11+{L}) - b1*a12))"

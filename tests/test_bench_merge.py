@@ -133,6 +133,49 @@ def test_merge_discards_mt_canary_contaminated_priors(tmp_path):
     assert merged == {"q1": 3.0}
 
 
+def test_merge_ignores_degraded_mt_readings(tmp_path):
+    """r11 ADVICE: a DEGRADED mt probe is the 1-thread loop in
+    disguise — systematically lower than a saturated reading.  It
+    must neither (a) set an artificially low mt_best that discards
+    clean priors, nor (b) let a hot degraded run pass the mt gate.
+    Degraded priors are st-only gated."""
+    bench = _load("bench_under_test5c", "/root/repo/bench.py")
+    times = {"q1": 5.0}
+
+    def detail(name, queries, st, mt, degraded=False):
+        body = {"fingerprint": "FP", "sf": 0.1, "this_run": queries,
+                "canary_worst": st, "canary_mt_worst": mt}
+        if degraded:
+            body["canary_mt_degraded"] = "mt-probe-failed"
+        with open(tmp_path / name, "w") as fh:
+            json.dump(body, fh)
+
+    # clean saturated series at mt ~0.23
+    detail("BENCH_DETAIL_1.json", {"q1": 3.0}, 0.10, 0.23)
+    # degraded run whose 1-thread fallback read 0.10: were it gated
+    # as a real mt value it would set mt_best = 0.10 and discard the
+    # CLEAN 0.23 prior (0.23 > 1.5 x 0.10); excluded, both survive
+    detail("BENCH_DETAIL_2.json", {"q1": 2.5}, 0.10, 0.10,
+           degraded=True)
+    merged, n, discarded = bench._merge_prior_mins(
+        str(tmp_path), "FP", 0.1, times,
+        canary={"st": 0.10, "mt": 0.24},
+    )
+    assert discarded == 0
+    assert n == 3
+    assert merged == {"q1": 2.5}
+
+    # a degraded run that ran HOT (st shows it) is still st-gated
+    detail("BENCH_DETAIL_3.json", {"q1": 0.5}, 0.30, 0.11,
+           degraded=True)
+    merged, n, discarded = bench._merge_prior_mins(
+        str(tmp_path), "FP", 0.1, times,
+        canary={"st": 0.10, "mt": 0.24},
+    )
+    assert discarded == 1          # the hot degraded run
+    assert merged == {"q1": 2.5}   # its 0.5 did not win
+
+
 def test_canary_probe_shape():
     bench = _load("bench_under_test6", "/root/repo/bench.py")
     v = bench._canary()

@@ -713,6 +713,28 @@ def test_copurchase_support_floor_has_margin(spark):
     assert min(r["common_customers"] for r in rows) > 2
 
 
+def test_copurchase_support_floor_margin_at_sf01(spark):
+    """r11 ADVICE: the released minimum is TIGHTEST at sf0.1 (4 vs
+    the >= 2 floor) — the largest driver scale is where a data
+    regeneration eroding support would bite first, so the margin is
+    pinned there too, not only at the certification sf."""
+    import os
+
+    import pytest
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import (
+        SPARK_QUERIES,
+    )
+
+    if not os.path.isdir("/root/testdata/sf0.1"):
+        pytest.skip("sf0.1 testdata absent")
+    rows = SPARK_QUERIES["copurchase_link_prediction"](
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    assert rows, "empty link-prediction release"
+    assert min(r["common_customers"] for r in rows) > 2
+
+
 def test_mg_stream_topk_fixed_plan(spark):
     """Sequential MG merge: the per-(batch, bucket, term) count
     relation is persisted (it feeds stage-1 compress, the fold, and

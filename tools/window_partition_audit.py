@@ -76,7 +76,11 @@ def main() -> int:
     for name, err in errs.items():
         print(f"  ERROR {name}: {err}")
     spark.stop()
-    return 1 if errs else 0
+    # r11 ADVICE: empty-partition Window hits are exactly the scale
+    # defect this tool exists to catch — standalone/CI use of the
+    # exit code must fail on them, not only on plan-time errors (the
+    # detailed stdout listing stays the diagnostic message).
+    return 1 if errs or hits else 0
 
 
 if __name__ == "__main__":
