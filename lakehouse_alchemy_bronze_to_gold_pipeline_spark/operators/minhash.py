@@ -107,14 +107,17 @@ def band_buckets(
     ).select(id_col, "bucket.band_idx", "bucket.band_hash")
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
+def pairs_from_buckets(
+    banded: DataFrame,
     id_col: str,
-    n_bands: int = 16,
-    band_rows: int = 4,
+    keys: list[str],
     max_bucket: int = 200,
 ) -> DataFrame:
-    """Distinct candidate (id_a < id_b) pairs sharing >=1 LSH bucket.
+    """Distinct candidate (id_a < id_b) pairs sharing >=1 bucket, for
+    ANY banded relation ``(id, *keys)`` — the hash-family-agnostic
+    pair generator both LSH families share (xxhash band_buckets keys
+    on (band_idx, band_hash); the md5 oracle family on a single
+    string ``bucket``).
 
     Buckets are built with ONE groupBy shuffle of (bucket, id) and
     pairs are generated inside each bucket list — no self-join (which
@@ -122,10 +125,8 @@ def lsh_candidate_pairs(
     the skew guard (the bucket-width cap is a size filter on the
     grouped list).  ``collect_list`` per bucket is safe BECAUSE of the
     cap: state per bucket is <= max_bucket ids."""
-    banded = band_buckets(sigs, id_col, n_bands, band_rows)
-
     buckets = (
-        banded.groupBy("band_idx", "band_hash")
+        banded.groupBy(*keys)
         .agg(F.collect_list(id_col).alias("ids"))
         # skew guard: drop pathological buckets instead of quadratic
         # pair blowup; singleton buckets generate nothing
@@ -147,6 +148,22 @@ def lsh_candidate_pairs(
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    n_bands: int = 16,
+    band_rows: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs sharing >=1 LSH bucket
+    (xxhash family): band the signatures, then generate pairs inside
+    each width-capped bucket (``pairs_from_buckets``)."""
+    banded = band_buckets(sigs, id_col, n_bands, band_rows)
+    return pairs_from_buckets(
+        banded, id_col, ["band_idx", "band_hash"], max_bucket
     )
 
 
@@ -183,34 +200,26 @@ def _cw_signature_udf(n_hashes: int):
     return sigs
 
 
-def md5_signatures_and_pairs(
+def md5_minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 64,
     shingle_n: int = 2,
-    n_bands: int = 16,
-    max_bucket: int = 200,
     balance: bool = True,
-) -> tuple[DataFrame, DataFrame]:
-    """The cross-engine-reproducible MinHash core: returns
-    (sigs, pairs) where sigs = (id, shingles, sig) is persisted and
-    pairs = distinct candidate (id_a < id_b) from the capped band
-    buckets.  Shared by the near-dup query and the sketch-accuracy
-    report so both run the IDENTICAL pipeline the DuckDB oracle
-    reproduces.
+) -> DataFrame:
+    """(id, shingles, sig) under the cross-engine-reproducible
+    md5-seeded Carter-Wegman family (NOT persisted — callers that fan
+    the relation out persist/checkpoint it themselves).
 
-    Hash family: Carter-Wegman over ONE md5 per shingle —
-    ``sig_i = min over shingles of (a_i * x + b_i) mod (2^31-1)``
-    with x the shingle md5's top 52 bits folded into the field and
-    a_i = (1103515245*(i+1) + 12345) mod p, b_i = (69069*(i+1) + 1)
-    mod p (LCG-spread per-index constants, computed arithmetically
-    so no literal-array rebuild cost in the HOF interpreter).  Same
-    engine-agnostic determinism as hashing md5(i||shingle) per
-    (i, shingle) — DuckDB reproduces the integer arithmetic exactly
-    — at 1/64th the digest cost, which is what made the oracle
-    family ~3x slower than the xxhash64 fast path before."""
-    band_rows = n_hashes // n_bands
+    Hash family: ``sig_i = min over shingles of (a_i * x + b_i) mod
+    (2^31-1)`` with x the shingle md5's top 52 bits folded into the
+    field and a_i = (1103515245*(i+1) + 12345) mod p, b_i =
+    (69069*(i+1) + 1) mod p (LCG-spread per-index constants, computed
+    arithmetically so no literal-array rebuild cost in the HOF
+    interpreter).  Same engine-agnostic determinism as hashing
+    md5(i||shingle) per (i, shingle) — DuckDB reproduces the integer
+    arithmetic exactly — at 1/64th the digest cost."""
     toks = nonempty_tokens(text_col)
     shingles = word_shingles(toks, shingle_n)
     xcol = F.transform(
@@ -232,12 +241,22 @@ def md5_signatures_and_pairs(
     # evaluations at sf0.1 (measured 3.5 s; this path ~1 s), and
     # integer results are bit-identical to the SQL oracle's, so the
     # Arrow hop loses no verifiability (unlike float kernels)
-    sigs = (
-        sh.withColumn("sig", _cw_signature_udf(n_hashes)(F.col("hx")))
-        .drop("hx")
-        .persist()
-    )
+    return sh.withColumn(
+        "sig", _cw_signature_udf(n_hashes)(F.col("hx"))
+    ).drop("hx")
 
+
+def md5_band_buckets(
+    sigs: DataFrame,
+    id_col: str,
+    n_bands: int = 16,
+    band_rows: int = 4,
+) -> DataFrame:
+    """(id, bucket) — the md5 family's banded relation: one STRING
+    bucket key per band per document ('band_idx:sig,sig,...'), the
+    plain-concatenation form a SQL oracle reproduces verbatim.  The
+    materializable LSH index relation of the md5 family (xxhash twin:
+    ``band_buckets``)."""
     bucket = F.explode(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -254,29 +273,34 @@ def md5_signatures_and_pairs(
             ),
         )
     )
-    banded = sigs.select(F.col(id_col), bucket.alias("bucket"))
-    buckets = (
-        banded.groupBy("bucket")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
-    )
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda b: F.struct(
-                    F.least(a, b).alias("id_a"),
-                    F.greatest(a, b).alias("id_b"),
-                ),
-            ),
-        )
-    )
-    pairs = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    return sigs.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def md5_signatures_and_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    shingle_n: int = 2,
+    n_bands: int = 16,
+    max_bucket: int = 200,
+    balance: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The cross-engine-reproducible MinHash core: returns
+    (sigs, pairs) where sigs = (id, shingles, sig) is persisted and
+    pairs = distinct candidate (id_a < id_b) from the capped band
+    buckets.  Shared by the near-dup query and the sketch-accuracy
+    report so both run the IDENTICAL pipeline the DuckDB oracle
+    reproduces.  Composition of :func:`md5_minhash_signatures`,
+    :func:`md5_band_buckets` and :func:`pairs_from_buckets` — the
+    same units the incremental near-dup gate chains per micro-batch
+    (streaming/incremental_dedup.py)."""
+    band_rows = n_hashes // n_bands
+    sigs = md5_minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle_n, balance
+    ).persist()
+    banded = md5_band_buckets(sigs, id_col, n_bands, band_rows)
+    pairs = pairs_from_buckets(banded, id_col, ["bucket"], max_bucket)
     return sigs, pairs
 
 

@@ -39,55 +39,51 @@ _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q, **_ADV_Q, **_DS_Q,
 # r7 floor while 40 entries were still r6-certified — the rule is
 # now machine-checked, not narrated).
 _PRIORITY = (
-    # ---- r11 driver window (slots 1-50) ----
-    # never-certified (added this round): the rank-2 fixed-point ALS
-    # certification (r10 verdict task 4) and the RLAIF preference-
-    # pair hygiene readout (r10 verdict task 2)
-    "als_rank2_fixed",
-    "preference_pair_dedup",
-    # the COMPLETE r6-stale pool (40 entries — window_audit ground
-    # truth, registry rotation order).  The r10 annotation wrongly
-    # claimed this pool had 10 entries; it had 50, of which r10
-    # retired 10.  Retiring the remaining 40 here makes the post-r11
-    # floor GENUINELY r7.
-    "important_part_value", "customer_order_distribution",
-    "supplier_part_breadth", "dormant_wealth_report",
-    "sole_late_supplier", "pair_containment", "zipf_fit_report",
-    "tokenizer_fertility", "ann_hubness_report_sampled",
-    "weekly_stickiness", "bloom_semijoin_prune", "cms_bigram_accuracy",
-    "weighted_reservoir_sample", "dow_seasonality",
-    "ordered_funnel_3step", "brand_label_propagation",
-    "reach_kmv_accuracy", "top_supplier_revenue",
-    "nation_revenue_share", "doc_cleaning_report",
-    "holt_revenue_forecast", "pit_feature_join", "ab_test_zscore",
-    "daily_revenue_autocorr", "referential_integrity_sweep",
-    "min_cost_supplier", "nation_volume_shipping",
-    "nation_market_share", "product_profit_by_nation",
-    "returned_revenue_customers", "shipping_delay_buckets",
-    "promo_revenue_share", "large_order_customers",
-    "bracket_disjunction_revenue", "excess_share_suppliers",
-    "quantile_digest_accuracy", "quantile_digest_grouped",
-    "feature_drift_report", "revenue_anomaly_mad",
-    "benford_digit_audit",
-    # the 8 oldest r7-stale entries (rotation order) fill the window
-    "fact_sales", "dim_customer", "dim_part", "dq_violation_counts",
-    "dq_failing_rows", "orphan_orders", "orders_with_big_items",
-    "props_variant_stats",
-    # ---- 50-slot window boundary ----
-    # r12 queue head: the remaining 6 r7-certified entries, then the
-    # 50-entry r8 pool (in rotation order — window_audit prints it).
-    # Reachable floors, stated honestly (the r10 annotation's
-    # "post-r11 floor r8" was arithmetically impossible): post-r11
-    # floor is r7; post-r12 floor is r8 provided r12 adds at most 44
-    # new entries (6 r7 + 44 r8 fill the window; 6 r8 entries then
-    # remain, so nothing older than r8 survives r12).  New queries
-    # added mid-round must be inserted ABOVE this queue but INSIDE
-    # the window (displacing the window's tail down here) so a
-    # post-close driver artifact can never strand a never-certified
-    # entry outside the window.
+    # ---- r12 driver window (slots 1-50) ----
+    # never-certified (added this round): the streaming near-dup gate
+    # certification (r11 verdict task 2 — the md5-family incremental
+    # gate decomposed at rest, DuckDB replaying both passes)
+    "incremental_neardup_fixed",
+    # the COMPLETE remaining r7-stale pool (6 entries — window_audit
+    # ground truth, registry rotation order): retiring these makes
+    # the post-r12 floor genuinely r8
     "pipe_syntax_flag_stats", "orders_stratified_sample",
     "customer_string_funcs", "signup_purchase_funnel",
     "event_date_spine", "order_metrics_melt",
+    # the oldest r8-stale entries (rotation order) fill the window
+    "feature_hash_embed", "event_sequence_prep",
+    "ivf_stream_topk_fixed", "embedding_fd_profile",
+    "pq_stream_topk_fixed", "pricing_summary",
+    "top_customers_per_segment", "revenue_rollup", "events_hourly",
+    "events_json_kv", "sessionize_events", "session_conversion_daily",
+    "dedup_events_keep_latest", "set_ops_customers",
+    "customer_running_spend", "order_priority_cube",
+    "returnflag_pivot", "segment_distinct_customers",
+    "asof_latest_order", "scd1_upsert", "copurchase_link_prediction",
+    "brand_supplier_hhi", "brand_cooccurrence_top",
+    "order_backlog_daily", "user_retention_cohorts",
+    "price_percentiles", "price_percentiles_approx",
+    "revenue_grouping_sets", "events_band_join",
+    "late_shipment_orders", "brand_small_quantity_revenue",
+    "daily_activity", "customer_recent_spend", "top_unshipped_orders",
+    "order_date_math", "token_array_ops", "orders_profile",
+    "events_window_fn", "asia_nation_revenue", "embedding_top_pairs",
+    "embedding_top_pairs_lsh", "embedding_neardup_lsh",
+    "snapshot_diff_orders",
+    # ---- 50-slot window boundary ----
+    # r13 queue head: the remaining r8 pool (rotation order —
+    # window_audit prints it).  Certification-period arithmetic
+    # (r11 verdict task 7): 206 entries / 50 slots = a 4.1-round
+    # re-certification period at zero growth; the full-registry local
+    # sweep (tools/check_correctness.py -> LOCAL_CORRECTNESS_r{N}.md)
+    # runs every round and stays the freshness backstop between
+    # driver certifications.  New queries added mid-round must be
+    # inserted ABOVE this queue but INSIDE the window (displacing the
+    # window's tail down here) so a post-close driver artifact can
+    # never strand a never-certified entry outside the window.
+    "scd2_customer_history", "order_rank_functions",
+    "price_histogram", "lineitem_moments", "user_activity_streaks",
+    "lineitem_hash_sample", "audience_overlap_kmv",
 )
 
 assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))

@@ -7,7 +7,8 @@ the whole corpus in streaming state is impossible at 100 TB, so the
 accumulated knowledge lives in two ordinary tables:
 
 - ``{name}_sigs``:    (id, shingles)            — verify-side lookup
-- ``{name}_buckets``: (id, band_idx, band_hash) — the LSH index
+- ``{name}_buckets``: the LSH index — (id, band_idx, band_hash) for
+  the xxhash family, (id, bucket) for the md5 oracle family
 
 Per micro-batch (``foreachBatch``):
 
@@ -16,14 +17,21 @@ Per micro-batch (``foreachBatch``):
    replay re-presents rows whose state was already committed);
 3. within-batch dedup: verified pairs among new docs, smaller id wins;
 4. cross-corpus dedup: new buckets equi-join the PERSISTED bucket
-   table on (band_idx, band_hash) — the index prunes the corpus to
+   table on the bucket key — the index prunes the corpus to
    colliding docs only — then exact-Jaccard verify against the stored
    shingles; any match drops the new doc (first-writer-wins);
 5. append survivors to the output + both state tables.
 
+Steps 3-4 are the PURE batch-gate core :func:`gate_batch_sigs` —
+state in, survivors out, no table IO — which is also what the
+oracle-certified registry entry ``incremental_neardup_fixed``
+(queries/llm_ops.py) chains twice at rest under the md5 hash family:
+its DuckDB twin replays both passes value-for-value, so hash equality
+certifies exactly the dedup decisions the streaming wrapper commits.
+
 Scale notes: step 4's join touches only buckets the batch collides
 with (at cluster scale the bucket table is partitioned/bucketed by
-``band_hash``, so the probe prunes to matching files); per-bucket
+the bucket key, so the probe prunes to matching files); per-bucket
 width caps bound the candidate blowup exactly like the batch
 operator; state grows O(corpus x n_bands) rows of 3 integers, not
 O(corpus^2).
@@ -31,16 +39,135 @@ O(corpus^2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import jaccard
-from ..operators.minhash import band_buckets, minhash_signatures
+from ..operators.minhash import (
+    band_buckets,
+    md5_band_buckets,
+    md5_minhash_signatures,
+    minhash_signatures,
+    pairs_from_buckets,
+)
 from ..sources.tables import TableIO
 
 
+def gate_batch_sigs(
+    sigs: DataFrame,
+    state_sigs: DataFrame | None,
+    state_buckets: DataFrame | None,
+    *,
+    id_col: str,
+    threshold: float,
+    max_bucket: int,
+    bucketer,
+    keys: list[str],
+    cached: list | None = None,
+) -> DataFrame:
+    """The PURE incremental near-dup gate for one batch: signatures
+    in, surviving signatures out — no table IO, so the streaming
+    wrapper and the oracle-certified registry twin share it verbatim.
+
+    ``sigs`` is the batch's (id, shingles, sig) relation (already
+    replay-filtered by the caller); ``state_sigs`` (id, shingles) and
+    ``state_buckets`` (id, *keys) carry everything previously
+    accepted, or None on the first batch.  ``bucketer`` maps a sigs
+    relation to its banded (id, *keys) form — ``band_buckets`` for
+    the xxhash family, ``md5_band_buckets`` for the md5 oracle
+    family.  Appends intermediate persists to ``cached`` (the
+    caller's unpersist ledger) when given.
+
+    Decision rule (first-writer-wins):
+    - within batch: for every bucket-colliding pair (id_a < id_b)
+      with exact Jaccard >= threshold, the LARGER id drops;
+    - vs corpus: a surviving batch doc that bucket-collides with any
+      STORED doc (old buckets width-capped at ``max_bucket``) and
+      verifies >= threshold drops; stored docs never drop.
+    """
+
+    def _persist(df: DataFrame) -> DataFrame:
+        df = df.persist()
+        if cached is not None:
+            cached.append(df)
+        return df
+
+    # ---- within-batch: verified pairs, smaller id wins
+    pairs = pairs_from_buckets(bucketer(sigs), id_col, keys, max_bucket)
+    shl = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    shr = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    dup_in_batch = (
+        pairs.join(shl, "id_a")
+        .join(shr, "id_b")
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
+        .select(F.col("id_b").alias(id_col))  # id_a < id_b: larger drops
+        .distinct()
+    )
+    fresh = _persist(sigs.join(dup_in_batch, id_col, "left_anti"))
+
+    # ---- cross-corpus: new buckets probe the persisted index.  ONE
+    # groupBy shuffle of the tagged (new ∪ stored) bucket rows builds
+    # per-bucket (news, olds) lists; pairs are emitted inside each
+    # bucket with the stored side's width capped at ``max_bucket`` —
+    # the same skew guard as pairs_from_buckets, and one exchange
+    # where a probe-join + window-cap + candidate-join would pay
+    # three.  At cluster scale the stored bucket table arrives
+    # partitioned by the bucket key, so only colliding buckets
+    # produce non-empty news lists.
+    if state_sigs is not None and state_buckets is not None:
+        id_type = dict(fresh.dtypes)[id_col]
+        new_b = bucketer(fresh).select(
+            *keys, F.col(id_col).alias("__nid"),
+            F.lit(None).cast(id_type).alias("__oid"),
+        )
+        old_b = state_buckets.select(
+            *keys, F.lit(None).cast(id_type).alias("__nid"),
+            F.col(id_col).alias("__oid"),
+        )
+        grouped = (
+            new_b.unionByName(old_b)
+            .groupBy(*keys)
+            .agg(
+                F.collect_list("__nid").alias("news"),
+                F.collect_list("__oid").alias("olds"),
+            )
+            .filter(
+                (F.size("news") >= 1)
+                & (F.size("olds") >= 1)
+                & (F.size("olds") <= max_bucket)
+            )
+        )
+        cand = (
+            grouped.select(
+                F.explode("news").alias(id_col), "olds"
+            )
+            .select(F.col(id_col), F.explode("olds").alias("__old_id"))
+            .distinct()
+        )
+        old_sh = state_sigs.select(
+            F.col(id_col).alias("__old_id"), F.col("shingles").alias("sh_old")
+        )
+        dup_vs_corpus = (
+            cand.join(fresh.select(id_col, "shingles"), id_col)
+            .join(old_sh, "__old_id")
+            .filter(
+                jaccard(F.col("shingles"), F.col("sh_old")) >= threshold
+            )
+            .select(id_col)
+            .distinct()
+        )
+        fresh = _persist(fresh.join(dup_vs_corpus, id_col, "left_anti"))
+    return fresh
+
+
 class IncrementalNearDupFilter:
-    """First-writer-wins near-dup gate over an append-only doc stream."""
+    """First-writer-wins near-dup gate over an append-only doc stream.
+
+    ``family`` picks the hash family: ``"xxhash"`` (default — the
+    engine-internal fast path) or ``"md5"`` (the cross-engine
+    Carter-Wegman family whose every value a DuckDB oracle reproduces;
+    the registry's ``incremental_neardup_fixed`` certification runs
+    the gate under this family)."""
 
     def __init__(
         self,
@@ -53,7 +180,10 @@ class IncrementalNearDupFilter:
         shingle_n: int = 2,
         n_bands: int = 16,
         max_bucket: int = 200,
+        family: str = "xxhash",
     ):
+        if family not in ("xxhash", "md5"):
+            raise ValueError(f"unknown hash family {family!r}")
         self.io = io
         self.name = name
         self.id_col = id_col
@@ -64,6 +194,7 @@ class IncrementalNearDupFilter:
         self.n_bands = n_bands
         self.band_rows = n_hashes // n_bands
         self.max_bucket = max_bucket
+        self.family = family
 
     @property
     def sig_table(self) -> str:
@@ -73,78 +204,59 @@ class IncrementalNearDupFilter:
     def bucket_table(self) -> str:
         return f"{self.name}_buckets"
 
+    @property
+    def bucket_keys(self) -> list[str]:
+        return ["bucket"] if self.family == "md5" else [
+            "band_idx", "band_hash"
+        ]
+
+    def signatures(self, df: DataFrame) -> DataFrame:
+        if self.family == "md5":
+            return md5_minhash_signatures(
+                df, self.id_col, self.text_col, self.n_hashes,
+                self.shingle_n,
+            )
+        return minhash_signatures(
+            df, self.id_col, self.text_col, self.n_hashes, self.shingle_n
+        )
+
+    def buckets(self, sigs: DataFrame) -> DataFrame:
+        if self.family == "md5":
+            return md5_band_buckets(
+                sigs, self.id_col, self.n_bands, self.band_rows
+            )
+        return band_buckets(sigs, self.id_col, self.n_bands, self.band_rows)
+
     # ------------------------------------------------------ batch core
     def dedup_batch(self, batch: DataFrame) -> DataFrame:
         """Return the batch rows that survive the near-dup gate, and
         fold the survivors into the persisted state tables."""
         spark = batch.sparkSession
-        idc, txt = self.id_col, self.text_col
+        idc = self.id_col
 
         cached = []  # batch-lifetime persists, released before return
-        sigs = minhash_signatures(
-            batch, idc, txt, self.n_hashes, self.shingle_n
-        ).persist()
+        sigs = self.signatures(batch).persist()
         cached.append(sigs)
         has_state = spark.catalog.tableExists(self.sig_table)
         if has_state:
+            # replay guard: a checkpoint replay re-presents committed ids
             seen = self.io.read(self.sig_table).select(idc)
             sigs = sigs.join(seen, idc, "left_anti").persist()
             cached.append(sigs)
 
-        # ---- within-batch: verified pairs, smaller id wins
-        from ..operators.minhash import lsh_candidate_pairs
-
-        pairs = lsh_candidate_pairs(
-            sigs, idc, self.n_bands, self.band_rows, self.max_bucket
+        fresh = gate_batch_sigs(
+            sigs,
+            self.io.read(self.sig_table).select(idc, "shingles")
+            if has_state
+            else None,
+            self.io.read(self.bucket_table) if has_state else None,
+            id_col=idc,
+            threshold=self.threshold,
+            max_bucket=self.max_bucket,
+            bucketer=self.buckets,
+            keys=self.bucket_keys,
+            cached=cached,
         )
-        shl = sigs.select(F.col(idc).alias("id_a"), F.col("shingles").alias("sh_a"))
-        shr = sigs.select(F.col(idc).alias("id_b"), F.col("shingles").alias("sh_b"))
-        dup_in_batch = (
-            pairs.join(shl, "id_a")
-            .join(shr, "id_b")
-            .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= self.threshold)
-            .select(F.col("id_b").alias(idc))  # id_a < id_b: larger drops
-            .distinct()
-        )
-        fresh = sigs.join(dup_in_batch, idc, "left_anti").persist()
-        cached.append(fresh)
-
-        # ---- cross-corpus: new buckets probe the persisted index
-        if has_state:
-            new_b = band_buckets(fresh, idc, self.n_bands, self.band_rows)
-            old_b = self.io.read(self.bucket_table).select(
-                F.col(idc).alias("__old_id"), "band_idx", "band_hash"
-            )
-            # prune to buckets this batch actually collides with, then
-            # cap their width (mirrors the batch operator's skew guard)
-            touched = old_b.join(
-                new_b.select("band_idx", "band_hash").distinct(),
-                ["band_idx", "band_hash"],
-            )
-            w = Window.partitionBy("band_idx", "band_hash")
-            touched = touched.withColumn(
-                "__n", F.count(F.lit(1)).over(w)
-            ).filter(F.col("__n") <= self.max_bucket)
-            cand = (
-                new_b.join(touched, ["band_idx", "band_hash"])
-                .select(idc, "__old_id")
-                .distinct()
-            )
-            old_sh = self.io.read(self.sig_table).select(
-                F.col(idc).alias("__old_id"), F.col("shingles").alias("sh_old")
-            )
-            dup_vs_corpus = (
-                cand.join(fresh.select(idc, "shingles"), idc)
-                .join(old_sh, "__old_id")
-                .filter(
-                    jaccard(F.col("shingles"), F.col("sh_old"))
-                    >= self.threshold
-                )
-                .select(idc)
-                .distinct()
-            )
-            fresh = fresh.join(dup_vs_corpus, idc, "left_anti").persist()
-            cached.append(fresh)
 
         # ---- fold survivors into state.  MATERIALIZE first: the
         # survivor lineage READS the state tables (replay guard,
@@ -159,10 +271,7 @@ class IncrementalNearDupFilter:
         survivors = batch.join(fresh.select(idc), idc, "left_semi")
         survivors = survivors.localCheckpoint(eager=True)
         self.io.write_append(fresh.select(idc, "shingles"), self.sig_table)
-        self.io.write_append(
-            band_buckets(fresh, idc, self.n_bands, self.band_rows),
-            self.bucket_table,
-        )
+        self.io.write_append(self.buckets(fresh), self.bucket_table)
         self._refresh(self.sig_table)
         self._refresh(self.bucket_table)
         # everything downstream reads the two localCheckpoints; the

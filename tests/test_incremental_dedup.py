@@ -91,3 +91,68 @@ def test_incremental_neardup_across_runs(spark, tmp_path):
     ) == [1, 2, 5]
     for t in ("incq_dd_sigs", "incq_dd_buckets", "incq_dd_out"):
         spark.sql(f"DROP TABLE {t}")
+
+
+def test_md5_gate_two_runs_equal_registry_fixed(spark):
+    """The r12 certification claim, pinned from the STREAMING side:
+    running the real ``IncrementalNearDupFilter`` (md5 family) over
+    the documents corpus as two doc_id-parity micro-batches — state
+    tables, replay guard, TableIO appends and all — admits EXACTLY
+    the docs the oracle-backed ``incremental_neardup_fixed`` registry
+    query computes at rest.  The registry entry's DuckDB hash match
+    therefore certifies the decisions this wrapper commits."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import (
+        SPARK_QUERIES,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.data import (
+        load,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("incq_md5_sigs", "incq_md5_buckets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    io = TableIO(spark, fmt="parquet")
+    gate = IncrementalNearDupFilter(
+        io, "incq_md5", threshold=0.4, family="md5"
+    )
+    d = load(spark, sf, "documents")
+    s1 = gate.dedup_batch(d.filter(F.col("doc_id") % 2 == 0))
+    s2 = gate.dedup_batch(d.filter(F.col("doc_id") % 2 != 0))
+    got = {
+        1: sorted(r.doc_id for r in s1.select("doc_id").collect()),
+        2: sorted(r.doc_id for r in s2.select("doc_id").collect()),
+    }
+
+    fixed = SPARK_QUERIES["incremental_neardup_fixed"](spark, sf).collect()
+    want = {
+        b: sorted(r.doc_id for r in fixed if r.src_batch == b)
+        for b in (1, 2)
+    }
+    # docs with zero shingles never enter the gate's sigs relation:
+    # dedup_batch passes them through (nothing to compare), the fixed
+    # query's output is sigs-grained so they are absent there — strip
+    # them from the streaming side before comparing
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.functions.text import (
+        nonempty_tokens,
+        word_shingles,
+    )
+
+    sigful = {
+        r.doc_id
+        for r in load(spark, sf, "documents")
+        .filter(F.size(word_shingles(nonempty_tokens("text"), 2)) > 0)
+        .select("doc_id")
+        .collect()
+    }
+    got = {b: [i for i in ids if i in sigful] for b, ids in got.items()}
+    assert got == want
+    for t in ("incq_md5_sigs", "incq_md5_buckets"):
+        spark.sql(f"DROP TABLE {t}")
