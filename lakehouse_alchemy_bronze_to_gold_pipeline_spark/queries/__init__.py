@@ -42,8 +42,12 @@ _PRIORITY = (
     # ---- r12 driver window (slots 1-50) ----
     # never-certified (added this round): the streaming near-dup gate
     # certification (r11 verdict task 2 — the md5-family incremental
-    # gate decomposed at rest, DuckDB replaying both passes)
+    # gate decomposed at rest, DuckDB replaying both passes) and the
+    # Structured Streaming late-data/watermark semantics readout
+    # (r11 verdict task 6 — drop-vs-accept rules replayed at rest,
+    # real-stream parity pinned in tests/test_streaming_windows.py)
     "incremental_neardup_fixed",
+    "watermark_late_events_fixed",
     # the COMPLETE remaining r7-stale pool (6 entries — window_audit
     # ground truth, registry rotation order): retiring these makes
     # the post-r12 floor genuinely r8
@@ -69,8 +73,8 @@ _PRIORITY = (
     "order_date_math", "token_array_ops", "orders_profile",
     "events_window_fn", "asia_nation_revenue", "embedding_top_pairs",
     "embedding_top_pairs_lsh", "embedding_neardup_lsh",
-    "snapshot_diff_orders",
     # ---- 50-slot window boundary ----
+    "snapshot_diff_orders",
     # r13 queue head: the remaining r8 pool (rotation order —
     # window_audit prints it).  Certification-period arithmetic
     # (r11 verdict task 7): 206 entries / 50 slots = a 4.1-round

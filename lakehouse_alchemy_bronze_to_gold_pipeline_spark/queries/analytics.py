@@ -2563,8 +2563,164 @@ LIMIT 25
 """
 
 
+#: watermark-semantics constants shared by the Spark query, its SQL
+#: oracle, and the real-stream parity pytest: arrival jitter modulus
+#: (seconds), watermark delay (seconds), tumbling window + replay
+#: batch grains (microseconds)
+_WM_JITTER_S = 21600
+_WM_DELAY_US = 7200 * 1_000_000
+_WM_HOUR_US = 3_600_000_000
+_WM_DAY_US = 86_400_000_000
+
+
+def q_watermark_late_events_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming LATE-DATA semantics certified at rest
+    (r11 verdict task 6, the decomposition-certification pattern):
+    the events table replays as one micro-batch per ARRIVAL day —
+    arrival = event time + a deterministic md5 jitter in
+    [0, 6h), so a slice of every batch is late — through the exact
+    watermark rules a ``withWatermark('ts', '2 hours') .groupBy(
+    window('ts', '1 hour'))`` append-mode stream applies:
+
+    - the watermark entering batch b is max event time over batches
+      BEFORE b minus the delay (monotone running max — the first
+      batch has none and accepts everything);
+    - a row is DROPPED iff its window END <= that watermark (state
+      for the window was already evicted; equality drops — pinned
+      empirically and by the parity pytest);
+    - at stream end a window is EMITTED (append mode) iff it retained
+      >= 1 row and its end <= the FINAL watermark.
+
+    Output, one row per hourly event-time window that received any
+    row: (win_start_us, n_accepted, n_late_dropped, emitted).  Every
+    rule is integer arithmetic over ``ts_us``, so the DuckDB twin
+    replays the schedule value-for-value; that the relational model
+    IS the streaming engine's behavior is pinned by
+    tests/test_streaming_windows.py::test_watermark_fixed_model_
+    matches_real_stream, which drives the same batches through a real
+    checkpointed availableNow stream and compares emitted windows.
+
+    Scale: two data-scale aggregations (per-batch max, per-window
+    counts) + a 31-row watermark ledger (const_bucket running max)
+    broadcast back onto the event grain — no window over data, no
+    state bigger than |batches| + |hourly windows|."""
+    ev = load(spark, sf, "events").select("event_id", "ts_us")
+    jitter_s = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("late:"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _WM_JITTER_S
+    )
+    evb = ev.select(
+        ((F.col("ts_us") + jitter_s * 1_000_000) / _WM_DAY_US)
+        .cast("bigint")
+        .alias("batch"),
+        (F.col("ts_us") / _WM_HOUR_US).cast("bigint").alias("win"),
+        "ts_us",
+    )
+    # NOTE: integer `/ then cast` floors here because every operand is
+    # nonnegative; ts_us DIV would be identical.
+    batch_max = evb.groupBy("batch").agg(F.max("ts_us").alias("bmax"))
+    # watermark ledger: <= 31 rows (one per replay day) — the running
+    # max over PRIOR batches, const_bucket keeps the deliberate
+    # single-partition window warning-free and audit-visible
+    wm_w = (
+        Window.partitionBy(const_bucket("batch"))
+        .orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wmtab = batch_max.select(
+        "batch",
+        (F.max("bmax").over(wm_w) - F.lit(_WM_DELAY_US)).alias("wm_us"),
+    )
+    final_wm = batch_max.agg(
+        (F.max("bmax") - F.lit(_WM_DELAY_US)).alias("final_wm_us")
+    )
+    accepted = F.col("wm_us").isNull() | (
+        (F.col("win") + 1) * _WM_HOUR_US > F.col("wm_us")
+    )
+    perwin = (
+        evb.join(F.broadcast(wmtab), "batch", "left")
+        .groupBy("win")
+        .agg(
+            F.sum(accepted.cast("bigint")).alias("n_accepted"),
+            F.sum((~accepted).cast("bigint")).alias("n_late_dropped"),
+        )
+    )
+    return (
+        perwin.crossJoin(F.broadcast(final_wm))
+        .select(
+            (F.col("win") * _WM_HOUR_US).alias("win_start_us"),
+            "n_accepted",
+            "n_late_dropped",
+            (
+                (F.col("n_accepted") >= 1)
+                & ((F.col("win") + 1) * _WM_HOUR_US <= F.col("final_wm_us"))
+            )
+            .cast("bigint")
+            .alias("emitted"),
+        )
+        .orderBy("win_start_us")
+    )
+
+
+#: DuckDB hex8-of-md5 parse (the strpos idiom shared with
+#: queries/recsys.py — Spark's conv(substring(md5(x),1,8),16,10))
+_WM_HEX8 = (
+    "CAST(list_sum(list_transform(range(1, 9), pp -> "
+    "(strpos('0123456789abcdef', substr(md5('late:' || "
+    "CAST(event_id AS VARCHAR)), CAST(pp AS INT), 1)) - 1) "
+    "* pow(16.0, 8 - CAST(pp AS INT)))) AS BIGINT)"
+)
+
+SQL_WATERMARK_LATE_EVENTS_FIXED = f"""
+WITH evb AS (
+  SELECT (epoch_us(ts) + ({_WM_HEX8} % {_WM_JITTER_S}) * 1000000)
+           // {_WM_DAY_US} AS batch,
+         epoch_us(ts) // {_WM_HOUR_US} AS win,
+         epoch_us(ts) AS ts_us
+  FROM events
+), batch_max AS (
+  SELECT batch, MAX(ts_us) AS bmax FROM evb GROUP BY batch
+), wmtab AS (
+  SELECT batch,
+         MAX(bmax) OVER (ORDER BY batch
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+           - {_WM_DELAY_US} AS wm_us
+  FROM batch_max
+), fin AS (
+  SELECT MAX(bmax) - {_WM_DELAY_US} AS final_wm_us FROM batch_max
+), flagged AS (
+  SELECT e.win,
+         (w.wm_us IS NULL OR (e.win + 1) * {_WM_HOUR_US} > w.wm_us)
+           AS ok
+  FROM evb e LEFT JOIN wmtab w USING (batch)
+)
+SELECT win * {_WM_HOUR_US} AS win_start_us,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_accepted,
+       CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_late_dropped,
+       CAST(CASE WHEN SUM(CASE WHEN ok THEN 1 ELSE 0 END) >= 1
+                  AND (win + 1) * {_WM_HOUR_US}
+                      <= (SELECT final_wm_us FROM fin)
+                 THEN 1 ELSE 0 END AS BIGINT) AS emitted
+FROM flagged
+GROUP BY win
+ORDER BY win_start_us
+"""
+
+
 SPARK_QUERIES = {
     "part_kcore_profile": q_part_kcore_profile,
+    "watermark_late_events_fixed": q_watermark_late_events_fixed,
     "copurchase_link_prediction": q_copurchase_link_prediction,
     "rolling_reach_hll": q_rolling_reach_hll,
     "brand_random_walks": q_brand_random_walks,
@@ -2607,6 +2763,7 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "watermark_late_events_fixed": SQL_WATERMARK_LATE_EVENTS_FIXED,
     "copurchase_link_prediction": SQL_COPURCHASE_LINK_PREDICTION,
     "brand_random_walks": sql_brand_random_walks(),
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,

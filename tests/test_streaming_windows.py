@@ -373,3 +373,142 @@ def test_continuous_aggregate_versioned_history(spark, tmp_path):
     v1_again = {r.window_start.strftime("%H:%M"): r.n_events
                 for r in vt.read(1).collect()}
     assert v1_again == {"10:00": 1, "10:15": 1}
+
+
+def test_watermark_fixed_model_matches_real_stream(spark, tmp_path):
+    """The r12 watermark certification, pinned from the STREAMING
+    side: replaying real events (first 8 arrival-day batches of
+    sf0.001, md5-jittered arrival order — the exact schedule
+    ``watermark_late_events_fixed`` models) through a REAL
+    checkpointed availableNow stream with withWatermark('2 hours') +
+    hourly tumbling windows in append mode yields exactly the windows
+    the relational model marks ``emitted``, with exactly its
+    ``n_accepted`` counts.  The same python model over ALL batches is
+    then asserted equal to the registry query itself, closing the
+    chain: real stream == model == registry query (== DuckDB oracle,
+    via the driver's hash check)."""
+    import hashlib
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import (
+        SPARK_QUERIES,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.analytics import (
+        _WM_DAY_US,
+        _WM_DELAY_US,
+        _WM_HOUR_US,
+        _WM_JITTER_S,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.data import (
+        load,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = load(spark, sf, "events").select("event_id", "ts_us").collect()
+
+    def jitter_s(event_id: int) -> int:
+        h = hashlib.md5(f"late:{event_id}".encode()).hexdigest()
+        return int(h[:8], 16) % _WM_JITTER_S
+
+    ev = [
+        (
+            (r.ts_us + jitter_s(r.event_id) * 1_000_000) // _WM_DAY_US,
+            r.ts_us // _WM_HOUR_US,
+            r.ts_us,
+        )
+        for r in rows
+    ]
+    batches = sorted({b for b, _, _ in ev})
+
+    # ---- the relational model, in plain python (same arithmetic)
+    def model(batch_subset):
+        sub = [e for e in ev if e[0] in batch_subset]
+        bmax = {}
+        for b, _, ts in sub:
+            bmax[b] = max(bmax.get(b, 0), ts)
+        order = sorted(batch_subset)
+        wm, run = {}, None
+        for b in order:
+            wm[b] = None if run is None else run - _WM_DELAY_US
+            run = max(run or 0, bmax[b])
+        final_wm = max(bmax.values()) - _WM_DELAY_US
+        acc, drop = {}, {}
+        for b, w, _ in sub:
+            late = wm[b] is not None and (w + 1) * _WM_HOUR_US <= wm[b]
+            tgt = drop if late else acc
+            tgt[w] = tgt.get(w, 0) + 1
+        emitted = {
+            w * _WM_HOUR_US: n
+            for w, n in acc.items()
+            if n >= 1 and (w + 1) * _WM_HOUR_US <= final_wm
+        }
+        return acc, drop, emitted
+
+    # ---- real stream over the first 8 arrival days
+    head = set(batches[:8])
+    src, cp, out = (
+        str(tmp_path / "src"),
+        str(tmp_path / "cp"),
+        str(tmp_path / "out"),
+    )
+    os.makedirs(src)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("ts_us long")
+            .json(src)
+            .select(F.timestamp_micros(F.col("ts_us")).alias("ts"))
+        )
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_accepted"))
+            .select(
+                F.unix_micros(F.col("w.start")).alias("win_start_us"),
+                "n_accepted",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for i, b in enumerate(sorted(head)):
+        with open(os.path.join(src, f"b{i:02d}.json"), "w") as fh:
+            for bb, _, ts in ev:
+                if bb == b:
+                    fh.write(json.dumps({"ts_us": ts}) + "\n")
+        run_stream()
+
+    got = {
+        r.win_start_us: r.n_accepted
+        for r in spark.read.parquet(out).collect()
+    }
+    _, _, want_emitted = model(head)
+    assert got == want_emitted
+    assert sum(model(head)[1].values()) > 0, (
+        "fixture produced no late rows - the parity run never "
+        "exercised the drop rule"
+    )
+
+    # ---- model over ALL batches == the registry query itself
+    acc, drop, _ = model(set(batches))
+    fixed = SPARK_QUERIES["watermark_late_events_fixed"](
+        spark, sf
+    ).collect()
+    got_acc = {
+        r.win_start_us // _WM_HOUR_US: r.n_accepted for r in fixed
+    }
+    got_drop = {
+        r.win_start_us // _WM_HOUR_US: r.n_late_dropped
+        for r in fixed
+        if r.n_late_dropped
+    }
+    assert got_acc == {
+        w: acc.get(w, 0) for w in got_acc
+    } and set(acc) <= set(got_acc)
+    assert got_drop == drop
