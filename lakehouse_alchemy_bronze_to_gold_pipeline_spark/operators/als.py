@@ -106,46 +106,92 @@ def _solve_side(
     partner_factors: DataFrame,
     k: int,
     lam: float,
+    partner_rows: int | None = None,
 ) -> DataFrame:
     """One ALS half step: re-fit every `own_key` entity's factor
     against the partner side's CURRENT factors.
 
     Ridge follows the Netflix-paper weighted-lambda convention
     (lambda scaled by the entity's degree), which keeps regularization
-    strength independent of popularity."""
-    joined = ratings.join(
-        partner_factors.withColumnRenamed("f", "pf"), partner_key
-    ).select(own_key, partner_key, "r", "pf")
+    strength independent of popularity.
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        # fixed accumulation order regardless of physical layout
-        pdf = pdf.sort_values(partner_key)
-        V = np.vstack(pdf["pf"].to_numpy())
-        r = pdf["r"].to_numpy(dtype=np.float64)
-        A = V.T @ V + lam * len(pdf) * np.eye(k)
-        f = np.linalg.solve(A, V.T @ r)
-        return pd.DataFrame(
-            {own_key: [pdf[own_key].iloc[0]], "f": [f.tolist()]}
-        )
+    Execution shape (r12): ONE relational groupBy packs each entity's
+    observations into a ``sort_array``-ordered struct list (sorted by
+    the unique-in-group partner key — the fixed accumulation order
+    that makes the float solve layout-invariant), then ONE Arrow
+    batch evaluates every entity's k x k ridge solve in a vectorized
+    pandas UDF.  The previous ``applyInPandas``-per-entity form paid
+    ~3 ms of per-group pandas dispatch (measured: a 2,000-entity half
+    step cost 5+ s, dispatch-bound); batching the solves drops that
+    to one UDF invocation per Arrow batch while computing the SAME
+    np.linalg.solve over the SAME sorted normal equations —
+    bit-identical factors (pinned by
+    tests/test_als.py::test_float_half_step_replicates_numpy_exactly).
 
-    return joined.groupBy(own_key).applyInPandas(
-        fit, schema=f"{own_key} bigint, f array<double>"
+    ``partner_rows`` (when the caller knows it — ``als_train`` counts
+    each side once) gates a broadcast hint on the partner factor
+    table: localCheckpointed factors expose no stats, so without the
+    hint every half step sort-merge-joins, shuffling AND sorting the
+    data-scale ratings twice before the groupBy's own exchange (the
+    same plan defect the fixed-point path fixed in r10); with it each
+    half step is ONE exchange on the solving side's key — the
+    Netflix-paper layout.  Past ``BROADCAST_FACTOR_ROWS_MAX`` the
+    hint is dropped and the join degrades to the shuffle join."""
+    pf = partner_factors.withColumnRenamed("f", "pf")
+    if partner_rows is not None:
+        pf = _maybe_broadcast(pf, partner_rows)
+    joined = ratings.join(pf, partner_key).select(
+        own_key, partner_key, "r", "pf"
     )
+    packed = joined.groupBy(own_key).agg(
+        F.sort_array(
+            F.collect_list(F.struct(partner_key, "r", "pf"))
+        ).alias("obs")
+    )
+
+    @F.pandas_udf("array<double>")
+    def solve(obs: pd.Series) -> pd.Series:
+        eye = lam * np.eye(k)
+        out = []
+        for o in obs:
+            V = np.vstack([row["pf"] for row in o])
+            r = np.fromiter(
+                (row["r"] for row in o), dtype=np.float64, count=len(o)
+            )
+            A = V.T @ V + len(o) * eye
+            out.append(np.linalg.solve(A, V.T @ r))
+        return pd.Series(out)
+
+    return packed.select(own_key, solve("obs").alias("f"))
 
 
 def _loss(
-    ratings: DataFrame, uf: DataFrame, vf: DataFrame, ukey: str, vkey: str
+    ratings: DataFrame,
+    uf: DataFrame,
+    vf: DataFrame,
+    ukey: str,
+    vkey: str,
+    u_rows: int | None = None,
+    v_rows: int | None = None,
 ) -> float:
     """Sum of squared residuals over observed cells — one narrow pass
-    to a scalar (JVM-side dot product, no Python)."""
+    to a scalar (JVM-side dot product, no Python).  Factor tables
+    broadcast when the caller knows their row counts (gated like the
+    half steps), so the pass is shuffle-free."""
     dot = F.aggregate(
         F.zip_with("uf", "vf", lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    ut = uf.withColumnRenamed("f", "uf")
+    vt = vf.withColumnRenamed("f", "vf")
+    if u_rows is not None:
+        ut = _maybe_broadcast(ut, u_rows)
+    if v_rows is not None:
+        vt = _maybe_broadcast(vt, v_rows)
     return (
-        ratings.join(uf.withColumnRenamed("f", "uf"), ukey)
-        .join(vf.withColumnRenamed("f", "vf"), vkey)
+        ratings.join(ut, ukey)
+        .join(vt, vkey)
         .select(F.pow(F.col("r") - dot, 2).alias("sq"))
         .agg(F.sum("sq"))
         .collect()[0][0]
@@ -179,16 +225,24 @@ def als_train(
     ratings = ratings.persist()
     try:
         vf = init_factors(ratings, vkey, k, "als").localCheckpoint()
+        # entity counts, once per side: the broadcast gate for every
+        # half step and loss pass (the key sets never change)
+        n_v = vf.count()
+        n_u: int | None = None
         uf = None
         losses: list[float] = []
         for _ in range(iters):
             uf = _solve_side(
-                ratings, ukey, vkey, vf, k, lam
+                ratings, ukey, vkey, vf, k, lam, partner_rows=n_v
             ).localCheckpoint()
+            if n_u is None:
+                n_u = uf.count()
             vf = _solve_side(
-                ratings, vkey, ukey, uf, k, lam
+                ratings, vkey, ukey, uf, k, lam, partner_rows=n_u
             ).localCheckpoint()
-            losses.append(_loss(ratings, uf, vf, ukey, vkey))
+            losses.append(
+                _loss(ratings, uf, vf, ukey, vkey, u_rows=n_u, v_rows=n_v)
+            )
         return uf, vf, losses
     finally:
         # the factor tables are localCheckpointed (materialized), so

@@ -46,8 +46,12 @@ _PRIORITY = (
     # Structured Streaming late-data/watermark semantics readout
     # (r11 verdict task 6 — drop-vs-accept rules replayed at rest,
     # real-stream parity pinned in tests/test_streaming_windows.py)
+    # ... plus the float rank-k ALS production path readout (r11
+    # verdict task 3 — tolerance-documented rounded ledger; the last
+    # ALS surface without an independent check)
     "incremental_neardup_fixed",
     "watermark_late_events_fixed",
+    "als_float_rank2_readout",
     # the COMPLETE remaining r7-stale pool (6 entries — window_audit
     # ground truth, registry rotation order): retiring these makes
     # the post-r12 floor genuinely r8
@@ -72,9 +76,9 @@ _PRIORITY = (
     "daily_activity", "customer_recent_spend", "top_unshipped_orders",
     "order_date_math", "token_array_ops", "orders_profile",
     "events_window_fn", "asia_nation_revenue", "embedding_top_pairs",
-    "embedding_top_pairs_lsh", "embedding_neardup_lsh",
+    "embedding_top_pairs_lsh",
     # ---- 50-slot window boundary ----
-    "snapshot_diff_orders",
+    "embedding_neardup_lsh", "snapshot_diff_orders",
     # r13 queue head: the remaining r8 pool (rotation order —
     # window_audit prints it).  Certification-period arithmetic
     # (r11 verdict task 7): 206 entries / 50 slots = a 4.1-round

@@ -460,3 +460,46 @@ def test_recommend_broadcasts_candidates_never_c_times_p(spark):
     assert "TakeOrderedAndProject" in plan
     # exactly one broadcast side: the bounded candidate pool
     assert plan.count("BroadcastExchange") >= 1
+
+
+def test_float_readout_rounding_margins(spark):
+    """The als_float_rank2_readout tolerance contract, pinned at the
+    driver's certification scale (sf0.01): every released value must
+    sit >= 0.02 of a rounding step away from its boundary, >= 5
+    orders of magnitude above the measured <= 2e-6 cross-engine float
+    disagreement (see the query docstring).  A data regeneration that
+    parks a loss or factor sum near a boundary fails HERE before the
+    driver's hash check can flip."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.recsys import (
+        _FLOAT_ITERS,
+        _FLOAT_K,
+        _FLOAT_LAM,
+        _ratings,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    r = (
+        _ratings(spark, sf)
+        .withColumn("r", F.col("q").cast("double"))
+        .select("c", "p", "r")
+    )
+    uf, vf, losses = als_train(
+        r, "c", "p", k=_FLOAT_K, iters=_FLOAT_ITERS, lam=_FLOAT_LAM
+    )
+    su = uf.agg(F.sum(F.col("f")[0]), F.sum(F.col("f")[1])).collect()[0]
+    sv = vf.agg(F.sum(F.col("f")[0]), F.sum(F.col("f")[1])).collect()[0]
+
+    def margin(x: float) -> float:
+        frac = abs(x) - int(abs(x))
+        return abs(frac - 0.5)
+
+    released = [ls for ls in losses] + [
+        su[0] / 10, su[1] / 10, sv[0] / 10, sv[1] / 10
+    ]
+    worst = min(margin(x) for x in released)
+    assert worst >= 0.02, (
+        f"released value within {worst:.4f} of a rounding boundary - "
+        f"the float-vs-oracle tolerance contract is eroding: {released}"
+    )
+    # the ledger the readout releases must still exhibit descent
+    assert losses == sorted(losses, reverse=True)
