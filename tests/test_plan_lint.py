@@ -99,6 +99,14 @@ _DEEP_OK = {"brand_pagerank", "dedup_clusters", "dedup_keep_canonical",
             "embedding_kmeans_profile", "bpe_train_report",
             "training_corpus_prep", "source_dup_matrix",
             "ann_recall_report", "brand_triangles",
+            # TWO full incremental gate passes (per batch: balance
+            # repartition + capped bucket groupBy + verify joins +
+            # anti-join) plus the cross-corpus probe: a deliberate
+            # 2-batch composite whose per-stage shuffles are each
+            # bounded/capped; sits at 12-13 depending on whether the
+            # session serves parts of the shared signature relation
+            # from cache (which flips one join's build-side stats)
+            "incremental_neardup_fixed",
             # exact ground truth + 2 deterministic indexes + integer
             # readout: deliberately multi-stage composite
             "ann_recall_exact_fixed",
