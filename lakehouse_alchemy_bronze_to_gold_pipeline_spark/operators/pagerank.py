@@ -37,6 +37,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Broadcast ceiling for the STATIC normalized-edge relation, in rows
+#: (~30 B/row: two keys + one double).  Under it every iteration's
+#: rank-join becomes a BroadcastHashJoin against one reused
+#: BroadcastExchange — the rank relation is never shuffled and each
+#: iteration costs exactly ONE exchange (the groupBy(dst) partial
+#: aggregate), half the sort-merge layout's two.  At or above it the
+#: hint is dropped and the loop keeps the co-partitioned shuffle join
+#: (the ALS ``BROADCAST_FACTOR_ROWS_MAX`` gating idiom): 10M rows is
+#: ~300 MB framed, inside the "few hundred MB is fine" broadcast
+#: envelope, while a 100 TB link graph (billions of edges) degrades
+#: to the shuffle join instead of OOMing the driver.
+BROADCAST_EDGE_ROWS_MAX = 10_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -89,6 +102,18 @@ def pagerank(
             F.lit(0.0).alias("frac"),
         )
     ).persist()
+    # count-gated broadcast of the STATIC side (r12, guide §3.1): the
+    # persisted frac relation is already materialized by the
+    # nodes.count() above, so the count is a cheap cached-scan action
+    # taken ONCE — not per iteration.  Under the ceiling the whole
+    # no-dangling loop plans as ONE BroadcastExchange (reused by every
+    # iteration's BroadcastHashJoin) + one groupBy exchange per
+    # iteration; the join arithmetic and therefore the ranks are
+    # unchanged (same rows, same per-row products — only the sum's
+    # partition accumulation order may move, the documented ~1e-15
+    # float jitter callers round away).
+    if frac.count() + n < BROADCAST_EDGE_ROWS_MAX:
+        frac_all = F.broadcast(frac_all)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     if has_dangling:
         ranks = ranks.localCheckpoint()

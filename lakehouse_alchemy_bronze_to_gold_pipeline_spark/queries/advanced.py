@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .data import load
+from .data import load, spread_scan
 
 # ---------------------------------------------------------------------
 # Q21-shape: EXISTS + NOT EXISTS decorrelated into one grouped pass
@@ -119,7 +119,9 @@ def q_pair_containment(spark: SparkSession, sf: str) -> DataFrame:
     only on candidate pairs, never all-pairs."""
     from ..operators.minhash import md5_signatures_and_pairs
 
-    d = load(spark, sf, "documents")
+    # r12: spread the single-row-group scan before the heavy per-row
+    # work (see queries/data.py:spread_scan; A/B-measured win)
+    d = spread_scan(load(spark, sf, "documents"))
     sigs, pairs = md5_signatures_and_pairs(d, "doc_id", "text")
     sh_a = sigs.select(
         F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
@@ -2008,7 +2010,9 @@ def q_cms_bigram_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     combine bounds the exchange (see ``operators/sketch.cms_cells``)."""
     from ..operators.sketch import cms_cells, cms_estimate
 
-    d = load(spark, sf, "documents")
+    # r12: spread the single-row-group scan before the heavy per-row
+    # work (see queries/data.py:spread_scan; A/B-measured win)
+    d = spread_scan(load(spark, sf, "documents"))
     from ..functions.text import nonempty_tokens
 
     toks = d.select(nonempty_tokens("text").alias("t")).filter(

@@ -1065,23 +1065,41 @@ def _brand_edges(spark: SparkSession, sf: str) -> DataFrame:
     brands co-occurring in an order, weight = number of such orders
     (the ``brand_cooccurrence_top`` pair relation, both directions —
     so every node has out-edges and dangling mass is structurally
-    zero, which the SQL oracle relies on)."""
+    zero, which the SQL oracle relies on).
+
+    Execution shape (r12): the per-order brand set is collected ONCE
+    (``collect_set`` dedupes exactly like the former
+    ``ob.distinct()``) and the ordered pairs are generated IN-ROW by
+    array transforms — the ``brand_cooccurrence_top`` basket
+    generator.  The former self-join spelling paid 4 exchanges and a
+    sort-merge join over the 555k-row (order, brand) relation (dedup
+    exchange + two join repartitions with sorts + the count
+    exchange); this one pays 2 exchanges and no sort, with identical
+    output: per order, every (a, b), a != b, of the distinct brand
+    set appears exactly once either way, and the count aggregate
+    never depends on generation order.  Basket size bounds the
+    in-row fan-out, same contract as the LSH bucket pair stage."""
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     part = load(spark, sf, "part").select("p_partkey", "p_brand")
-    ob = (
+    baskets = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("brands"))
     )
-    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("src"))
-    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("dst"))
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda a: F.transform(
+                F.filter(F.col("brands"), lambda b: b != a),
+                lambda b: F.struct(a.alias("src"), b.alias("dst")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .groupBy("p.src", "p.dst")
         .agg(F.count("*").cast("double").alias("w"))
     )
-    return pairs
 
 
 def q_brand_pagerank(spark: SparkSession, sf: str) -> DataFrame:
@@ -1885,18 +1903,29 @@ def q_brand_triangles(spark: SparkSession, sf: str) -> DataFrame:
     permits by swapping the orientation key."""
     li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
     p = load(spark, sf, "part").select("p_partkey", "p_brand")
-    ob = (
+    # r12: oriented edges via the in-basket pair generator
+    # (brand_cooccurrence_top idiom) instead of the ob self-join —
+    # per order the sorted distinct brand set yields every b1 < b2
+    # pair exactly once, so the DISTINCT edge set is identical while
+    # the 555k-row dedup exchange + sort-merge self-join disappear
+    # (4 exchanges + 2 sorts -> 2 exchanges on this stage).
+    baskets = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    pairs_expr = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda a, i: F.transform(
+                F.slice(F.col("brands"), i + 2, F.size("brands")),
+                lambda b: F.struct(a.alias("b1"), b.alias("b2")),
+            ),
+        )
     )
     e = (
-        ob.alias("a")
-        .join(ob.alias("b"), "l_orderkey")
-        .filter(F.col("a.p_brand") < F.col("b.p_brand"))
-        .select(
-            F.col("a.p_brand").alias("b1"), F.col("b.p_brand").alias("b2")
-        )
+        baskets.select(F.explode(pairs_expr).alias("p"))
+        .select("p.b1", "p.b2")
         .distinct()
     )
     tri = (

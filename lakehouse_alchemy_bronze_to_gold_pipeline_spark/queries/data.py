@@ -67,6 +67,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         _load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a scan to the session's default
+    parallelism BEFORE a CPU-heavy per-row projection (r12, guide
+    §2.5 "input skew": the bench tables ship as ONE parquet row group
+    each, so every scan is a single task and any tokenise/md5/explode
+    work fused onto it runs on one core of N).  The exchange moves
+    only the scanned columns once and is a rebalance, not a semantic
+    change — every registry entry is certified layout-invariant.  At
+    cluster scale a many-file table already scans wide and the extra
+    exchange is pure cost, so this is applied per query, only where
+    an interleaved A/B at sf0.1 measured a win (see
+    OPTIMIZATION_r12.md), never in ``load`` itself."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _layout(df: DataFrame) -> DataFrame:
     """Deliberate physical-layout perturbation lever for the
     partition-layout invariance sweep (tools/layout_invariance.py):

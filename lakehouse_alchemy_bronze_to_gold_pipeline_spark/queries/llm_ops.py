@@ -23,7 +23,7 @@ from ..operators.minhash import minhash_near_duplicates
 from ..operators.multimodal import attach_binary_payload, extract_features
 from ..operators.simhash import simhash
 from ..operators.similarity import knn_join, lsh_topk, topk_bruteforce
-from .data import load
+from .data import load, spread_scan
 
 #: fixed query text for n-gram similarity scoring
 QUERY_TEXT = "spark query join filter group data"
@@ -459,7 +459,9 @@ def q_minhash_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     predicate are engine-agnostic."""
     from ..operators.minhash import minhash_accuracy_md5
 
-    d = load(spark, sf, "documents").filter(
+    # r12: spread the single-row-group scan before the heavy per-row
+    # work (see queries/data.py:spread_scan; A/B-measured win)
+    d = spread_scan(load(spark, sf, "documents")).filter(
         F.md5(F.col("doc_id").cast("string").cast("binary")) < "80"
     )
     return minhash_accuracy_md5(d, "doc_id", "text", shingle_n=2)
@@ -1312,7 +1314,9 @@ def _doc_terms(spark: SparkSession, sf: str):
     persist, Spark's lazy evaluation re-scans and re-tokenizes the
     corpus once per consumer, tripling the heaviest pass (verified in
     tests/test_plans.py: exactly one parquet scan of documents)."""
-    d = load(spark, sf, "documents")
+    # r12: spread the single-row-group scan before the heavy per-row
+    # work (see queries/data.py:spread_scan; A/B-measured win)
+    d = spread_scan(load(spark, sf, "documents"))
     toks = d.select(
         "doc_id", TX.nonempty_tokens("text").alias("toks")
     ).filter(F.size("toks") > 0)
@@ -1926,7 +1930,9 @@ def q_crossdoc_span_coverage(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_plans.py).  Then ONE groupBy over the gram dimension
     and one join back — the TF-IDF two-shuffle shape, corpus-sized
     dimensions never broadcast or collected."""
-    d = load(spark, sf, "documents")
+    # r12: spread the single-row-group scan before the heavy per-row
+    # work (see queries/data.py:spread_scan; A/B-measured win)
+    d = spread_scan(load(spark, sf, "documents"))
     g = (
         d.select(
             "doc_id",
@@ -2384,7 +2390,9 @@ def q_doc_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     score join shuffles on the (w1, w2) term dimension — corpus-
     sized, deliberately NOT broadcast.  Scalar totals broadcast by
     construction."""
-    d = load(spark, sf, "documents")
+    # r12: spread the single-row-group scan before the heavy per-row
+    # work (see queries/data.py:spread_scan; A/B-measured win)
+    d = spread_scan(load(spark, sf, "documents"))
     toks = d.select(
         "doc_id", TX.nonempty_tokens("text").alias("toks")
     ).filter(F.size("toks") >= 2)
@@ -2713,7 +2721,9 @@ def q_source_dup_matrix(spark: SparkSession, sf: str) -> DataFrame:
     most |sources|² rows."""
     from ..operators.minhash import minhash_near_duplicates_md5
 
-    d = load(spark, sf, "documents")
+    # r12: spread the single-row-group scan before the heavy per-row
+    # work (see queries/data.py:spread_scan; A/B-measured win)
+    d = spread_scan(load(spark, sf, "documents"))
     pairs = minhash_near_duplicates_md5(d, "doc_id", "text", threshold=0.4)
     sa = d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
     sb = d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
@@ -3076,7 +3086,9 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale: one explode to (gram, doc) + one term-dim groupBy for
     first-arrival + a join back — the TF-IDF/span-coverage shape."""
-    d = load(spark, sf, "documents")
+    # r12: spread the single-row-group scan before the heavy per-row
+    # work (see queries/data.py:spread_scan; A/B-measured win)
+    d = spread_scan(load(spark, sf, "documents"))
     grams = TX.word_shingles(TX.nonempty_tokens("text"), 5)
     # persisted: BOTH the first-arrival aggregate and the join-back
     # consume this relation — without it the corpus scan + explode +
@@ -4602,8 +4614,19 @@ def q_dsir_importance_report(spark: SparkSession, sf: str) -> DataFrame:
     no matter the corpus size (this is the entire point of hashed
     features: the model dimension is fixed); totals are scalar
     broadcasts; the top-quartile threshold is one exact percentile
-    over the per-doc score relation."""
-    d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    over the per-doc score relation.
+
+    The scan is repartitioned to the default parallelism BEFORE the
+    feature explode (r12, guide §2.5 input skew): the corpus arrives
+    as one row group, so the ~2M-feature md5 projection would
+    otherwise run inside the single scan task; one tiny exchange of
+    the raw text spreads the hashing across every core (measured
+    sf0.1: 4.3-5.2 s -> 3.7-4.0 s warm, more when cold).  On a
+    many-file corpus the exchange is a rebalance, not a semantic
+    change — the downstream groupBy re-keys anyway."""
+    d = spread_scan(
+        load(spark, sf, "documents").select("doc_id", "lang", "text")
+    )
     t = TX.nonempty_tokens("text")
     feats = d.select(
         "doc_id",
