@@ -165,37 +165,49 @@ def _solve_side(
     return packed.select(own_key, solve("obs").alias("f"))
 
 
-def _loss(
+def _losses_fused(
     ratings: DataFrame,
-    uf: DataFrame,
-    vf: DataFrame,
+    hist: list[tuple[DataFrame, DataFrame]],
     ukey: str,
     vkey: str,
     u_rows: int | None = None,
     v_rows: int | None = None,
-) -> float:
-    """Sum of squared residuals over observed cells — one narrow pass
-    to a scalar (JVM-side dot product, no Python).  Factor tables
-    broadcast when the caller knows their row counts (gated like the
-    half steps), so the pass is shuffle-free."""
-    dot = F.aggregate(
-        F.zip_with("uf", "vf", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    ut = uf.withColumnRenamed("f", "uf")
-    vt = vf.withColumnRenamed("f", "vf")
-    if u_rows is not None:
-        ut = _maybe_broadcast(ut, u_rows)
-    if v_rows is not None:
-        vt = _maybe_broadcast(vt, v_rows)
-    return (
-        ratings.join(ut, ukey)
-        .join(vt, vkey)
-        .select(F.pow(F.col("r") - dot, 2).alias("sq"))
-        .agg(F.sum("sq"))
-        .collect()[0][0]
-    )
+) -> list[float]:
+    """EVERY iteration's sum of squared residuals in ONE narrow pass
+    over the ratings (r12; the ``q_als_rank1_fixed`` fused-ledger
+    layout): each iteration's factor tables chain-(gated-)broadcast
+    onto the same scan and all residual sums reduce in a single
+    aggregate — one job and one ratings scan where the per-iteration
+    form paid one of each per iteration.  Per-row arithmetic is
+    unchanged (JVM-side dot product, no Python); only the reduction's
+    combine order can move, which is the documented last-ulp loss
+    jitter (tests/test_als.py: losses compare at 1e-9 relative, and
+    the readout rounding margins sit >= 5 orders above it)."""
+    joined = ratings
+    for it, (uf, vf) in enumerate(hist, start=1):
+        ut = uf.withColumnRenamed("f", f"uf{it}")
+        vt = vf.withColumnRenamed("f", f"vf{it}")
+        if u_rows is not None:
+            ut = _maybe_broadcast(ut, u_rows)
+        if v_rows is not None:
+            vt = _maybe_broadcast(vt, v_rows)
+        joined = joined.join(ut, ukey).join(vt, vkey)
+    sq = [
+        F.pow(
+            F.col("r")
+            - F.aggregate(
+                F.zip_with(f"uf{it}", f"vf{it}", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            2,
+        )
+        for it in range(1, len(hist) + 1)
+    ]
+    row = joined.agg(
+        *[F.sum(sq[it - 1]).alias(f"loss{it}") for it in range(1, len(hist) + 1)]
+    ).collect()[0]
+    return [row[f"loss{it}"] for it in range(1, len(hist) + 1)]
 
 
 def als_train(
@@ -230,7 +242,7 @@ def als_train(
         n_v = vf.count()
         n_u: int | None = None
         uf = None
-        losses: list[float] = []
+        hist: list[tuple[DataFrame, DataFrame]] = []
         for _ in range(iters):
             uf = _solve_side(
                 ratings, ukey, vkey, vf, k, lam, partner_rows=n_v
@@ -240,9 +252,14 @@ def als_train(
             vf = _solve_side(
                 ratings, vkey, ukey, uf, k, lam, partner_rows=n_u
             ).localCheckpoint()
-            losses.append(
-                _loss(ratings, uf, vf, ukey, vkey, u_rows=n_u, v_rows=n_v)
-            )
+            hist.append((uf, vf))
+        # every factor table is checkpointed, so the deferred fused
+        # loss pass reads materialized |entities|-row relations — one
+        # ratings scan for the whole ledger instead of one per
+        # iteration (r12; see _losses_fused)
+        losses = _losses_fused(
+            ratings, hist, ukey, vkey, u_rows=n_u, v_rows=n_v
+        )
         return uf, vf, losses
     finally:
         # the factor tables are localCheckpointed (materialized), so

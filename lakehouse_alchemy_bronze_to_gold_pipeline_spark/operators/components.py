@@ -31,16 +31,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Broadcast ceiling for a star round's per-node min relation, in
+#: EDGE rows of the round's input (|mins| <= 2|e|; a mins row is two
+#: BIGINTs, ~16 B framed, so 20M edges bound the broadcast at
+#: ~640 MB).  The working edge relations here are checkpointed RDDs
+#: with NO Catalyst stats, so without the hint every star round
+#: sort-merge-joins — shuffling AND sorting both sides.  Under the
+#: ceiling the join side stays un-shuffled (the ALS
+#: ``BROADCAST_FACTOR_ROWS_MAX`` gating idiom); past it the round
+#: degrades to the shuffle join instead of OOMing.  Dedup-pair graphs
+#: sit far under it by construction (clusters are tiny relative to
+#: the corpus — see module docstring); a pathological billion-edge
+#: graph takes the shuffle path.
+BROADCAST_MINS_EDGE_ROWS_MAX = 20_000_000
 
-def _large_star(e: DataFrame) -> DataFrame:
+
+def _large_star(e: DataFrame, n_e: int | None = None) -> DataFrame:
     """Connect every strictly-larger neighbor of u to m = min(N(u) ∪ {u}).
 
     Input/output edges are canonical (u > v).  Output stays canonical:
     emitted (v, m) has v > u's min, and v == m rows are dropped.
+
+    ``n_e`` (the caller's cached edge count) gates a broadcast of the
+    per-node min relation: same rows either way, only the join
+    strategy moves.
     """
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     mins = mins.select("u", F.least("u", "mn").alias("m"))
+    if n_e is not None and n_e < BROADCAST_MINS_EDGE_ROWS_MAX:
+        mins = F.broadcast(mins)
     return (
         sym.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
@@ -50,11 +70,16 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, n_e: int | None = None) -> DataFrame:
     """Connect every smaller neighbor of u (and u itself) to the
-    minimum small neighbor.  Canonical (u > v) in and out."""
+    minimum small neighbor.  Canonical (u > v) in and out.  ``n_e``
+    gates the min-relation broadcast exactly as in
+    :func:`_large_star`."""
     mins = e.groupBy("u").agg(F.min("v").alias("m"))
-    j = e.join(mins, "u")
+    bmins = mins
+    if n_e is not None and n_e < BROADCAST_MINS_EDGE_ROWS_MAX:
+        bmins = F.broadcast(mins)
+    j = e.join(bmins, "u")
     return (
         j.select(F.col("v").alias("u"), F.col("m").alias("v"))
         .union(mins.select(F.col("u"), F.col("m").alias("v")))
@@ -63,10 +88,13 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _edge_sets_equal(a: DataFrame, b: DataFrame) -> bool:
+def _edge_sets_equal(a: DataFrame, n_a: int, n_b: int, b: DataFrame) -> bool:
     # both relations are distinct + canonical, so equal counts plus an
-    # empty one-sided difference proves set equality
-    if a.count() != b.count():
+    # empty one-sided difference proves set equality.  Counts arrive
+    # cached from the caller (each checkpointed edge set is counted
+    # exactly once, when it is created) so the test costs one job on
+    # count mismatch — zero — and one exceptAll job otherwise.
+    if n_a != n_b:
         return False
     return a.exceptAll(b).isEmpty()
 
@@ -109,12 +137,21 @@ def connected_components(
     if e.isEmpty():
         return nodes.select("id", F.col("id").alias("component"))
 
+    # one count per checkpointed edge set, cached across the round
+    # boundary: it feeds BOTH the broadcast gate (|mins| <= 2|e|,
+    # large-star output <= 2|e| — the x2 factors sit inside the
+    # ceiling's margin) and the fixpoint test, which previously
+    # re-counted both sides every round.
+    n_e = e.count()
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        if _edge_sets_equal(e, nxt):
+        nxt = _small_star(_large_star(e, n_e), n_e).localCheckpoint(
+            eager=True
+        )
+        n_nxt = nxt.count()
+        if _edge_sets_equal(e, n_e, n_nxt, nxt):
             e = nxt
             break
-        e = nxt
+        e, n_e = nxt, n_nxt
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

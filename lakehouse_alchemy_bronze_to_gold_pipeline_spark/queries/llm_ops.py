@@ -3059,7 +3059,12 @@ def q_media_triage_report(spark: SparkSession, sf: str) -> DataFrame:
     by round-trip pytest fixtures instead."""
     from ..operators.multimodal import media_probe, synthesize_media_containers
 
-    d = load(spark, sf, "documents").repartition(
+    # r12: project to the two columns the synth kernel reads BEFORE
+    # the exchange and the opaque mapInPandas (guide §4.1 — Spark
+    # cannot see which columns the Python function touches, so
+    # without the select every documents column is shuffled and
+    # shipped across the Arrow boundary)
+    d = load(spark, sf, "documents").select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     probed = media_probe(synthesize_media_containers(d))
@@ -4404,7 +4409,15 @@ def q_matryoshka_overlap_report(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     full = topk(64)
-    spine = q.select("query_id")
+    # spine WITHOUT the broadcast hint: it is the LEFT side of the
+    # per-width left join below, and a left-side broadcast hint on a
+    # left OUTER join is unsupported (Spark drops it with a
+    # HintErrorLogger warning and falls back to a sort-merge join of
+    # a 5-row spine).  Hinting the small RIGHT side instead keeps the
+    # join shuffle-free (r12).
+    spine = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id")
+    )
     out = []
     for width in (16, 32):
         t = topk(width)
@@ -4420,7 +4433,7 @@ def q_matryoshka_overlap_report(spark: SparkSession, sf: str) -> DataFrame:
         # NOTHING with the full ranking must still report overlap5=0
         # (the go/no-go signal), not silently vanish
         out.append(
-            spine.join(per_q, "query_id", "left")
+            spine.join(F.broadcast(per_q), "query_id", "left")
             .select(
                 "query_id",
                 F.lit(width).cast("bigint").alias("width"),
