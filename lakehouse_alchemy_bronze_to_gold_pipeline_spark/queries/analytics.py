@@ -2424,29 +2424,21 @@ def q_part_kcore_profile(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("o_orderkey")
     )
-    # r12: per-order pairs via the in-basket generator (collect_set
-    # dedupes exactly like the former ob.distinct(); per order every
-    # ordered (src, dst), src != dst, appears exactly once either
-    # way) — replaces the (order, part) dedup exchange + sort-merge
-    # self-join + two join repartitions with ONE groupBy exchange,
-    # same distinct edge set (the _brand_edges rewrite).
-    baskets = (
-        li.join(o95, li["l_orderkey"] == o95["o_orderkey"], "left_semi")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("parts"))
-    )
-    pairs_expr = F.flatten(
-        F.transform(
-            F.col("parts"),
-            lambda a: F.transform(
-                F.filter(F.col("parts"), lambda b: b != a),
-                lambda b: F.struct(a.alias("src"), b.alias("dst")),
-            ),
-        )
-    )
+    # r12 note: the _brand_edges in-basket generator was tried here
+    # and interleave-A/B-measured SLOWER (4.9 s vs 6.0 s at sf0.1) —
+    # unlike the 25-node brand graph, the part-key pair relation is
+    # dominated by its own high-cardinality dedup exchange, and the
+    # collect_set groupBy costs more than the distinct it replaces.
+    # Kept as the self-join form deliberately.
+    ob = li.join(
+        o95, li["l_orderkey"] == o95["o_orderkey"], "left_semi"
+    ).distinct()
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     edges = (
-        baskets.select(F.explode(pairs_expr).alias("p"))
-        .select("p.src", "p.dst")
+        a.join(b, "k")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
         .distinct()
     )
     return kcore_profile(edges, _KCORE_K, _KCORE_ROUNDS).orderBy("round")
