@@ -2263,18 +2263,30 @@ def q_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
         return F.md5(F.col(col).cast("string").cast("binary")) < "10"
 
     p = 16.0 / 256.0
-    est_ol = (
-        o.filter(keep("o_orderkey"))
-        .join(li.filter(keep("l_orderkey")), o.o_orderkey == li.l_orderkey)
-        .count()
-    )
-    est_oc = (
-        o.filter(keep("o_custkey"))
-        .join(c.filter(keep("c_custkey")), o.o_custkey == c.c_custkey)
-        .count()
-    )
-    exact_ol = o.join(li, o.o_orderkey == li.l_orderkey).count()
-    exact_oc = o.join(c, o.o_custkey == c.c_custkey).count()
+    # r12: ONE action for all four cardinalities — the former four
+    # sequential .count() calls paid four driver round-trips and ran
+    # their scans serially; a union of tagged 1-row aggregates
+    # computes the same four counts in a single job whose branches
+    # schedule concurrently (guide §2.6).  Values are unchanged.
+    legs = {
+        "est_ol": o.filter(keep("o_orderkey")).join(
+            li.filter(keep("l_orderkey")), o.o_orderkey == li.l_orderkey
+        ),
+        "est_oc": o.filter(keep("o_custkey")).join(
+            c.filter(keep("c_custkey")), o.o_custkey == c.c_custkey
+        ),
+        "exact_ol": o.join(li, o.o_orderkey == li.l_orderkey),
+        "exact_oc": o.join(c, o.o_custkey == c.c_custkey),
+    }
+    counts_df = None
+    for tag, df in legs.items():
+        part = df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(tag).alias("tag"), "n"
+        )
+        counts_df = part if counts_df is None else counts_df.unionByName(part)
+    counts = {r["tag"]: r["n"] for r in counts_df.collect()}
+    est_ol, est_oc = counts["est_ol"], counts["est_oc"]
+    exact_ol, exact_oc = counts["exact_ol"], counts["exact_oc"]
     rows = [
         ("orders_x_lineitem", exact_ol, int(round(est_ol / p))),
         ("orders_x_customer", exact_oc, int(round(est_oc / p))),

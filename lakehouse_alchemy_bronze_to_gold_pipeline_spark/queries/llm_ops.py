@@ -2099,9 +2099,15 @@ def q_fd_whitening_handoff(spark: SparkSession, sf: str) -> DataFrame:
     )
     b1 = feats.filter(F.xxhash64("vec_id") % 2 == 0)
     b2 = feats.filter(F.xxhash64("vec_id") % 2 != 0)
+    # r12: ONE collect for both batches' partials — union preserves
+    # branch partition order, so the row list (and therefore the
+    # fd_merge fold order and every float downstream) is exactly the
+    # former two-collect concatenation, for one driver round-trip
+    # fewer and concurrently scheduled branch scans.
     srows = (
-        fd_partials(b1, "feat", ell, d).collect()
-        + fd_partials(b2, "feat", ell, d).collect()
+        fd_partials(b1, "feat", ell, d)
+        .unionByName(fd_partials(b2, "feat", ell, d))
+        .collect()
     )
     if not srows:
         return spark.createDataFrame([], schema)
