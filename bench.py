@@ -143,16 +143,25 @@ def _merge_prior_mins(
     sf: float,
     times: dict[str, float],
     canary: dict | None = None,
+    cpus: int | None = None,
 ) -> tuple[dict[str, float], int, int]:
     """Per-query min across the most recent MERGE_CAP-1 prior detail
-    files with the SAME source fingerprint, sf, and query set, after
-    dropping canary-contaminated priors.
+    files with the SAME source fingerprint, sf, CORE COUNT, and query
+    set, after dropping canary-contaminated priors.
     Returns (merged, n_runs_merged, n_canary_discarded).
 
     Only priors with a non-empty ``this_run`` participate: a legacy
     detail whose only payload is the already-merged ``queries`` map
     would re-inject every aged-out outlier into each merge, defeating
-    the MERGE_CAP aging (r8 ADVICE)."""
+    the MERGE_CAP aging (r8 ADVICE).
+
+    The ``cpus`` filter is r12-VERDICT item 2: detail files used not
+    to record the core count, so a low-core scaling run silently
+    min-merged against 32-core priors (97/204 of the r12 c8 run's
+    "merged" values were byte-identical 32-core minima, making the
+    driver's scaling block garbage).  Every detail now records
+    ``cpus`` and only same-cpus priors merge; legacy files without
+    the field never match a cpus-aware run."""
     import glob
 
     priors = []
@@ -166,6 +175,7 @@ def _merge_prior_mins(
         if (
             d.get("fingerprint") != fingerprint
             or d.get("sf") != sf
+            or d.get("cpus") != cpus
             or not run
             or set(run) != set(times)
         ):
@@ -363,6 +373,7 @@ def main() -> None:
     merged, n_runs, n_discarded = _merge_prior_mins(
         out_dir, fingerprint, sf, times,
         {"st": canary_worst, "mt": canary_mt_gate},
+        cpus=cpus,
     )
     detail = {
         "metric": "total_query_wall_sec",
@@ -389,6 +400,7 @@ def main() -> None:
         "canary_discarded_priors": n_discarded,
         "fingerprint": fingerprint,
         "sf": sf,
+        "cpus": cpus,
     }
     detail_path = os.path.join(
         out_dir, time.strftime("BENCH_DETAIL_%Y%m%dT%H%M%S.json")
@@ -401,6 +413,7 @@ def main() -> None:
         "value": detail["value"],
         "unit": "sec",
         "sf": sf,
+        "cpus": cpus,
         "n_queries": len(merged),
         "runs_merged": n_runs,
         "this_run_total": detail["this_run_total"],

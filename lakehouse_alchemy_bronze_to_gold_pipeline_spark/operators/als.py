@@ -55,6 +55,14 @@ S = 100
 #: documented ~100M-entity tier is now a runtime guard, not prose).
 BROADCAST_FACTOR_ROWS_MAX = 100_000_000
 
+#: Max iterations fused into ONE loss-ledger aggregate job (r12
+#: ADVICE): each fused iteration chains two gated factor broadcasts
+#: into the same plan, so total simultaneous broadcast memory scales
+#: with the chunk length, not the full training run.  8 iterations =
+#: at most 16 live broadcasts per job — comfortably bounded — while
+#: every current caller (iters <= 3) still runs a single fused job.
+_FUSED_LOSS_CHUNK_ITERS = 8
+
 
 def _maybe_broadcast(factors: DataFrame, rows: int | None) -> DataFrame:
     """Apply the broadcast hint only when the factor table is known
@@ -182,32 +190,50 @@ def _losses_fused(
     unchanged (JVM-side dot product, no Python); only the reduction's
     combine order can move, which is the documented last-ulp loss
     jitter (tests/test_als.py: losses compare at 1e-9 relative, and
-    the readout rounding margins sit >= 5 orders above it)."""
-    joined = ratings
-    for it, (uf, vf) in enumerate(hist, start=1):
-        ut = uf.withColumnRenamed("f", f"uf{it}")
-        vt = vf.withColumnRenamed("f", f"vf{it}")
-        if u_rows is not None:
-            ut = _maybe_broadcast(ut, u_rows)
-        if v_rows is not None:
-            vt = _maybe_broadcast(vt, v_rows)
-        joined = joined.join(ut, ukey).join(vt, vkey)
-    sq = [
-        F.pow(
-            F.col("r")
-            - F.aggregate(
-                F.zip_with(f"uf{it}", f"vf{it}", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            2,
-        )
-        for it in range(1, len(hist) + 1)
-    ]
-    row = joined.agg(
-        *[F.sum(sq[it - 1]).alias(f"loss{it}") for it in range(1, len(hist) + 1)]
-    ).collect()[0]
-    return [row[f"loss{it}"] for it in range(1, len(hist) + 1)]
+    the readout rounding margins sit >= 5 orders above it).
+
+    The chain is CHUNKED at ``_FUSED_LOSS_CHUNK_ITERS`` iterations per
+    aggregate job (r12 ADVICE): one fused plan holds 2 x iters factor
+    broadcasts simultaneously, so an unbounded chain's broadcast
+    memory scales with training length where the old per-iteration
+    loss held at most two at a time.  Each iteration's residual sum
+    is its own column either way, so chunking moves no arithmetic."""
+    if not hist:
+        # als_train(iters=0): agg() with zero expressions raises in
+        # PySpark; the per-iteration form returned [] here (r12 ADVICE)
+        return []
+    losses: list[float] = []
+    for lo in range(0, len(hist), _FUSED_LOSS_CHUNK_ITERS):
+        chunk = hist[lo:lo + _FUSED_LOSS_CHUNK_ITERS]
+        joined = ratings
+        for it, (uf, vf) in enumerate(chunk, start=1):
+            ut = uf.withColumnRenamed("f", f"uf{it}")
+            vt = vf.withColumnRenamed("f", f"vf{it}")
+            if u_rows is not None:
+                ut = _maybe_broadcast(ut, u_rows)
+            if v_rows is not None:
+                vt = _maybe_broadcast(vt, v_rows)
+            joined = joined.join(ut, ukey).join(vt, vkey)
+        sq = [
+            F.pow(
+                F.col("r")
+                - F.aggregate(
+                    F.zip_with(f"uf{it}", f"vf{it}", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                2,
+            )
+            for it in range(1, len(chunk) + 1)
+        ]
+        row = joined.agg(
+            *[
+                F.sum(sq[it - 1]).alias(f"loss{it}")
+                for it in range(1, len(chunk) + 1)
+            ]
+        ).collect()[0]
+        losses.extend(row[f"loss{it}"] for it in range(1, len(chunk) + 1))
+    return losses
 
 
 def als_train(

@@ -33,17 +33,22 @@ from pyspark.sql import functions as F
 
 #: Broadcast ceiling for a star round's per-node min relation, in
 #: EDGE rows of the round's input (|mins| <= 2|e|; a mins row is two
-#: BIGINTs, ~16 B framed, so 20M edges bound the broadcast at
-#: ~640 MB).  The working edge relations here are checkpointed RDDs
-#: with NO Catalyst stats, so without the hint every star round
-#: sort-merge-joins — shuffling AND sorting both sides.  Under the
-#: ceiling the join side stays un-shuffled (the ALS
+#: BIGINTs, ~16 B framed).  The working edge relations here are
+#: checkpointed RDDs with NO Catalyst stats, so without the hint
+#: every star round sort-merge-joins — shuffling AND sorting both
+#: sides.  Under the ceiling the join side stays un-shuffled (the ALS
 #: ``BROADCAST_FACTOR_ROWS_MAX`` gating idiom); past it the round
 #: degrades to the shuffle join instead of OOMing.  Dedup-pair graphs
 #: sit far under it by construction (clusters are tiny relative to
 #: the corpus — see module docstring); a pathological billion-edge
 #: graph takes the shuffle path.
-BROADCAST_MINS_EDGE_ROWS_MAX = 20_000_000
+#:
+#: 4M edges (r12 ADVICE; was 20M): |mins| can reach 2 x n_e rows
+#: (~8M at the ceiling, ~128 MB framed), and a broadcast hash
+#: relation's real driver/executor footprint runs several times the
+#: framed bytes — the old 20M bound risked OOM just under the ceiling
+#: instead of degrading to the shuffle join.
+BROADCAST_MINS_EDGE_ROWS_MAX = 4_000_000
 
 
 def _large_star(e: DataFrame, n_e: int | None = None) -> DataFrame:

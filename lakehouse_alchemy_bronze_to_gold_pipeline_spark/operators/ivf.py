@@ -23,6 +23,7 @@ corpus size.  Deterministic given the seed."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -139,6 +140,53 @@ def ivf_topk(
     )
 
 
+def _assign_kernel(centroids: np.ndarray):
+    """Vectorized nearest-list assignment (r13, guide §4.2): one
+    Arrow-batched pandas UDF replacing the unrolled 16-way
+    interpreted-HOF argmax expression (each row paid n_lists
+    zip_with+aggregate lambda folds; the expression also dominated
+    plan size — ~1 KB of literals per centroid per occurrence).
+
+    BIT-IDENTICAL to the expression form by construction: the
+    Catalyst fold computes ``(((0.0 + v0*c0) + v1*c1) + ...)`` per
+    (row, centroid); here ``acc`` starts at 0.0 and one vectorized
+    ``acc += V[:, j] * C[:, j]`` per dimension applies the exact same
+    IEEE multiply-then-add sequence to every element.  Ties (equal
+    dots) take the LARGER list id, matching
+    ``reverse(array_sort(...))``; an all-NaN row (null / wrong-length
+    vector upstream — the expression form yields null dots there)
+    likewise resolves to the largest list id, pinned by
+    tests/test_llm_ops.py::test_ivf_assign_kernel_parity."""
+    C = np.asarray(centroids, dtype=np.float64)
+    n_lists, dim = C.shape
+
+    @F.pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        V = np.full((n, dim), np.nan, dtype=np.float64)
+        for i, v in enumerate(vs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.shape == (dim,):
+                V[i] = a
+        acc = np.zeros((n, n_lists), dtype=np.float64)
+        for j in range(dim):
+            acc += V[:, j, None] * C[None, :, j]
+        # argmax with ties (and all-NaN rows) to the LARGER list id:
+        # argmax over the column-reversed matrix returns the FIRST
+        # max, i.e. the largest original index
+        idx = (n_lists - 1) - np.argmax(acc[:, ::-1], axis=1)
+        return pd.Series(idx.astype(np.int32))
+
+    # guide §4.4: the probe join's implicit isnotnull(list_id) gets
+    # pushed below the projection and DUPLICATES the kernel (two
+    # ArrowEvalPython nodes, every corpus row encoded twice).  The
+    # function is pure, but marking it non-deterministic stops the
+    # optimizer from cloning it past the filter; values are untouched.
+    return assign.asNondeterministic()
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: np.ndarray,
@@ -152,14 +200,13 @@ def ivf_assign(
     the results is definitionally identical to assigning the whole
     corpus at once, so an append-only inverted-list table stays
     probe-equivalent to a one-shot build forever (see
-    streaming.ivf_maintain.IncrementalIVFIndex)."""
+    streaming.ivf_maintain.IncrementalIVFIndex).  The argmin runs as
+    the vectorized Arrow kernel (see :func:`_assign_kernel`), exactly
+    reproducing the expression form's values."""
     return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("cv"),
-    ).withColumn(
-        "list_id",
-        F.element_at(_nearest_lists(F.col("cv"), centroids, 1), 1),
-    )
+    ).withColumn("list_id", _assign_kernel(centroids)("cv"))
 
 
 def ivf_probe(

@@ -252,6 +252,21 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
 # ----------------------------------------------------------- q-digest
 
 
+#: Pre-partition ceiling for the compress loop (r13, r12-VERDICT
+#: item 5): the loop's input is bounded by the universe — <= 2^bits
+#: rows per key group REGARDLESS of data scale — so for bits at or
+#: under this cap (2^20 = 1M rows/group) the relation is partitioned
+#: ONCE up front (by the key columns; to a single partition for the
+#: global digest) and every round's groupBy is then satisfied by the
+#: existing partitioning (Spark plans no further Exchange: a
+#: HashPartitioning on a SUBSET of the grouping keys — or a single
+#: partition — satisfies ClusteredDistribution).  The plan carries
+#: 1 Exchange instead of ``bits``; measured 14 -> 1 at bits=14 with
+#: bit-identical output.  Past the cap the per-round shuffles return
+#: (a >1M-row per-group relation should not sit in one task).
+QDIGEST_LOCAL_BITS_MAX = 20
+
+
 def qdigest_compress(
     leaves: DataFrame, bits: int, keys=()
 ) -> DataFrame:
@@ -285,11 +300,21 @@ def qdigest_compress(
 
     ``keys`` builds one INDEPENDENT digest per key group (per-group
     ``sigma`` rides each row, like the grouped KMV/HLL sketches) —
-    state and error bound apply per group; the compression rounds
-    hash-partition by (keys, id), so groups compress in parallel.
+    state and error bound apply per group; groups compress in
+    parallel (hash-partitioned by the keys).
+
+    Exchange layout (r13): for ``bits <= QDIGEST_LOCAL_BITS_MAX`` the
+    bounded relation is pre-partitioned once and all ``bits`` rounds
+    aggregate WITHOUT further shuffles — see the constant's note.
     """
     keys = tuple(keys)
     nodes = leaves
+    if bits <= QDIGEST_LOCAL_BITS_MAX:
+        nodes = (
+            nodes.repartition(*[F.col(k) for k in keys])
+            if keys
+            else nodes.repartition(1)
+        )
     for lvl in range(bits, 0, -1):
         lo, hi = 1 << lvl, 1 << (lvl + 1)
         promote = (

@@ -12,6 +12,7 @@ shuffle counts.
 from .inspect import (
     formatted,
     lint,
+    lint_plan,
     ops,
     report,
     shuffles,
@@ -25,4 +26,5 @@ __all__ = [
     "unpartitioned_windows",
     "report",
     "lint",
+    "lint_plan",
 ]

@@ -118,7 +118,22 @@ def lint(
     """Anti-pattern findings (empty list = clean).  The checks are
     the 100 TB failure modes the test-suite gates query-by-query,
     exposed as a reusable pre-flight."""
-    plan = formatted(df)
+    return lint_plan(
+        formatted(df),
+        allow_unpartitioned_window=allow_unpartitioned_window,
+        max_shuffles=max_shuffles,
+    )
+
+
+def lint_plan(
+    plan: str,
+    allow_unpartitioned_window: bool = False,
+    max_shuffles: int = 8,
+) -> list[str]:
+    """:func:`lint` over an already-captured formatted explain string
+    — lets a caller that holds many plans (the registry-wide test
+    sweeps) capture each plan once and lint the text, instead of
+    re-planning per check."""
     o = ops(plan)
     findings = []
     # a BroadcastNestedLoopJoin against a KEYLESS (scalar) aggregate

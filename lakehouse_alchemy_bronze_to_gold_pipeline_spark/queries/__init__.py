@@ -30,68 +30,67 @@ _ALL = {**_LLM_Q, **_CP_Q, **_CORE_Q, **_AN_Q, **_BR_Q, **_ADV_Q, **_DS_Q,
 # against their oracles locally every round and commit the result
 # (tools/check_correctness.py -> LOCAL_CORRECTNESS_r{N}.md), and
 # (b) order the registry so the driver's independent certification
-# lands where it is most valuable: never-certified entries first,
-# then the stalest last-certified entries by
-# sorted(names, key=(last_round, registry index)) over the committed
-# CORRECTNESS_r* artifacts.  tools/window_audit.py reports the
-# ground truth and tests/test_window_audit.py ASSERTS the committed
-# window equals it (r10 verdict task 1: the r10 rotation claimed a
-# r7 floor while 40 entries were still r6-certified — the rule is
-# now machine-checked, not narrated).
+# lands where it is most valuable: never-certified ORACLE-BACKED
+# entries first, then the stalest last-certified oracle-backed
+# entries by sorted(names, key=(last_round, registry index)) over
+# the committed CORRECTNESS_r* artifacts.  tools/window_audit.py
+# reports the ground truth and tests/test_window_audit.py ASSERTS
+# the committed window equals it (r10 verdict task 1: the r10
+# rotation claimed a r7 floor while 40 entries were still
+# r6-certified — the rule is now machine-checked, not narrated).
+#
+# r13 (r12-VERDICT item 4): entries WITHOUT a DuckDB oracle are
+# excluded from the window — the driver cannot verify them at all
+# (r12 spent a slot on ``embedding_fd_profile`` and got back
+# ``err: no_oracle``, rows/schema/hash all null), so a no-oracle
+# occupant is a wasted certification slot by construction.  Their
+# correctness stays pinned by the local pytest suites
+# (rows/shape/property checks) like every other non-SQL-expressible
+# operator path.
 _PRIORITY = (
-    # ---- r12 driver window (slots 1-50) ----
-    # never-certified (added this round): the streaming near-dup gate
-    # certification (r11 verdict task 2 — the md5-family incremental
-    # gate decomposed at rest, DuckDB replaying both passes) and the
-    # Structured Streaming late-data/watermark semantics readout
-    # (r11 verdict task 6 — drop-vs-accept rules replayed at rest,
-    # real-stream parity pinned in tests/test_streaming_windows.py)
-    # ... plus the float rank-k ALS production path readout (r11
-    # verdict task 3 — tolerance-documented rounded ledger; the last
-    # ALS surface without an independent check)
-    "incremental_neardup_fixed",
-    "watermark_late_events_fixed",
-    "als_float_rank2_readout",
-    # the COMPLETE remaining r7-stale pool (6 entries — window_audit
-    # ground truth, registry rotation order): retiring these makes
-    # the post-r12 floor genuinely r8
-    "pipe_syntax_flag_stats", "orders_stratified_sample",
-    "customer_string_funcs", "signup_purchase_funnel",
-    "event_date_spine", "order_metrics_melt",
-    # the oldest r8-stale entries (rotation order) fill the window
-    "feature_hash_embed", "event_sequence_prep",
-    "ivf_stream_topk_fixed", "embedding_fd_profile",
-    "pq_stream_topk_fixed", "pricing_summary",
-    "top_customers_per_segment", "revenue_rollup", "events_hourly",
-    "events_json_kv", "sessionize_events", "session_conversion_daily",
-    "dedup_events_keep_latest", "set_ops_customers",
-    "customer_running_spend", "order_priority_cube",
-    "returnflag_pivot", "segment_distinct_customers",
-    "asof_latest_order", "scd1_upsert", "copurchase_link_prediction",
-    "brand_supplier_hhi", "brand_cooccurrence_top",
-    "order_backlog_daily", "user_retention_cohorts",
-    "price_percentiles", "price_percentiles_approx",
-    "revenue_grouping_sets", "events_band_join",
-    "late_shipment_orders", "brand_small_quantity_revenue",
-    "daily_activity", "customer_recent_spend", "top_unshipped_orders",
-    "order_date_math", "token_array_ops", "orders_profile",
-    "events_window_fn", "asia_nation_revenue", "embedding_top_pairs",
-    "embedding_top_pairs_lsh",
-    # ---- 50-slot window boundary ----
+    # ---- r13 driver window (slots 1-50): the complete remaining
+    # r8-stale pool (9 entries), then the oldest r9-stale entries in
+    # rotation order, then the two oldest r10 entries — window_audit
+    # ground truth; retiring the r8 pool makes the post-r13 floor
+    # genuinely r9
     "embedding_neardup_lsh", "snapshot_diff_orders",
-    # r13 queue head: the remaining r8 pool (rotation order —
-    # window_audit prints it).  Certification-period arithmetic
-    # (r11 verdict task 7): 206 entries / 50 slots = a 4.1-round
-    # re-certification period at zero growth; the full-registry local
-    # sweep (tools/check_correctness.py -> LOCAL_CORRECTNESS_r{N}.md)
-    # runs every round and stays the freshness backstop between
-    # driver certifications.  New queries added mid-round must be
-    # inserted ABOVE this queue but INSIDE the window (displacing the
-    # window's tail down here) so a post-close driver artifact can
-    # never strand a never-certified entry outside the window.
     "scd2_customer_history", "order_rank_functions",
     "price_histogram", "lineitem_moments", "user_activity_streaks",
     "lineitem_hash_sample", "audience_overlap_kmv",
+    "label_noise_scan", "context_budget_report", "ngram_novelty",
+    "bpe_merge_candidates", "hard_negative_mining",
+    "minhash_accuracy", "pmi_collocations", "semantic_dedup_fixed",
+    "embedding_ivf_topk_fixed", "doc_classifier_score",
+    "pii_redaction_report", "doc_unigram_logprob",
+    "doc_bigram_logprob", "crossdoc_span_coverage",
+    "embedding_covariance_stats", "embedding_kmeans_profile_fixed",
+    "embedding_pq_topk_fixed", "source_weighted_median_quality",
+    "source_dup_matrix", "mg_stream_topk_fixed",
+    "corpus_train_val_split", "doc_weighted_sample",
+    "brand_random_walks", "join_size_estimate",
+    "temporal_split_leakage", "rolling_distinct_users",
+    "nation_revenue_trend", "ewma_monthly_revenue",
+    "segment_spend_gini", "brand_triangles",
+    "event_transition_matrix", "key_skew_profile",
+    "purchase_attribution", "brand_pagerank",
+    "events_value_outliers", "conversion_latency",
+    "rfm_segmentation", "quantile_binning",
+    "customer_entity_resolution", "dsir_importance_report",
+    "ann_recall_exact_fixed",
+    # ---- 50-slot window boundary ----
+    # r14 queue head: the remaining r10 pool (rotation order —
+    # window_audit prints it).  Certification-period arithmetic
+    # (r11 verdict task 7): 189 oracle-backed entries / 50 slots = a
+    # ~3.8-round re-certification period at zero growth; the
+    # full-registry local sweep (tools/check_correctness.py ->
+    # LOCAL_CORRECTNESS_r{N}.md) runs every round and stays the
+    # freshness backstop between driver certifications.  New queries
+    # added mid-round must be inserted ABOVE this queue but INSIDE
+    # the window (displacing the window's tail down here) so a
+    # post-close driver artifact can never strand a never-certified
+    # oracle-backed entry outside the window.
+    "text_token_stats", "lang_id_confusion", "doc_fingerprint",
+    "dedup_documents_exact", "doc_quality_score", "token_count_bpe",
 )
 
 assert set(_PRIORITY) <= set(_ALL), sorted(set(_PRIORITY) - set(_ALL))

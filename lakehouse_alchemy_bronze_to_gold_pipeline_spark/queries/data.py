@@ -74,12 +74,24 @@ def spread_scan(df: DataFrame) -> DataFrame:
     each, so every scan is a single task and any tokenise/md5/explode
     work fused onto it runs on one core of N).  The exchange moves
     only the scanned columns once and is a rebalance, not a semantic
-    change — every registry entry is certified layout-invariant.  At
-    cluster scale a many-file table already scans wide and the extra
-    exchange is pure cost, so this is applied per query, only where
-    an interleaved A/B at sf0.1 measured a win (see
-    OPTIMIZATION_r12.md), never in ``load`` itself."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    change — every registry entry is certified layout-invariant.
+    Applied per query, only where an interleaved A/B at sf0.1
+    measured a win (see OPTIMIZATION_r12.md), never in ``load``
+    itself.
+
+    r13 (VERDICT item 8): gated on the plan's OBSERVED scan
+    parallelism — at 100 TB a many-file table already scans wide and
+    the extra full-data round-robin exchange of raw text is pure
+    cost.  When the input resolves to >= defaultParallelism
+    partitions the df passes through untouched (no RoundRobin
+    exchange in the plan); the single-row-group bench tables resolve
+    to 1 partition, so sf0.1 behavior is unchanged.  The probe
+    (``df.rdd.getNumPartitions()``) plans the subtree but runs no
+    job."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def _layout(df: DataFrame) -> DataFrame:

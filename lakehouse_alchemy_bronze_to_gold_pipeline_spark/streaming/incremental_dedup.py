@@ -52,6 +52,19 @@ from ..operators.minhash import (
 )
 from ..sources.tables import TableIO
 
+#: Broadcast ceiling for a gate's dropped-id relation, in rows (one
+#: BIGINT per row).  r13 (r12-VERDICT item 7): the survivor anti-joins
+#: were the gate's heaviest exchanges — a SortMergeJoin LeftAnti
+#: shuffles AND sorts the full (id, shingles, sig) batch relation
+#: (raw shingle arrays included) against a dup-id list that is tiny
+#: by construction (bounded by the width-capped candidate pairs).
+#: Catalyst cannot see that bound (the dup subtree's post-aggregate
+#: size estimate is garbage), so the hint is applied manually behind
+#: the ALS-style count gate; past the ceiling the round degrades to
+#: the shuffle join instead of OOMing.  The count runs on a persisted
+#: relation the anti-join then reads back from cache.
+BROADCAST_DUP_IDS_ROWS_MAX = 10_000_000
+
 
 def gate_batch_sigs(
     sigs: DataFrame,
@@ -92,11 +105,22 @@ def gate_batch_sigs(
             cached.append(df)
         return df
 
+    def _gated_broadcast_ids(ids: DataFrame) -> DataFrame:
+        # persist + count + gate (see BROADCAST_DUP_IDS_ROWS_MAX):
+        # the count materializes the dup pipeline once into cache, so
+        # the anti-join re-reads it instead of recomputing the verify
+        # stage, and the broadcast keeps the heavy sigs side of the
+        # anti-join un-shuffled
+        ids = _persist(ids)
+        if ids.count() < BROADCAST_DUP_IDS_ROWS_MAX:
+            return F.broadcast(ids)
+        return ids
+
     # ---- within-batch: verified pairs, smaller id wins
     pairs = pairs_from_buckets(bucketer(sigs), id_col, keys, max_bucket)
     shl = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     shr = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    dup_in_batch = (
+    dup_in_batch = _gated_broadcast_ids(
         pairs.join(shl, "id_a")
         .join(shr, "id_b")
         .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= threshold)
@@ -147,7 +171,7 @@ def gate_batch_sigs(
         old_sh = state_sigs.select(
             F.col(id_col).alias("__old_id"), F.col("shingles").alias("sh_old")
         )
-        dup_vs_corpus = (
+        dup_vs_corpus = _gated_broadcast_ids(
             cand.join(fresh.select(id_col, "shingles"), id_col)
             .join(old_sh, "__old_id")
             .filter(

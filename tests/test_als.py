@@ -113,6 +113,28 @@ def test_float_als_monotone_and_beats_baseline(spark):
     assert losses[-1] < 0.5 * baseline
 
 
+def test_losses_fused_empty_hist_and_chunking(spark, monkeypatch):
+    """r12 ADVICE pair: (a) iters=0 must return [] instead of raising
+    from a zero-expression agg; (b) the chunked fused chain (bounded
+    simultaneous broadcasts) computes each iteration's loss in its own
+    column, so chunk size must not change any value."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators import (
+        als as als_mod,
+    )
+
+    r = _synthetic(spark).persist()
+    assert als_mod._losses_fused(r, [], "c", "p") == []
+    uf0, vf0, fused = als_train(r, "c", "p", k=2, iters=3, lam=0.05)
+    # per-iteration chunks (chunk=1 == the pre-r12 one-job-per-iter
+    # layout) must reproduce the single fused job's values exactly:
+    # each loss is its own sum either way
+    monkeypatch.setattr(als_mod, "_FUSED_LOSS_CHUNK_ITERS", 1)
+    _, _, per_iter = als_train(r, "c", "p", k=2, iters=3, lam=0.05)
+    assert len(fused) == len(per_iter) == 3
+    for a, b in zip(fused, per_iter):
+        assert abs(a - b) <= 1e-9 * abs(a)
+
+
 def test_float_als_recovers_planted_rank2(spark):
     """With the data exactly rank-2 (+constant ~ rank-3) and lambda
     tiny, three ALS iterations at k=3 must drive relative SSE to

@@ -49,6 +49,47 @@ def test_merge_prior_mins_guards(tmp_path):
     assert merged == {"q1": 1.5, "q2": 3.0}
 
 
+def test_merge_filters_on_core_count(tmp_path):
+    """r12 VERDICT item 2: the merge was cpus-blind — an 8-core
+    scaling run min-merged against 32-core priors (97/204 of the r12
+    c8 run's merged values were byte-identical 32-core minima).  A
+    prior merges only when its recorded ``cpus`` equals the current
+    run's; legacy cpus-less files merge only with cpus-less calls."""
+    bench = _load("bench_under_test_cpus", "/root/repo/bench.py")
+    times = {"q1": 5.0}
+
+    def detail(name, queries, cpus):
+        body = {"fingerprint": "FP", "sf": 0.1, "this_run": queries}
+        if cpus is not None:
+            body["cpus"] = cpus
+        with open(tmp_path / name, "w") as fh:
+            json.dump(body, fh)
+
+    detail("BENCH_DETAIL_1.json", {"q1": 1.0}, 32)    # 32-core prior
+    detail("BENCH_DETAIL_2.json", {"q1": 3.0}, 8)     # 8-core prior
+    detail("BENCH_DETAIL_3.json", {"q1": 2.0}, None)  # legacy, no cpus
+
+    # an 8-core run merges ONLY the 8-core prior: the 32-core 1.0 and
+    # the legacy 2.0 must not leak into its minima
+    merged, n, _ = bench._merge_prior_mins(
+        str(tmp_path), "FP", 0.1, times, cpus=8
+    )
+    assert n == 2
+    assert merged == {"q1": 3.0}
+
+    # a 32-core run merges only the 32-core prior
+    merged, n, _ = bench._merge_prior_mins(
+        str(tmp_path), "FP", 0.1, times, cpus=32
+    )
+    assert n == 2
+    assert merged == {"q1": 1.0}
+
+    # a cpus-less call (legacy behavior) matches only cpus-less files
+    merged, n, _ = bench._merge_prior_mins(str(tmp_path), "FP", 0.1, times)
+    assert n == 2
+    assert merged == {"q1": 2.0}
+
+
 def test_merge_skips_legacy_details_without_this_run(tmp_path):
     """r8 ADVICE: a legacy detail whose only payload is the
     already-merged ``queries`` map must NOT participate — through it

@@ -485,6 +485,50 @@ def test_ivf_topk_recall_vs_exact(spark):
         assert fixed[(q, 1)] == q
 
 
+def test_ivf_assign_kernel_parity(spark):
+    """r13: the vectorized Arrow assignment kernel must reproduce the
+    unrolled expression argmax EXACTLY — same IEEE accumulation order
+    per (row, centroid), ties and degenerate rows (zero vector -> all
+    dots tie, null / wrong-length vector -> no finite dot) resolving
+    to the same largest list id the reverse(array_sort(...)) form
+    picks."""
+    import numpy as np
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.functions.vectors import (
+        as_double_array,
+    )
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.operators.ivf import (
+        _nearest_lists,
+        ivf_assign,
+    )
+
+    rng = np.random.default_rng(11)
+    cents = rng.standard_normal((7, 16))
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in rng.standard_normal(16)])
+        for i in range(60)
+    ]
+    rows.append(Row(vec_id=60, embedding=[0.0] * 16))   # all dots tie at 0.0
+    rows.append(Row(vec_id=61, embedding=None))          # null vector
+    rows.append(Row(vec_id=62, embedding=[1.0, 2.0]))    # wrong length
+    df = spark.createDataFrame(rows)
+
+    kernel = {
+        r.neighbor_id: r.list_id for r in ivf_assign(df, cents).collect()
+    }
+    expr = {
+        r.vec_id: r.lid
+        for r in df.select(
+            "vec_id",
+            F.element_at(
+                _nearest_lists(as_double_array("embedding"), cents, 1), 1
+            ).alias("lid"),
+        ).collect()
+    }
+    assert kernel == expr
+    # the degenerate rows all resolve to the largest list id
+    assert kernel[60] == kernel[61] == kernel[62] == 6
+
+
 def test_ivf_train_full_clamps_tiny_corpus(spark):
     """train='full' must degrade k to the corpus size like the sample
     path's clamp, not raise from kmeans_fit."""

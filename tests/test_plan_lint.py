@@ -127,16 +127,21 @@ _DEEP_OK = {"brand_pagerank", "dedup_clusters", "dedup_keep_canonical",
             "audience_overlap_kmv"}
 
 
-def test_whole_registry_lints_clean(spark):
+def test_whole_registry_lints_clean(spark, registry_plans):
     """Every registry query passes the anti-pattern linter, modulo
     the three documented exception classes — the registry-wide
     pre-flight that catches a scale-hostile plan at review time
-    instead of at 100 TB."""
+    instead of at 100 TB.  Plans come from the session cache
+    (conftest.RegistryPlanCache) so this sweep shares one build +
+    capture per query with the other registry-wide gates."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.plans import (
+        lint_plan,
+    )
+
     bad = {}
-    for name, fn in SPARK_QUERIES.items():
-        df = fn(spark, SF)
-        findings = lint(
-            df,
+    for name in SPARK_QUERIES:
+        findings = lint_plan(
+            registry_plans.formatted(name),
             allow_unpartitioned_window=name in _WINDOW_OK,
             max_shuffles=999 if name in _DEEP_OK else 12,
         )

@@ -7,19 +7,29 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import SPARK_QUERIES
 
 SF = "/root/testdata/sf0.001"
 
+#: session plan cache (conftest.RegistryPlanCache), bound by the
+#: autouse fixture below: every test here reads plans through it, so
+#: a query referenced by several tests (and by the registry-wide
+#: sweeps in other modules) builds and plans exactly once per session
+_CACHE = None
+
+
+@pytest.fixture(autouse=True)
+def _bind_plan_cache(registry_plans):
+    global _CACHE
+    _CACHE = registry_plans
+    yield
+
 
 def _formatted(spark, name: str) -> str:
-    df = SPARK_QUERIES[name](spark, SF)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    return df._jdf.queryExecution().explainString(mode)
+    return _CACHE.formatted(name)
 
 
 def _ops(plan: str) -> list[str]:
@@ -638,25 +648,30 @@ def test_label_noise_and_sequence_prep_shapes(spark):
 
 
 def test_ivf_stream_assign_narrow_probe_broadcast(spark):
-    """Incremental-IVF decomposition (r8): the unioned per-batch
-    assignments must stay NARROW (scan -> filter -> project, no
+    """Incremental-IVF decomposition (r8, re-pinned r13): the assign
+    stage must stay NARROW (scan -> project -> one Arrow encode, no
     exchange below the probe join — at scale each appended batch is
     written without shuffling the index), the broadcast side of the
     probe join must be the exploded QUERY relation (never the
     corpus-sized lists), and the only shuffle is the per-query top-k
-    window."""
+    window.  r13: the corpus is encoded ONCE by the vectorized Arrow
+    kernel — the old plan carried the 16-centroid argmax expression
+    twice (one copy per parity batch, ~135 KB of plan text); the
+    non-deterministic mark keeps the join's isnotnull(list_id) from
+    duplicating the kernel below the filter (guide §4.4)."""
     plan = _formatted(spark, "ivf_stream_topk_fixed")
     ops = _ops(plan)
-    assert "Union" in ops
     assert ops.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in ops and "CartesianProduct" not in ops
+    # exactly ONE corpus encode pass, and no scan-side duplication
+    assert ops.count("ArrowEvalPython") == 1
     # queries explode to (query, list_id) then broadcast: the Generate
     # sits INSIDE the broadcast subtree (parent-first tree text:
-    # BroadcastExchange, then its Generate child, then the Union
-    # sibling), so the corpus-sized union is never the build side
+    # BroadcastExchange, then its Generate child, then the corpus
+    # encode), so the corpus-sized lists are never the build side
     tree = plan.split("\n\n")[0]
     assert (tree.index("BroadcastExchange") < tree.index("Generate")
-            < tree.index("Union"))
+            < tree.index("ArrowEvalPython"))
     # one shuffle total: the rank window on query_id
     assert _shuffles(plan) == 1
     # partial top-k pushed below that exchange (WindowGroupLimit)

@@ -7,17 +7,23 @@ the plan fails CI."""
 
 from __future__ import annotations
 
-from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import SPARK_QUERIES
+import pytest
 
 SF = "/root/testdata/sf0.001"
 
+#: session plan cache — see tests/test_plans.py
+_CACHE = None
+
+
+@pytest.fixture(autouse=True)
+def _bind_plan_cache(registry_plans):
+    global _CACHE
+    _CACHE = registry_plans
+    yield
+
 
 def _formatted(spark, name: str) -> str:
-    df = SPARK_QUERIES[name](spark, SF)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    return df._jdf.queryExecution().explainString(mode)
+    return _CACHE.formatted(name)
 
 
 def test_min_cost_supplier_pushdown_and_partitioned_window(spark):

@@ -46,6 +46,11 @@ def test_window_equals_staleness_ground_truth():
     40 entries were still r6-certified); with this test a floor claim
     can no longer drift from window_audit ground truth.
 
+    r13 (r12-VERDICT item 4): only ORACLE-BACKED entries are window
+    eligible — the driver returns err=no_oracle for the rest (r12
+    burned a slot on ``embedding_fd_profile`` and verified nothing),
+    so the rotation rule skips them entirely.
+
     Exception: immediately after a driver round closes, its artifact
     marks every window slot freshly certified (or consumes the
     never-certified entries) — that state is healthy and the NEXT
@@ -55,6 +60,7 @@ def test_window_equals_staleness_ground_truth():
     import json
 
     from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import (
+        ORACLE_SQL,
         SPARK_QUERIES,
     )
 
@@ -71,12 +77,17 @@ def test_window_equals_staleness_ground_truth():
             last[k] = max(last.get(k, 0), rnd)
     assert last, "no CORRECTNESS artifacts found"
     window = reg[:50]
+    # no window slot may hold an entry the driver cannot verify
+    assert all(n in ORACLE_SQL for n in window), [
+        n for n in window if n not in ORACLE_SQL
+    ]
     max_round = max(last.values())
     if all(last.get(n, max_round) == max_round for n in window):
         return  # post-close state: every slot fresh or never-certified
-    never = [n for n in reg if n not in last]
+    eligible = [n for n in reg if n in ORACLE_SQL]
+    never = [n for n in eligible if n not in last]
     stale_sorted = sorted(
-        (n for n in reg if n in last), key=lambda n: (last[n], idx[n])
+        (n for n in eligible if n in last), key=lambda n: (last[n], idx[n])
     )
     expected = never + stale_sorted[: 50 - len(never)]
     assert window == expected, (
@@ -87,15 +98,19 @@ def test_window_equals_staleness_ground_truth():
 
 def test_staged_queries_never_strand_outside_the_window():
     """The r9 insertion rule, pinned and generalized: a registered
-    query that has NO driver CORRECTNESS row yet must sit INSIDE the
-    first 50 — the registered-but-stranded middle state is the
-    rotation defect the slot-budget policy exists to prevent.  (An
-    already-certified entry may rotate out of the window; staleness
-    rotation is test_window_equals_staleness_ground_truth's job.)"""
+    ORACLE-BACKED query that has NO driver CORRECTNESS row yet must
+    sit INSIDE the first 50 — the registered-but-stranded middle
+    state is the rotation defect the slot-budget policy exists to
+    prevent.  (An already-certified entry may rotate out of the
+    window; staleness rotation is
+    test_window_equals_staleness_ground_truth's job.  No-oracle
+    entries are window-INELIGIBLE since r13 — the driver cannot
+    verify them, so "stranded" does not apply.)"""
     import glob
     import json
 
     from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import (
+        ORACLE_SQL,
         SPARK_QUERIES,
     )
 
@@ -108,7 +123,7 @@ def test_staged_queries_never_strand_outside_the_window():
     window = set(list(SPARK_QUERIES)[:50])
     stranded = [
         n for n in SPARK_QUERIES
-        if n not in certified and n not in window
+        if n in ORACLE_SQL and n not in certified and n not in window
     ]
     assert not stranded, (
         f"never-certified entries outside the driver window: {stranded}"

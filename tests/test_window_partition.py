@@ -9,8 +9,6 @@ instead of shipping a 100 TB scale defect."""
 from __future__ import annotations
 
 import os
-import subprocess
-import sys
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -22,18 +20,31 @@ from lakehouse_alchemy_bronze_to_gold_pipeline_spark.functions.window import (
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_no_empty_partition_windows_in_registry():
-    out = subprocess.run(
-        [sys.executable, "tools/window_partition_audit.py"],
-        cwd=ROOT,
-        capture_output=True,
-        text=True,
-        timeout=900,
+def test_no_empty_partition_windows_in_registry(registry_plans):
+    """Same invariant the standalone tool audits, run in-process over
+    the session plan cache (r13, suite wall time): the subprocess
+    form rebuilt all 208 query DataFrames in its own Spark session —
+    the third full registry build of the suite.  The walker is
+    imported FROM the tool, so the checked logic stays the tool's."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "window_partition_audit_under_test",
+        os.path.join(ROOT, "tools", "window_partition_audit.py"),
     )
-    assert out.returncode == 0, out.stderr[-800:]
-    assert "0 with empty-partition Window nodes" in out.stdout, (
-        out.stdout[-1200:]
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import (
+        SPARK_QUERIES,
     )
+
+    offenders = {}
+    for name in SPARK_QUERIES:
+        hits = tool.global_windows(registry_plans.df(name))
+        if hits:
+            offenders[name] = hits
+    assert offenders == {}, offenders
 
 
 def test_const_bucket_is_constant_and_not_folded(spark):

@@ -15,6 +15,7 @@ import sys
 sys.path.insert(0, ".")
 
 from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries import (  # noqa: E402
+    ORACLE_SQL,
     SPARK_QUERIES,
 )
 
@@ -31,8 +32,15 @@ def main() -> None:
         for k in keys:
             last_round[k] = max(last_round.get(k, 0), rnd)
 
-    never = [n for n in SPARK_QUERIES if n not in last_round]
-    print(f"{len(SPARK_QUERIES)} registry entries; "
+    # r13 (r12-VERDICT item 4): only ORACLE-BACKED entries are
+    # eligible for window slots — the driver returns err=no_oracle
+    # (nothing checked, slot wasted) for the rest, so they neither
+    # count as "never certified" nor rotate into the window.
+    eligible = [n for n in SPARK_QUERIES if n in ORACLE_SQL]
+    n_no_oracle = len(SPARK_QUERIES) - len(eligible)
+    never = [n for n in eligible if n not in last_round]
+    print(f"{len(SPARK_QUERIES)} registry entries "
+          f"({n_no_oracle} no-oracle, window-ineligible); "
           f"{len(never)} never driver-certified")
     if never:
         print("\nnever certified (should lead the registry):")
@@ -43,6 +51,12 @@ def main() -> None:
         if n in last_round:
             print(f"  r{last_round[n]}  {n}")
     window = list(SPARK_QUERIES)[:50]
+    no_oracle_in_window = [n for n in window if n not in ORACLE_SQL]
+    if no_oracle_in_window:
+        print(f"\nWARNING: {len(no_oracle_in_window)} no-oracle "
+              f"entries occupy driver window slots the driver cannot "
+              f"verify (err=no_oracle, wasted slots): "
+              f"{no_oracle_in_window}")
     overflow = [n for n in never if n not in window]
     max_round = max(last_round.values(), default=0)
     #: a window slot is only WASTED if its occupant was certified in
