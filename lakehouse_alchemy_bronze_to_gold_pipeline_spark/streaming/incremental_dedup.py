@@ -106,12 +106,17 @@ def gate_batch_sigs(
         return df
 
     def _gated_broadcast_ids(ids: DataFrame) -> DataFrame:
-        # persist + count + gate (see BROADCAST_DUP_IDS_ROWS_MAX):
-        # the count materializes the dup pipeline once into cache, so
-        # the anti-join re-reads it instead of recomputing the verify
-        # stage, and the broadcast keeps the heavy sigs side of the
-        # anti-join un-shuffled
-        ids = _persist(ids)
+        # materialize + count + gate (see BROADCAST_DUP_IDS_ROWS_MAX):
+        # the eager localCheckpoint cuts the dup pipeline's lineage at
+        # its (tiny) id-list result — the anti-join and the count read
+        # the materialized blocks instead of re-running the verify
+        # stage, and unlike persist() the checkpoint does not re-embed
+        # the whole verify subtree at every downstream reference (the
+        # persist form tripled the registry entry's plan text).  The
+        # gated broadcast then keeps the heavy sigs side of the
+        # anti-join un-shuffled.  Same eager-bounded-job-at-build-time
+        # posture as the ALS/kmeans builders.
+        ids = ids.localCheckpoint(eager=True)
         if ids.count() < BROADCAST_DUP_IDS_ROWS_MAX:
             return F.broadcast(ids)
         return ids

@@ -105,3 +105,25 @@ def test_layout_repartition_lever(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_LAYOUT_REPARTITION")
     plan = load(spark, sf, "region")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_spread_scan_gates_on_observed_parallelism(spark):
+    """r13 (r12-VERDICT item 8): spread_scan exists for the
+    single-row-group bench tables (one scan task); an input that
+    already resolves to >= defaultParallelism partitions must pass
+    through UNTOUCHED — at 100 TB a many-file table scans wide and
+    the extra full-data round-robin exchange is pure cost."""
+    from lakehouse_alchemy_bronze_to_gold_pipeline_spark.queries.data import (
+        spread_scan,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    wide = spark.range(1000).repartition(par + 2)
+
+    spread = spread_scan(narrow)
+    assert spread.rdd.getNumPartitions() == par
+    assert "Repartition" in spread._jdf.queryExecution().logical().toString()
+
+    passthrough = spread_scan(wide)
+    assert passthrough is wide  # identity: no exchange added
